@@ -1,0 +1,159 @@
+"""URI-template machinery.
+
+Two template layers, matching the reference:
+
+1. ``$(var)`` **pipeline-parameter templates** — expanded eagerly at plan time
+   on the driver (reference: src/table2qb/configuration/uris.clj:7-19
+   ``expand-uri-template``/``expand-uris``; override-merge semantics
+   uris.clj:26-30 ``merge-uris`` — user keys not present in the base are
+   ignored).
+
+2. ``{var}`` / ``{+var}`` **RFC 6570 CSVW templates** — expanded per cell.
+   ``{var}`` percent-encodes reserved characters (evidence:
+   ``cn#cn8_28399000`` -> ``cn%23cn8_28399000``,
+   test/table2qb/pipelines/integration_test.clj:57); ``{+var}`` substitutes
+   raw. Implemented as a generated Catalyst ``concat`` over literals and
+   column refs — pure JVM — with a vectorized pandas-UDF encoder fallback for
+   full RFC percent-encoding fidelity.
+
+Validation of template syntax happens on the driver at config-load time
+(reference: configuration/column.clj:81-86).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# ---------------------------------------------------------------------------
+# $(var) plan-time expansion
+# ---------------------------------------------------------------------------
+
+
+def expand_uri_template(template: str, substitutions: dict[str, str]) -> str:
+    for var, value in substitutions.items():
+        template = template.replace(f"$({var})", value)
+    return template
+
+
+def expand_uris(uris: dict, substitutions: dict[str, str]) -> dict:
+    def expand(v):
+        if isinstance(v, (list, tuple)):
+            return type(v)(expand_uri_template(t, substitutions) for t in v)
+        return expand_uri_template(v, substitutions)
+
+    return {k: expand(v) for k, v in uris.items()}
+
+
+def strip_trailing_path_separator(uri: str) -> str:
+    return uri[:-1] if uri.endswith("/") else uri
+
+
+def merge_uris(base_uris: dict, user_uris: dict | None) -> dict:
+    """User overrides applied; unknown user keys ignored (select-keys of base)."""
+    merged = {**base_uris, **(user_uris or {})}
+    return {k: merged[k] for k in base_uris}
+
+
+def domain_data(domain: str) -> str:
+    return domain + "data/"
+
+
+# ---------------------------------------------------------------------------
+# RFC 6570 {var} / {+var} per-cell expansion
+# ---------------------------------------------------------------------------
+
+_TEMPLATE_TOKEN = re.compile(r"\{(\+?)([A-Za-z0-9_]+)\}")
+# conservative syntactic check: balanced single-level braces with simple or
+# reserved ('+') operators — the only forms the reference's configs use.
+_TEMPLATE_VALID = re.compile(r"^(?:[^{}]|\{\+?[A-Za-z0-9_%.]+(?::\d+)?\})*$")
+
+_UNRESERVED = re.compile(r"[A-Za-z0-9\-._~]")
+
+
+def validate_uri_template(template: str) -> bool:
+    """True if the template parses (single-level {var}/{+var} forms)."""
+    return bool(_TEMPLATE_VALID.match(template))
+
+
+def template_variables(template: str) -> list[str]:
+    return [m.group(2) for m in _TEMPLATE_TOKEN.finditer(template)]
+
+
+def _pct_encode_py(s: str) -> str:
+    """RFC 6570 simple-expansion encoding: everything outside unreserved."""
+    out = []
+    for b in s.encode("utf-8"):
+        ch = chr(b)
+        if _UNRESERVED.match(ch):
+            out.append(ch)
+        else:
+            out.append(f"%{b:02X}")
+    return "".join(out)
+
+
+@pandas_udf(StringType())
+def pct_encode_pd(s: pd.Series) -> pd.Series:
+    from urllib.parse import quote
+
+    return s.map(lambda v: quote(v, safe="") if v is not None else None)
+
+
+def pct_encode_expr(c: Column) -> Column:
+    """Catalyst percent-encoder: Java URLEncoder via url_encode, fixed up to
+    RFC 3986 (space must be %20, not '+'; '*' must be %2A; '~' stays raw)."""
+    enc = F.url_encode(c)
+    enc = F.regexp_replace(enc, r"\+", "%20")
+    enc = F.regexp_replace(enc, r"\*", "%2A")
+    enc = F.regexp_replace(enc, r"%7E", "~")
+    return enc
+
+
+def uri_template_expr(
+    template: str,
+    columns: dict[str, Column] | None = None,
+    encoder: str = "catalyst",
+) -> Column:
+    """Compile an RFC 6570 template into one Catalyst ``concat`` expression.
+
+    ``{var}`` -> percent-encoded column; ``{+var}`` -> raw column. Literal
+    segments become string literals. ``columns`` maps variable name ->
+    Column (defaults to ``F.col(var)``).
+    """
+    if not validate_uri_template(template):
+        raise ValueError(f"Could not parse {template} as a URI template")
+    parts: list[Column] = []
+    pos = 0
+    for m in _TEMPLATE_TOKEN.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        raw_op, var = m.group(1), m.group(2)
+        col = (columns or {}).get(var, F.col(var))
+        if raw_op == "+":
+            parts.append(col)
+        elif encoder == "pandas":
+            parts.append(pct_encode_pd(col))
+        else:
+            parts.append(pct_encode_expr(col))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts)
+
+
+def expand_template_py(template: str, row: dict[str, str]) -> str:
+    """Driver-side scalar twin (for metadata records and oracles)."""
+
+    def repl(m: re.Match) -> str:
+        raw_op, var = m.group(1), m.group(2)
+        v = str(row.get(var, ""))
+        return v if raw_op == "+" else _pct_encode_py(v)
+
+    return _TEMPLATE_TOKEN.sub(repl, template)

@@ -1,0 +1,119 @@
+"""Golden-pinned transform semantics (reference doc/usage.md:251-292 and
+examples/regional-trade observed outputs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from table2qb_spark.functions import transforms as T
+
+SLUG_CASES = [
+    ("0 Food and Live Animals", "0-food-and-live-animals"),
+    ("1 Beverages and Tobacco", "1-beverages-and-tobacco"),
+    ("GBP Total", "gbp-total"),
+    ("Export and Import Activity", "export-and-import-activity"),
+    ("Gender", "gender"),
+    ("Export", "export"),
+    ("Net Mass", "net-mass"),
+    ("  leading  spaces ", "leading-spaces"),
+    ("Total", "total"),
+]
+
+UNIT_CASES = [
+    ("£ million", "gbp-million"),
+    ("£ 10000", "gbp-10000"),
+    ("GBP Total", "gbp-total"),
+]
+
+PROPERTIZE_CASES = [
+    ("GBP Total", "gbpTotal"),
+    ("date of birth", "dateOfBirth"),
+    ("Flow", "flow"),
+    ("Net Mass", "netMass"),
+]
+
+CLASSIZE_CASES = [
+    ("GBP Total", "GbpTotal"),
+    ("date of birth", "DateOfBirth"),
+    ("Flow", "Flow"),
+    ("Net Mass", "NetMass"),
+]
+
+
+@pytest.mark.parametrize("inp,expected", SLUG_CASES)
+def test_slugize_py(inp, expected):
+    assert T.slugize_py(inp) == expected
+
+
+@pytest.mark.parametrize("inp,expected", UNIT_CASES)
+def test_unitize_py(inp, expected):
+    assert T.unitize_py(inp) == expected
+
+
+@pytest.mark.parametrize("inp,expected", PROPERTIZE_CASES)
+def test_propertize_py(inp, expected):
+    assert T.propertize_py(inp) == expected
+
+
+@pytest.mark.parametrize("inp,expected", CLASSIZE_CASES)
+def test_classize_py(inp, expected):
+    assert T.classize_py(inp) == expected
+
+
+def test_catalyst_and_pandas_forms_agree(spark):
+    """The Catalyst expression, pandas UDF, and plain-Python forms must agree
+    on every pinned case."""
+    inputs = [c[0] for c in SLUG_CASES + UNIT_CASES + PROPERTIZE_CASES]
+    df = spark.createDataFrame([(s,) for s in inputs], ["s"])
+    out = df.select(
+        "s",
+        T.slugize("s").alias("slug_expr"),
+        T.slugize_pd(F.col("s")).alias("slug_pd"),
+        T.unitize("s").alias("unit_expr"),
+        T.unitize_pd(F.col("s")).alias("unit_pd"),
+        T.propertize("s").alias("prop_expr"),
+        T.propertize_pd(F.col("s")).alias("prop_pd"),
+        T.classize("s").alias("class_expr"),
+        T.classize_pd(F.col("s")).alias("class_pd"),
+    ).collect()
+    for r in out:
+        assert r["slug_expr"] == T.slugize_py(r["s"]) == r["slug_pd"]
+        assert r["unit_expr"] == T.unitize_py(r["s"]) == r["unit_pd"]
+        assert r["prop_expr"] == T.propertize_py(r["s"]) == r["prop_pd"]
+        assert r["class_expr"] == T.classize_py(r["s"]) == r["class_pd"]
+
+
+def test_uri_template_expansion(spark):
+    from table2qb_spark.functions import uris as U
+
+    assert U.expand_uri_template(
+        "$(base-uri)/def/concept/$(codelist-slug)/{notation}",
+        {"base-uri": "http://example.com", "codelist-slug": "genders"},
+    ) == "http://example.com/def/concept/genders/{notation}"
+
+    # merge-uris: unknown user keys ignored (configuration/uris.clj:26-30)
+    merged = U.merge_uris({"a": "1", "b": "2"}, {"b": "3", "zzz": "9"})
+    assert merged == {"a": "1", "b": "3"}
+
+    # RFC 6570: {var} percent-encodes reserved chars, {+var} does not
+    # (evidence: cn#cn8 -> cn%23cn8, integration_test.clj:57)
+    df = spark.createDataFrame([("cn#cn8_28399000",)], ["code"])
+    row = df.select(
+        U.uri_template_expr("http://x.org/{code}").alias("enc"),
+        U.uri_template_expr("http://x.org/{+code}").alias("raw"),
+        U.uri_template_expr("http://x.org/{code}", encoder="pandas").alias("enc_pd"),
+    ).collect()[0]
+    assert row["enc"] == "http://x.org/cn%23cn8_28399000"
+    assert row["enc_pd"] == "http://x.org/cn%23cn8_28399000"
+    assert row["raw"] == "http://x.org/cn#cn8_28399000"
+
+    assert U.expand_template_py(
+        "http://x.org/{code}/{+code}", {"code": "a b#c"}
+    ) == "http://x.org/a%20b%23c/a b#c"
+
+
+def test_validate_uri_template():
+    from table2qb_spark.functions.uris import validate_uri_template
+
+    assert validate_uri_template("http://x/{foo}/{+bar}")
+    assert validate_uri_template("http://x/plain")
+    assert not validate_uri_template("http://x/{unclosed")
