@@ -1,0 +1,313 @@
+"""Pipeline tests — ports of the reference's golden-file suites
+(test/table2qb/pipelines/{codelist,components,cube}_test.clj), with the
+goldens read directly from /root/reference/examples (never copied)."""
+
+import csv as _csv
+import json
+import os
+
+import pytest
+
+from table2qb_spark.config.cube import get_cube_configuration
+from table2qb_spark.errors import CubeConfigError
+from table2qb_spark.pipelines import codelist, components, cube
+from tests.conftest import example_csv, example_csvw
+
+TEST_DOMAIN = "http://gss-data.org.uk/"  # test_common.clj:24
+
+
+def read_csv_dicts(path):
+    with open(path, newline="", encoding="utf-8-sig") as f:
+        return list(_csv.DictReader(f))
+
+
+# ---------------------------------------------------------------------------
+# codelist (codelist_test.clj)
+# ---------------------------------------------------------------------------
+
+
+class TestCodelist:
+    def test_minimum_case(self, reference_available):
+        codes = codelist.code_records(example_csv("regional-trade", "flow-directions.csv"))
+        assert len(codes) == 2
+
+    def test_optional_fields(self, reference_available):
+        codes = codelist.code_records(example_csv("regional-trade", "sitc-sections.csv"))
+        assert sorted(codes[0].keys()) == sorted(codelist.OUTPUT_COLUMNS)
+        assert codes[0]["sort_priority"] == "0"  # kept as string
+        assert codes[0]["description"] == "lorem ipsum"
+        assert codes[0]["top_concept_of"] == ""
+        assert codes[-1]["top_concept_of"] == "yes"  # Total has no parent
+        assert codes[0]["parent_notation2"] == codes[0]["parent_notation"] == "total"
+        assert codes[0]["pref_label"] == codes[0]["label"]
+
+    def test_spark_df_matches_driver_path(self, spark, reference_available):
+        src = example_csv("regional-trade", "sitc-sections.csv")
+        got = [r.asDict() for r in codelist.code_records_df(spark, src).collect()]
+        want = codelist.code_records(src)
+
+        def norm(r):
+            return {k: (v if v is not None else "") for k, v in r.items()}
+
+        assert sorted(map(norm, got), key=lambda r: r["notation"]) == sorted(
+            map(norm, want), key=lambda r: r["notation"]
+        )
+
+    def test_notation_defaults_to_slugized_label(self, spark):
+        recs = codelist.code_records("Label\nFoo Bar\nBaz")
+        assert [r["notation"] for r in recs] == ["foo-bar", "baz"]
+
+    def test_missing_label_column(self):
+        from table2qb_spark.errors import HeaderValidationError
+
+        with pytest.raises(HeaderValidationError) as e:
+            codelist.code_records("column-a\nvalue-1")
+        assert e.value.data["missing_columns"] == {"Label"}
+
+    def test_metadata_matches_golden(self, reference_available):
+        for name, slug, golden in [
+            ("Flow Directions Codelist", "flow-directions", "flow-directions.json"),
+            ("SITC Sections Codelist", "sitc-sections", "sitc-sections.json"),
+        ]:
+            with open(example_csvw("regional-trade", golden)) as f:
+                expected = json.load(f)
+            got = codelist.codelist_schema(
+                golden.replace(".json", "-codelist.csv"),
+                name,
+                codelist.get_uris(TEST_DOMAIN, slug),
+            )
+            got["url"] = expected["url"]  # file URL differs by construction
+            assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# components (components_test.clj)
+# ---------------------------------------------------------------------------
+
+
+class TestComponents:
+    def test_annotations(self, reference_available):
+        recs = components.component_records(example_csv("regional-trade", "components.csv"))
+        by_label = {r["label"]: r for r in recs}
+        gbp = by_label["GBP Total"]
+        assert gbp["notation"] == "gbp-total"
+        assert gbp["component_type"] == "qb:MeasureProperty"
+        assert gbp["component_type_slug"] == "measure"
+        assert gbp["property_slug"] == "gbpTotal"
+        assert gbp["class_slug"] == "GbpTotal"
+        assert gbp["parent_property"] == "http://purl.org/linked-data/sdmx/2009/measure#obsValue"
+        flow = by_label["Flow"]
+        assert flow["component_type"] == "qb:DimensionProperty"
+        assert flow["class_slug"] == "Flow"
+        assert flow["parent_property"] is None
+
+    def test_spark_matches_golden_csv(self, spark, reference_available):
+        src = example_csv("regional-trade", "components.csv")
+        got = [r.asDict() for r in components.component_records_df(spark, src).collect()]
+        golden = read_csv_dicts(example_csvw("regional-trade", "components.csv"))
+
+        def norm(r):
+            return {k: (r.get(k) or "") for k in components.OUTPUT_COLUMNS}
+
+        assert sorted(map(norm, got), key=lambda r: r["notation"]) == sorted(
+            map(norm, golden), key=lambda r: r["notation"]
+        )
+
+    def test_invalid_component_type(self):
+        from table2qb_spark.errors import CellValidationError
+
+        with pytest.raises(CellValidationError, match="Expected one of: Attribute, Dimension, Measure"):
+            components.component_records("Label,Component Type\nFoo,Banana")
+
+    def test_metadata_matches_golden(self, reference_available):
+        with open(example_csvw("regional-trade", "components.json")) as f:
+            expected = json.load(f)
+        got = components.components_schema(
+            "components.csv", components.get_uris(TEST_DOMAIN)
+        )
+        got["url"] = expected["url"]
+        assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# cube config inference (cube_test.clj:49-132)
+# ---------------------------------------------------------------------------
+
+
+def vcsv(name):
+    return example_csv("validation", name)
+
+
+class TestCubeConfig:
+    def test_measure_dimension_cube(self, spark, default_config):
+        cfg = get_cube_configuration(vcsv("measure-type-cube.csv"), default_config, spark=spark)
+        assert cfg.type == "measure-dimension"
+        assert cfg.names == ["geography", "date", "flow", "measure_type", "value", "unit"]
+        assert cfg.dimensions == {"geography", "date", "flow", "measure_type"}
+        assert cfg.measures == {"count", "gbp_total"}
+        assert cfg.value_component == "value"
+        assert cfg.measure_type_component == "measure_type"
+        expected_keys = cfg.dimensions | cfg.measures | cfg.attributes | {"value", "measure_type"}
+        assert set(cfg.name_to_component.keys()) == expected_keys
+
+    def test_invalid_column_reference(self, spark, default_config):
+        with pytest.raises(CubeConfigError):
+            get_cube_configuration(
+                vcsv("measure-type-invalid-column-reference.csv"), default_config, spark=spark
+            )
+
+    def test_invalid_measure_reference(self, spark, default_config):
+        with pytest.raises(CubeConfigError):
+            get_cube_configuration(
+                vcsv("measure-type-invalid-measure-reference.csv"), default_config, spark=spark
+            )
+
+    def test_no_value_column(self, spark, default_config):
+        with pytest.raises(CubeConfigError, match="No value column"):
+            get_cube_configuration(vcsv("value-column-missing.csv"), default_config, spark=spark)
+
+    def test_multiple_value_columns(self, spark, default_config):
+        with pytest.raises(CubeConfigError, match="multiple value columns"):
+            get_cube_configuration(vcsv("multiple-value-columns.csv"), default_config, spark=spark)
+
+    def test_multi_measure_cube(self, spark, default_config):
+        cfg = get_cube_configuration(vcsv("multi-measure-cube.csv"), default_config, spark=spark)
+        assert cfg.type == "multi-measure"
+        assert cfg.names == ["date", "geography", "flow", "count", "gbp_total"]
+        assert cfg.dimensions == {"date", "geography", "flow"}
+        assert cfg.measures == {"count", "gbp_total"}
+        assert cfg.attributes == set()
+
+    def test_multi_measure_no_dimensions(self, spark, default_config):
+        with pytest.raises(CubeConfigError, match="No dimension columns found"):
+            get_cube_configuration(vcsv("multi-measure-no-dimensions.csv"), default_config, spark=spark)
+
+    def test_multi_measure_with_value_column(self, spark, default_config):
+        with pytest.raises(CubeConfigError, match="Columns Value represent observation values"):
+            get_cube_configuration(vcsv("multi-measure-with-value-column.csv"), default_config, spark=spark)
+
+    def test_unknown_columns(self, spark, default_config):
+        with pytest.raises(CubeConfigError, match="Unknown column titles"):
+            get_cube_configuration(vcsv("unknown-columns.csv"), default_config, spark=spark)
+
+    def test_measure_type_missing(self, spark, default_config):
+        with pytest.raises(CubeConfigError, match="at least one measure column"):
+            get_cube_configuration(vcsv("measure-type-missing.csv"), default_config, spark=spark)
+
+    def test_multiple_measure_type_columns(self, spark, default_config):
+        with pytest.raises(CubeConfigError, match="multiple qb:measureType columns"):
+            get_cube_configuration(
+                vcsv("multiple-measure-type-columns.csv"), default_config, spark=spark
+            )
+
+    def test_missing_dimension_values(self, spark, default_config):
+        src = vcsv("dimension-values-missing.csv")
+        cfg = get_cube_configuration(src, default_config, spark=spark)
+        raw = spark.read.option("header", True).csv(src)
+        with pytest.raises(Exception, match="Missing value for dimension"):
+            cube.observation_records_df(raw, cfg).collect()
+
+
+# ---------------------------------------------------------------------------
+# cube pipeline goldens (cube_test.clj:49-113)
+# ---------------------------------------------------------------------------
+
+
+class TestCubePipeline:
+    @pytest.fixture(scope="class")
+    def regional_trade(self, spark, default_config, tmp_path_factory):
+        out = tmp_path_factory.mktemp("regional-trade-cube")
+        return cube.cube_pipeline(
+            spark,
+            str(out),
+            example_csv("regional-trade", "input.csv"),
+            "Regional Trade",
+            "regional-trade",
+            default_config,
+            TEST_DOMAIN,
+        )
+
+    def test_observations_match_golden(self, regional_trade, reference_available):
+        got = read_csv_dicts(regional_trade["observations_csv"])
+        want = read_csv_dicts(example_csvw("regional-trade", "observations.csv"))
+        assert got == want  # order-preserving, value-exact
+
+    def test_component_specifications_match_golden(self, regional_trade, reference_available):
+        got = read_csv_dicts(regional_trade["component_specifications_csv"])
+        want = read_csv_dicts(example_csvw("regional-trade", "component-specifications.csv"))
+        assert sorted(got, key=lambda r: r["component_slug"]) == sorted(
+            want, key=lambda r: r["component_slug"]
+        )
+
+    def test_metadata_tables_match_goldens(self, regional_trade, reference_available):
+        """Each schema builder vs its golden, with the same (csv-url, name)
+        arguments the reference tests pass (cube_test.clj:79-113,149-179)."""
+        uris = cube.get_uris(TEST_DOMAIN, "regional-trade")
+        url = "regional-trade.slugged.normalised.csv"
+        cfg = regional_trade["cube_config"]
+        cases = [
+            ("dataset.json", cube.dataset_schema(url, "Regional Trade", uris)),
+            (
+                "data-structure-definition.json",
+                cube.data_structure_definition_schema(url, "Regional Trade", uris),
+            ),
+            (
+                "component-specifications.json",
+                cube.component_specification_schema(
+                    url, "Regional Trade Component Specifications", uris
+                ),
+            ),
+            ("used-codes-codelists.json", cube.used_codes_codelists_schema(url, uris)),
+            ("used-codes-codes.json", cube.used_codes_codes_schema(url, cfg, uris)),
+            (
+                "observations.json",
+                cube.observations_schema(
+                    url, "http://gss-data.org.uk/data/", "regional-trade", cfg, uris
+                ),
+            ),
+        ]
+        for golden_name, got in cases:
+            with open(example_csvw("regional-trade", golden_name)) as f:
+                want = json.load(f)
+            got = dict(got)
+            got["url"] = want["url"]
+            assert got == want, f"metadata mismatch for {golden_name}"
+
+    def test_optional_dataset_name(self):
+        uris = cube.get_uris(TEST_DOMAIN, "ds-slug")
+        assert cube.component_specification_schema("c.csv", "", uris)["dc:title"] is None
+        assert cube.dataset_schema("c.csv", "", uris)["rdfs:label"] is None
+        assert cube.data_structure_definition_schema("c.csv", "", uris)["rdfs:label"] is None
+
+    def test_employment_observations(self, spark, reference_available, tmp_path):
+        from table2qb_spark.config.columns import load_column_configuration
+
+        cols = load_column_configuration(
+            os.path.join("/root/reference/examples/employment", "columns.csv")
+        )
+        res = cube.cube_pipeline(
+            spark,
+            str(tmp_path),
+            example_csv("employment", "input.csv"),
+            "Employment",
+            "employment",
+            cols,
+            TEST_DOMAIN,
+        )
+        got = read_csv_dicts(res["observations_csv"])
+        assert len(got) == 384
+        genders = {r["gender"] for r in got}
+        assert genders <= {"female", "male", "all"}  # slugized
+
+    def test_observation_uri_and_used_codes(self, spark, default_config, regional_trade):
+        cfg = regional_trade["cube_config"]
+        obs = regional_trade["observations_df"]
+        uri = cube.observation_uri_expr("http://example.com/data/", "regional-trade", cfg)
+        rows = obs.select(uri.alias("obs_uri")).limit(1).collect()
+        assert rows[0]["obs_uri"].startswith(
+            "http://example.com/data/regional-trade/K02000001/2016/"
+        )
+        used = cube.used_codes_df(obs, sorted(cfg.dimensions)).collect()
+        pairs = {(r["component"], r["code"]) for r in used}
+        assert ("flow", "export") in pairs and ("flow", "import") in pairs
+        assert ("measure_type", "gbp-total") in pairs
