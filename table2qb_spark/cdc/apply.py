@@ -1,0 +1,147 @@
+"""CDC replay engine: ordered change-log tail -> lake MERGE upserts.
+
+The replayer consumes the change log in **sequence-number ranges** (not file
+order — delivery order is irrelevant, seq is authoritative; events inside a
+range are deduped max-seq-wins, ranges are disjoint so cross-range ordering
+is total). Each range becomes one MERGE commit with:
+
+- commit_id = ``cdc-{batch_index:08d}`` — the idempotent commit manifest:
+  replaying from ANY earlier checkpoint re-issues commits that the snapshot
+  chain already contains and they are skipped, so the final state converges
+  (north-rule exactly-once).
+- a checkpoint record in the snapshot summary (last_batch, max_seq) — resume
+  reads the current snapshot and continues from the next range;
+- a metrics row (events, upserts, deletes, buckets touched, seconds,
+  events/sec, lag) appended to ``_meta/metrics.jsonl`` — per-batch
+  throughput/lag observability.
+
+Batch-loop vs Structured Streaming: the loop IS ``foreachBatch`` semantics
+with deterministic batch boundaries (seq ranges instead of arrival time),
+which is what makes replay reproducible. A readStream front-end wrapping the
+same ``apply_batch`` lives in table2qb_spark.cdc.streaming.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from table2qb_spark.cdc.schema_evolution import reconcile_and_flatten
+from table2qb_spark.lake.merge import merge_upsert
+from table2qb_spark.lake.table import LakeTable
+
+
+@dataclass
+class BatchResult:
+    batch_index: int
+    commit_id: str
+    events: int
+    skipped: bool
+    stats: dict
+
+
+class ChangeLogReplayer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        events: DataFrame | str,
+        seq_col: str = "seq",
+        op_col: str = "op",
+        batch_events: int = 1_000_000,
+        two_phase_dedup: bool = False,
+        payload_col: str = "payload_json",
+    ):
+        self.spark = spark
+        self.table = table
+        self.events = (
+            spark.read.parquet(events) if isinstance(events, str) else events
+        )
+        self.seq_col = seq_col
+        self.op_col = op_col
+        self.batch_events = batch_events
+        self.two_phase_dedup = two_phase_dedup
+        self.payload_col = payload_col
+        self.metrics_path = os.path.join(table.path, "_meta", "metrics.jsonl")
+
+    # ----- checkpointing -----------------------------------------------------
+
+    def last_applied_batch(self) -> int:
+        return int(self.table.snapshot().summary.get("last_batch", -1))
+
+    def seq_bounds(self) -> tuple[int, int]:
+        r = self.events.agg(
+            F.min(self.seq_col).alias("lo"), F.max(self.seq_col).alias("hi")
+        ).collect()[0]
+        return int(r["lo"]), int(r["hi"])
+
+    def batch_range(self, batch_index: int, lo: int) -> tuple[int, int]:
+        start = lo + batch_index * self.batch_events
+        return start, start + self.batch_events - 1
+
+    # ----- single batch --------------------------------------------------------
+
+    def apply_batch(self, batch_index: int, lo: int, hi_total: int) -> BatchResult:
+        commit_id = f"cdc-{batch_index:08d}"
+        start, end = self.batch_range(batch_index, lo)
+        if self.table.has_commit(commit_id):
+            return BatchResult(batch_index, commit_id, 0, True, {})
+        t0 = time.time()
+        batch = self.events.where(
+            (F.col(self.seq_col) >= start) & (F.col(self.seq_col) <= end)
+        )
+        # schema evolution first (metadata-only commits), then flat MERGE
+        batch = reconcile_and_flatten(self.table, batch, commit_id, self.payload_col)
+        stats = merge_upsert(
+            self.table,
+            batch,
+            commit_id,
+            op_col=self.op_col,
+            seq_col=self.seq_col,
+            two_phase_dedup=self.two_phase_dedup,
+            summary_update={"last_batch": batch_index, "max_seq": end},
+        )
+        elapsed = time.time() - t0
+        n_events = int(stats.get("upserts", 0)) + int(stats.get("deletes", 0))
+        metrics = {
+            "batch": batch_index,
+            "commit_id": commit_id,
+            "seq_start": start,
+            "seq_end": end,
+            "unique_events": n_events,
+            "upserts": stats.get("upserts", 0),
+            "deletes": stats.get("deletes", 0),
+            "buckets_touched": stats.get("affected_buckets", 0),
+            "seconds": round(elapsed, 3),
+            "events_per_sec": round((end - start + 1) / elapsed, 1) if elapsed else None,
+            "lag_events": max(0, hi_total - end),
+            "ts": time.time(),
+        }
+        with open(self.metrics_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(metrics) + "\n")
+        return BatchResult(batch_index, commit_id, n_events, False, metrics)
+
+    # ----- full replay -----------------------------------------------------------
+
+    def run(self, max_batches: int | None = None) -> list[BatchResult]:
+        """Replay from the current checkpoint to the end of the log."""
+        lo, hi = self.seq_bounds()
+        n_batches = (hi - lo) // self.batch_events + 1
+        first = self.last_applied_batch() + 1
+        results = []
+        for i in range(first, n_batches):
+            if max_batches is not None and len(results) >= max_batches:
+                break
+            results.append(self.apply_batch(i, lo, hi))
+        return results
+
+    def metrics(self) -> list[dict]:
+        if not os.path.exists(self.metrics_path):
+            return []
+        with open(self.metrics_path) as f:
+            return [json.loads(line) for line in f if line.strip()]

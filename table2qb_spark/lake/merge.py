@@ -1,0 +1,134 @@
+"""MERGE upsert into a LakeTable — the CDC apply primitive.
+
+Semantics (north rule): key-partitioned MERGE on the table's key columns with
+insert/update/delete ops —
+
+    MERGE INTO t USING batch ON t.key = batch.key
+      WHEN MATCHED AND batch.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED AND batch.op != 'D' THEN INSERT *
+
+Physical plan (copy-on-write at bucket granularity):
+1. dedup the batch max-seq-wins per key (map-side combining hash agg);
+2. compute each key's bucket; collect the *distinct affected buckets* (a
+   <=n_buckets-row collect — this is the partition-pruning step);
+3. read ONLY the affected buckets' files from the current snapshot;
+4. full-outer join current x batch on the key — both sides are then shuffled
+   by the same key hash (or arrive pre-bucketed), and AQE's skew-join split
+   handles residual hot keys;
+5. apply the op rules; write new files for the affected buckets; commit a new
+   snapshot = untouched buckets' old files + new files, with the batch's
+   commit_id recorded for exactly-once replay.
+
+At 100 TB the cost per batch is proportional to the *touched-bucket* data,
+not the table size, and bucket count bounds the rewrite amplification.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from table2qb_spark.cdc.dedup import dedup_max_seq
+from table2qb_spark.lake.table import LakeTable, key_bucket_expr
+
+
+def merge_upsert(
+    table: LakeTable,
+    batch_df: DataFrame,
+    commit_id: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "D",
+    two_phase_dedup: bool = False,
+    summary_update: dict | None = None,
+) -> dict:
+    """Apply one change batch. Returns merge stats. Idempotent: a commit_id
+    already present in the snapshot history is skipped outright."""
+    if table.has_commit(commit_id):
+        return {"skipped": True, "commit_id": commit_id}
+
+    t0 = time.time()
+    snap = table.snapshot()
+    keys = snap.key_columns
+    data_cols = [c["name"] for c in snap.current_schema()]
+    extra_cols = [op_col, seq_col]
+
+    # 1. dedup: one winner per key
+    batch_cols = keys + [c for c in data_cols if c not in keys] + [
+        c for c in extra_cols if c in batch_df.columns and c not in data_cols
+    ]
+    missing = [c for c in batch_cols if c not in batch_df.columns]
+    if missing:
+        raise ValueError(f"Batch is missing columns {missing}")
+    deduped = dedup_max_seq(
+        batch_df.select(*batch_cols), keys, seq_col=seq_col, two_phase=two_phase_dedup
+    )
+
+    # 2. affected buckets (pruning). The deduped batch is reused by three
+    # jobs (bucket collect, merge join, stats) — persist once.
+    deduped = deduped.withColumn("__bucket", key_bucket_expr(keys, snap.n_buckets))
+    deduped = deduped.persist()
+    affected = sorted(
+        r["__bucket"] for r in deduped.select("__bucket").distinct().collect()
+    )
+    if not affected:
+        deduped.unpersist()
+        table.commit_files(commit_id, [], {}, summary_update)
+        return {
+            "skipped": False,
+            "commit_id": commit_id,
+            "affected_buckets": 0,
+            "upserts": 0,
+            "deletes": 0,
+            "seconds": time.time() - t0,
+        }
+
+    # 3. current state of only those buckets
+    current = table.read(buckets=affected)
+
+    # 4 + 5. full-outer merge, op rules applied per column
+    s = deduped.alias("s")
+    t = current.alias("t")
+    joined = t.join(s, on=keys, how="full_outer")
+    s_present = F.col(f"s.{seq_col}").isNotNull()
+    is_delete = s_present & (F.col(f"s.{op_col}") == delete_op)
+
+    result_cols = []
+    for c in data_cols:
+        if c in keys:
+            result_cols.append(F.col(c).alias(c))
+        else:
+            result_cols.append(
+                F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+    merged = joined.where(~is_delete).select(*result_cols)
+    merged = merged.withColumn("__bucket", key_bucket_expr(keys, snap.n_buckets))
+
+    new_files = table.write_data_files(
+        merged, snapshot_hint=f"{snap.snapshot_id + 1:08d}"
+    )
+    # buckets that lost all rows still count as replaced (their old files go)
+    for b in affected:
+        new_files.setdefault(b, [])
+
+    stats_row = deduped.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col(op_col) == delete_op, 1).otherwise(0)).alias("dels"),
+        F.max(seq_col).alias("max_seq"),
+    ).collect()[0]
+
+    su = dict(summary_update or {})
+    su.setdefault("max_seq", stats_row["max_seq"])
+    table.commit_files(commit_id, affected, new_files, su)
+    deduped.unpersist()
+    return {
+        "skipped": False,
+        "commit_id": commit_id,
+        "affected_buckets": len(affected),
+        "upserts": int(stats_row["n"]) - int(stats_row["dels"] or 0),
+        "deletes": int(stats_row["dels"] or 0),
+        "seconds": time.time() - t0,
+    }

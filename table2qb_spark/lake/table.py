@@ -1,0 +1,411 @@
+"""LakeTable — a from-scratch snapshot/manifest table format over parquet.
+
+This container ships no Iceberg/Delta jars, so the engine implements the
+lakehouse semantics the north rule needs directly (and keeps the interface
+narrow so a real Iceberg catalog can be dropped in behind it on a cluster):
+
+- **Atomic snapshot commits**: each commit writes an immutable snapshot JSON
+  (``_meta/v{N}.json``) via temp-file + ``os.rename`` (atomic on POSIX), then
+  swaps the ``_meta/VERSION`` pointer the same way. Readers only ever see a
+  fully-committed snapshot. O_EXCL creation of the snapshot file detects
+  concurrent writers.
+- **Idempotent commit manifests (exactly-once)**: every commit carries a
+  ``commit_id``; the snapshot records the cumulative set of applied commit
+  ids. Re-applying a batch whose commit_id is already present is a no-op, so
+  replay from any checkpoint converges to the identical final table state.
+- **Key-bucket layout**: data files live under ``data/b=<bucket>/`` where
+  ``bucket = pmod(xxhash64(key_cols), n_buckets)``. MERGE rewrites only the
+  buckets a batch touches (copy-on-write at bucket granularity, like
+  Iceberg's bucket-partitioned COW) and both merge sides arrive
+  hash-partitioned on the same key, so the join is co-located.
+- **Schema evolution with column ids**: the snapshot schema is a list of
+  ``{id, name, type}``; data files remember the schema version they were
+  written under. Reads group files by schema version and rename columns
+  id-wise to the current names (Iceberg-style name mapping), so ADD COLUMN
+  and RENAME COLUMN never rewrite data.
+
+Scale notes (100 TB / 1000 executors): n_buckets is the unit of merge
+parallelism and file pruning — size it so one bucket's data fits an executor
+(e.g. 4096+ at 100 TB). Snapshot JSON holds one file list per bucket; at
+millions of files this would move to avro manifests exactly like Iceberg —
+the structure (bucket -> files) is already manifest-shaped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+
+
+def key_bucket_expr(key_cols: list[str], n_buckets: int) -> Column:
+    """The bucket transform. MUST be stable across sessions/versions — it is
+    part of the on-disk layout. xxhash64 over the key columns separated by a
+    unit separator, mod n_buckets."""
+    sep = F.lit("\x1f")
+    parts: list[Column] = []
+    for i, k in enumerate(key_cols):
+        if i:
+            parts.append(sep)
+        parts.append(F.coalesce(F.col(k).cast("string"), F.lit("\x00")))
+    return F.pmod(F.xxhash64(F.concat(*parts)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    commit_id: str
+    schema_version: int
+    schemas: dict[str, list[dict]]  # version(str) -> [{id,name,type}]
+    key_columns: list[str]
+    n_buckets: int
+    # bucket(str) -> [{path, schema_version, rows}]
+    files: dict[str, list[dict]]
+    applied_commits: list[str]
+    summary: dict
+    timestamp_ms: int
+
+    def current_schema(self) -> list[dict]:
+        return self.schemas[str(self.schema_version)]
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "commit_id": self.commit_id,
+            "schema_version": self.schema_version,
+            "schemas": self.schemas,
+            "key_columns": self.key_columns,
+            "n_buckets": self.n_buckets,
+            "files": self.files,
+            "applied_commits": self.applied_commits,
+            "summary": self.summary,
+            "timestamp_ms": self.timestamp_ms,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            commit_id=d["commit_id"],
+            schema_version=d["schema_version"],
+            schemas=d["schemas"],
+            key_columns=d["key_columns"],
+            n_buckets=d["n_buckets"],
+            files=d["files"],
+            applied_commits=d["applied_commits"],
+            summary=d.get("summary", {}),
+            timestamp_ms=d.get("timestamp_ms", 0),
+        )
+
+
+def _atomic_write(path: str, content: str, exclusive: bool = False) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    if exclusive and os.path.exists(path):
+        os.unlink(tmp)
+        raise RuntimeError(f"Concurrent commit detected: {path} already exists")
+    os.rename(tmp, path)
+
+
+class LakeTable:
+    """Handle to one lake table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ----- creation / loading ----------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: list[tuple[str, str]],
+        key_columns: list[str],
+        n_buckets: int = 64,
+    ) -> "LakeTable":
+        """Create an empty table. ``schema``: [(name, spark_type_ddl)]."""
+        t = LakeTable(spark, path)
+        os.makedirs(os.path.join(t.path, META_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
+        cols = [{"id": i + 1, "name": n, "type": ty} for i, (n, ty) in enumerate(schema)]
+        snap = Snapshot(
+            snapshot_id=1,
+            parent_id=None,
+            commit_id="__create__",
+            schema_version=1,
+            schemas={"1": cols},
+            key_columns=key_columns,
+            n_buckets=n_buckets,
+            files={},
+            applied_commits=["__create__"],
+            summary={"row_count": 0, "max_seq": None},
+            timestamp_ms=int(time.time() * 1000),
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(path), META_DIR, "VERSION"))
+
+    def _snapshot_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.path, META_DIR, f"v{snapshot_id:08d}.json")
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        _atomic_write(
+            self._snapshot_path(snap.snapshot_id),
+            json.dumps(snap.to_json()),
+            exclusive=True,
+        )
+        _atomic_write(os.path.join(self.path, META_DIR, "VERSION"), str(snap.snapshot_id))
+
+    def current_snapshot_id(self) -> int:
+        with open(os.path.join(self.path, META_DIR, "VERSION")) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        with open(self._snapshot_path(sid)) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def history(self) -> list[Snapshot]:
+        out = []
+        snap = self.snapshot()
+        while True:
+            out.append(snap)
+            if snap.parent_id is None:
+                break
+            snap = self.snapshot(snap.parent_id)
+        return list(reversed(out))
+
+    # ----- schema ------------------------------------------------------------
+
+    def spark_schema(self, snap: Snapshot | None = None) -> StructType:
+        snap = snap or self.snapshot()
+        ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in snap.current_schema())
+        return StructType.fromDDL(ddl)
+
+    def evolve_schema(
+        self,
+        add_columns: list[tuple[str, str]] | None = None,
+        rename_columns: dict[str, str] | None = None,
+        commit_id: str | None = None,
+    ) -> Snapshot:
+        """ADD COLUMN / RENAME COLUMN as a metadata-only commit (column-id
+        name mapping keeps every existing data file readable)."""
+        snap = self.snapshot()
+        cols = [dict(c) for c in snap.current_schema()]
+        changed = False
+        names = {c["name"] for c in cols}
+        for old, new in (rename_columns or {}).items():
+            hit = [c for c in cols if c["name"] == old]
+            if not hit:
+                if new in names:
+                    continue  # already renamed (idempotent replay)
+                raise ValueError(f"Cannot rename unknown column {old}")
+            hit[0]["name"] = new
+            changed = True
+        existing = {c["name"] for c in cols}
+        next_id = max(c["id"] for c in cols) + 1 if cols else 1
+        for name, ty in add_columns or []:
+            if name in existing:
+                continue
+            cols.append({"id": next_id, "name": name, "type": ty})
+            next_id += 1
+            changed = True
+        if not changed:
+            return snap  # no-op: nothing to commit (idempotent replay)
+        new_version = max(int(v) for v in snap.schemas) + 1
+        schemas = dict(snap.schemas)
+        schemas[str(new_version)] = cols
+        cid = commit_id or f"schema-{new_version}"
+        new_snap = Snapshot(
+            snapshot_id=snap.snapshot_id + 1,
+            parent_id=snap.snapshot_id,
+            commit_id=cid,
+            schema_version=new_version,
+            schemas=schemas,
+            key_columns=snap.key_columns,
+            n_buckets=snap.n_buckets,
+            files=snap.files,
+            applied_commits=snap.applied_commits + [cid],
+            summary=snap.summary,
+            timestamp_ms=int(time.time() * 1000),
+        )
+        self._write_snapshot(new_snap)
+        return new_snap
+
+    # ----- reads -------------------------------------------------------------
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+        with_bucket_col: bool = False,
+    ) -> DataFrame:
+        """Current (or time-travel) table state as a DataFrame.
+
+        Files are grouped by the schema version they were written under and
+        column-id-mapped to the current names; missing (later-added) columns
+        are filled with nulls. Bucket pruning: pass ``buckets`` to read only
+        those directories (the MERGE fast path)."""
+        snap = self.snapshot(snapshot_id)
+        current = snap.current_schema()
+        cur_by_id = {c["id"]: c for c in current}
+
+        wanted = set(buckets) if buckets is not None else None
+        by_version: dict[str, list[str]] = {}
+        bucket_of_file: dict[str, int] = {}
+        for b, entries in snap.files.items():
+            if wanted is not None and int(b) not in wanted:
+                continue
+            for e in entries:
+                by_version.setdefault(str(e["schema_version"]), []).append(e["path"])
+                bucket_of_file[e["path"]] = int(b)
+
+        parts: list[DataFrame] = []
+        for version, rel_paths in by_version.items():
+            written = snap.schemas[version]
+            w_by_id = {c["id"]: c for c in written}
+            abs_paths = [os.path.join(self.path, p) for p in rel_paths]
+            df = self.spark.read.schema(
+                StructType.fromDDL(
+                    ", ".join(f"`{c['name']}` {c['type']}" for c in written)
+                )
+            ).parquet(*abs_paths)
+            sel = []
+            for c in current:
+                if c["id"] in w_by_id:
+                    sel.append(F.col(f"`{w_by_id[c['id']]['name']}`").alias(c["name"]))
+                else:
+                    sel.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+            if with_bucket_col:
+                sel.append(
+                    key_bucket_expr(snap.key_columns, snap.n_buckets).alias("__bucket")
+                )
+            parts.append(df.select(*sel))
+
+        if not parts:
+            schema = self.spark_schema(snap)
+            if with_bucket_col:
+                schema = schema.add("__bucket", "int")
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ----- commits -----------------------------------------------------------
+
+    def has_commit(self, commit_id: str) -> bool:
+        return commit_id in set(self.snapshot().applied_commits)
+
+    def commit_files(
+        self,
+        commit_id: str,
+        replaced_buckets: list[int],
+        new_files: dict[int, list[dict]],
+        summary_update: dict | None = None,
+    ) -> Snapshot:
+        """Commit a copy-on-write result: buckets in ``replaced_buckets`` get
+        exactly ``new_files``; every other bucket keeps its current files.
+        Raises if commit_id was already applied (caller should check
+        ``has_commit`` first for the cheap skip)."""
+        snap = self.snapshot()
+        if commit_id in set(snap.applied_commits):
+            raise RuntimeError(f"Commit {commit_id} already applied")
+        files = {b: list(entries) for b, entries in snap.files.items()}
+        for b in replaced_buckets:
+            files.pop(str(b), None)
+        for b, entries in new_files.items():
+            files[str(b)] = entries
+        summary = dict(snap.summary)
+        summary.update(summary_update or {})
+        summary["row_count"] = sum(
+            e.get("rows", 0) for entries in files.values() for e in entries
+        )
+        new_snap = Snapshot(
+            snapshot_id=snap.snapshot_id + 1,
+            parent_id=snap.snapshot_id,
+            commit_id=commit_id,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            key_columns=snap.key_columns,
+            n_buckets=snap.n_buckets,
+            files=files,
+            applied_commits=snap.applied_commits + [commit_id],
+            summary=summary,
+            timestamp_ms=int(time.time() * 1000),
+        )
+        self._write_snapshot(new_snap)
+        return new_snap
+
+    def write_data_files(
+        self, df: DataFrame, snapshot_hint: str
+    ) -> dict[int, list[dict]]:
+        """Write a DataFrame that carries a ``__bucket`` column into new
+        immutable parquet files under data/, partitioned by bucket. Returns
+        {bucket: [file entries]} for ``commit_files``. The write is
+        repartitioned by bucket so each bucket's rows land in that bucket's
+        directory co-located (one shuffle, the only one in the merge path)."""
+        snap = self.snapshot()
+        out_dir = os.path.join(self.path, DATA_DIR, f"snap-{snapshot_hint}")
+        (
+            df.repartition(max(1, min(snap.n_buckets, 256)), F.col("__bucket"))
+            .withColumnRenamed("__bucket", "b")
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(out_dir)
+        )
+        # enumerate written files + row counts from parquet footers
+        written = self.spark.read.parquet(out_dir)
+        counts = {
+            r["b"]: r["rows"]
+            for r in written.groupBy("b").agg(F.count("*").alias("rows")).collect()
+        }
+        result: dict[int, list[dict]] = {}
+        for b_dir in os.listdir(out_dir):
+            if not b_dir.startswith("b="):
+                continue
+            b = int(b_dir.split("=", 1)[1])
+            entries = []
+            for fn in os.listdir(os.path.join(out_dir, b_dir)):
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(
+                        os.path.join(out_dir, b_dir, fn), self.path
+                    )
+                    entries.append(
+                        {
+                            "path": rel,
+                            "schema_version": snap.schema_version,
+                            "rows": None,
+                        }
+                    )
+            # spread the bucket row count over its files (exact per-bucket)
+            for e in entries:
+                e["rows"] = 0
+            if entries:
+                entries[0]["rows"] = int(counts.get(b, 0))
+            result[b] = entries
+        return result
+
+    # ----- maintenance ---------------------------------------------------------
+
+    def row_count(self) -> int:
+        return int(self.snapshot().summary.get("row_count", 0))

@@ -1,0 +1,216 @@
+"""Lake table + CDC replay tests: merge semantics, exactly-once replay,
+schema evolution, checkpoint resume — verified against the single-threaded
+Python oracle (FIXTURES.md §7)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from table2qb_spark.cdc.apply import ChangeLogReplayer
+from table2qb_spark.cdc.verify import table_sha256
+from table2qb_spark.datagen import changelog as gen
+from table2qb_spark.datagen.oracle import replay_oracle, table_sha256 as oracle_sha
+from table2qb_spark.lake.merge import merge_upsert
+from table2qb_spark.lake.table import LakeTable
+
+BASE_SCHEMA = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+]
+KEYS = ["repo", "path"]
+
+
+def make_table(spark, tmp_path, n_buckets=8):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), BASE_SCHEMA, KEYS, n_buckets=n_buckets
+    )
+
+
+def batch_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq long, op string, repo string, path string, commit string, lang string, content string"
+    )
+
+
+class TestLakeTable:
+    def test_create_read_empty(self, spark, tmp_path):
+        t = make_table(spark, tmp_path)
+        assert t.read().count() == 0
+        assert t.read().columns == [c for c, _ in BASE_SCHEMA]
+
+    def test_merge_insert_update_delete(self, spark, tmp_path):
+        t = make_table(spark, tmp_path)
+        b1 = batch_df(
+            spark,
+            [
+                (1, "I", "r1", "a.py", "c1", "python", "v1"),
+                (2, "I", "r1", "b.py", "c2", "python", "v1"),
+                (3, "I", "r2", "a.py", "c3", "go", "v1"),
+            ],
+        )
+        merge_upsert(t, b1, "b1")
+        assert t.read().count() == 3
+
+        b2 = batch_df(
+            spark,
+            [
+                (4, "U", "r1", "a.py", "c4", "python", "v2"),
+                (5, "D", "r1", "b.py", None, None, None),
+                (6, "I", "r3", "x.py", "c6", "rust", "v1"),
+            ],
+        )
+        merge_upsert(t, b2, "b2")
+        state = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+        assert state == {("r1", "a.py"): "v2", ("r2", "a.py"): "v1", ("r3", "x.py"): "v1"}
+
+    def test_max_seq_wins_within_batch(self, spark, tmp_path):
+        t = make_table(spark, tmp_path)
+        b = batch_df(
+            spark,
+            [
+                (1, "I", "r1", "a.py", "c1", "python", "old"),
+                (9, "U", "r1", "a.py", "c9", "python", "new"),
+                (5, "U", "r1", "a.py", "c5", "python", "mid"),
+                # duplicate delivery of seq 9
+                (9, "U", "r1", "a.py", "c9", "python", "new"),
+                (3, "I", "r1", "del.py", "c3", "python", "x"),
+                (7, "D", "r1", "del.py", None, None, None),
+            ],
+        )
+        stats = merge_upsert(t, b, "b1")
+        rows = t.read().collect()
+        assert len(rows) == 1
+        assert rows[0]["content"] == "new"
+        assert stats["deletes"] == 1
+
+    def test_commit_idempotency(self, spark, tmp_path):
+        t = make_table(spark, tmp_path)
+        b = batch_df(spark, [(1, "I", "r1", "a.py", "c1", "python", "v1")])
+        s1 = merge_upsert(t, b, "b1")
+        sha_after = table_sha256(t.read())
+        s2 = merge_upsert(t, b, "b1")  # replay of the same commit
+        assert not s1.get("skipped") and s2.get("skipped")
+        assert table_sha256(t.read()) == sha_after
+
+    def test_time_travel(self, spark, tmp_path):
+        t = make_table(spark, tmp_path)
+        merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "b1")
+        sid = t.current_snapshot_id()
+        merge_upsert(t, batch_df(spark, [(2, "U", "r1", "a.py", "c", "py", "v2")]), "b2")
+        assert t.read().collect()[0]["content"] == "v2"
+        assert t.read(snapshot_id=sid).collect()[0]["content"] == "v1"
+
+    def test_schema_evolution_add_and_rename(self, spark, tmp_path):
+        t = make_table(spark, tmp_path)
+        merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "b1")
+        t.evolve_schema(add_columns=[("license", "string")])
+        # old files readable, new column null
+        rows = t.read().collect()
+        assert rows[0]["license"] is None
+        # write with the new column
+        b = spark.createDataFrame(
+            [(2, "I", "r2", "b.py", "c", "py", "v1", "mit")],
+            "seq long, op string, repo string, path string, commit string, lang string, content string, license string",
+        )
+        merge_upsert(t, b, "b2")
+        state = {(r["repo"], r["path"]): r["license"] for r in t.read().collect()}
+        assert state == {("r1", "a.py"): None, ("r2", "b.py"): "mit"}
+        # rename: metadata-only, both old and new files still readable
+        t.evolve_schema(rename_columns={"license": "licence"})
+        rows = {(r["repo"], r["path"]): r["licence"] for r in t.read().collect()}
+        assert rows[("r2", "b.py")] == "mit"
+        # idempotent replay of the same rename
+        t.evolve_schema(rename_columns={"license": "licence"})
+
+    def test_bucket_pruning_reads_only_affected(self, spark, tmp_path):
+        t = make_table(spark, tmp_path, n_buckets=16)
+        rows = [
+            (i, "I", f"r{i % 5}", f"f{i}.py", "c", "py", f"v{i}") for i in range(1, 51)
+        ]
+        merge_upsert(t, batch_df(spark, rows), "b1")
+        snap = t.snapshot()
+        all_buckets = sorted(int(b) for b in snap.files)
+        some = all_buckets[:2]
+        pruned = t.read(buckets=some).count()
+        total = t.read().count()
+        assert 0 < pruned < total == 50
+
+
+class TestReplayVsOracle:
+    N_EVENTS = 3000
+    N_REPOS = 12
+    PATHS = 40
+
+    @pytest.fixture(scope="class")
+    def fixtures(self, spark, tmp_path_factory):
+        root = tmp_path_factory.mktemp("cdc")
+        events = gen.gen_change_log(
+            spark, self.N_EVENTS, self.N_REPOS, self.PATHS, seed=42, dup_rate=0.05
+        )
+        events_path = str(root / "events")
+        gen.write_change_log(events, events_path, n_files=8)
+        return root, events_path
+
+    def expected_state(self, spark, events_path):
+        ev = [r.asDict() for r in spark.read.parquet(events_path).collect()]
+        # oracle treats duplicate (same-seq) deliveries as one event
+        seen, uniq = set(), []
+        for e in sorted(ev, key=lambda x: x["seq"]):
+            if e["seq"] in seen:
+                continue
+            seen.add(e["seq"])
+            uniq.append(e)
+        return replay_oracle([], uniq)
+
+    def test_replay_matches_oracle(self, spark, tmp_path, fixtures):
+        _, events_path = fixtures
+        t = LakeTable.create(
+            spark, str(tmp_path / "lake"), BASE_SCHEMA, KEYS, n_buckets=8
+        )
+        r = ChangeLogReplayer(spark, t, events_path, batch_events=500)
+        results = r.run()
+        assert all(not b.skipped for b in results)
+
+        expected = self.expected_state(spark, events_path)
+        cols = [c["name"] for c in t.snapshot().current_schema()]
+        got_rows = [r.asDict() for r in t.read().collect()]
+        exp_rows = list(expected.values())
+        assert len(got_rows) == len(exp_rows)
+        assert table_sha256(t.read(), cols) == oracle_sha(exp_rows, cols)
+        # schema evolution happened: license column exists and is populated
+        assert "license" in cols
+        assert any(r.get("license") for r in got_rows)
+        # metrics emitted per batch
+        ms = r.metrics()
+        assert len(ms) == len(results)
+        assert all(m["events_per_sec"] > 0 for m in ms)
+
+    def test_resume_from_any_checkpoint_converges(self, spark, tmp_path, fixtures):
+        _, events_path = fixtures
+        # full replay reference state
+        t_full = LakeTable.create(
+            spark, str(tmp_path / "full"), BASE_SCHEMA, KEYS, n_buckets=8
+        )
+        ChangeLogReplayer(spark, t_full, events_path, batch_events=500).run()
+        cols = [c["name"] for c in t_full.snapshot().current_schema()]
+        want = table_sha256(t_full.read(), cols)
+
+        for k in (1, 3, 5):  # three distinct checkpoints
+            t = LakeTable.create(
+                spark, str(tmp_path / f"cp{k}"), BASE_SCHEMA, KEYS, n_buckets=8
+            )
+            rep = ChangeLogReplayer(spark, t, events_path, batch_events=500)
+            rep.run(max_batches=k)  # stop at checkpoint k
+            # resume (fresh replayer object, state only from the table)
+            rep2 = ChangeLogReplayer(spark, t, events_path, batch_events=500)
+            assert rep2.last_applied_batch() == k - 1
+            rep2.run()
+            assert table_sha256(t.read(), cols) == want
+            # a second full replay over the converged table is all-skips
+            res = ChangeLogReplayer(spark, t, events_path, batch_events=500).run()
+            assert res == [] or all(b.skipped for b in res)
+            assert table_sha256(t.read(), cols) == want
