@@ -1,0 +1,744 @@
+"""Driver-contract query catalog: every implemented operator from
+SURVEY.md §2 (+ the training-data ops) as a (spark_fn, oracle_sql) pair.
+
+Each spark_fn(spark, sf_dir) returns a DataFrame; each oracle is ANSI SQL
+DuckDB runs over the same parquet tables (views: region nation customer
+supplier part orders lineitem events documents embeddings). Column names and
+value canonicalization (rounded doubles, epoch-ms bigints, no raw
+timestamps) are aligned on both sides so the driver's order-insensitive
+value-hash comparison matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from table2qb_spark.config.columns import ColumnsConfig, ColumnDescriptor
+from table2qb_spark.config.cube import get_cube_configuration
+from table2qb_spark.functions import transforms as T
+from table2qb_spark.ops import ann, dedup, multimodal, text
+from table2qb_spark.pipelines import codelist as codelist_pipe
+from table2qb_spark.pipelines import components as components_pipe
+from table2qb_spark.pipelines import cube as cube_pipe
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---- shared SQL fragments (DuckDB) -----------------------------------------
+
+SQL_SLUG = "trim(regexp_replace(lower({x}), '[^a-z0-9]+', '-', 'g'), '-')"
+SQL_UNIT = SQL_SLUG.format(x="replace({x}, '£', 'GBP')")
+SQL_WORDS = "list_filter(str_split_regex({x}, '[^a-zA-Z0-9]+'), w -> w <> '')"
+SQL_CLASSIZE = (
+    "array_to_string(list_transform(" + SQL_WORDS + ", w -> upper(w[1]) || lower(w[2:])), '')"
+)
+SQL_PROPERTIZE = (
+    "array_to_string(list_transform("
+    + SQL_WORDS
+    + ", (w, i) -> CASE WHEN i = 1 THEN lower(w) ELSE upper(w[1]) || lower(w[2:]) END), '')"
+)
+SQL_TOKENS = "list_filter(str_split_regex(lower({x}), '\\s+'), t -> t <> '')"
+
+
+def slug_sql(x: str) -> str:
+    return SQL_SLUG.format(x=x)
+
+
+# ---------------------------------------------------------------------------
+# The cube fixture over `part`: a measure-dimension cube whose titles map
+# through a columns config exercising slugize + unitize (D1/D2/D7/P11/A1).
+# ---------------------------------------------------------------------------
+
+CUBE_COLUMNS = [
+    ColumnDescriptor("Brand", "brand", "dimension",
+                     "http://ex.org/def/dimension/brand", "http://ex.org/def/concept/brands/{brand}", "string", None),
+    ColumnDescriptor("Container", "container", "dimension",
+                     "http://ex.org/def/dimension/container", "http://ex.org/def/concept/containers/{container}", "string", "slugize"),
+    ColumnDescriptor("Measure Type", "measure_type", "dimension",
+                     "http://purl.org/linked-data/cube#measureType", "http://ex.org/def/measure/{measure_type}", "string", "slugize"),
+    ColumnDescriptor("Unit", "unit", "attribute",
+                     "http://ex.org/def/attribute/unit", "http://ex.org/def/unit/{unit}", "string", "unitize"),
+    ColumnDescriptor("Retail Price", "retail_price", "measure",
+                     "http://ex.org/def/measure/retail-price", None, "number", None),
+    ColumnDescriptor("Part Size", "part_size", "measure",
+                     "http://ex.org/def/measure/part-size", None, "number", None),
+    ColumnDescriptor("Value", "value", "value",
+                     "http://ex.org/def/measure/{measure_type}", None, "number", None),
+]
+CUBE_CONFIG = ColumnsConfig(CUBE_COLUMNS)
+
+
+def _raw_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw observation rows (title-named columns) derived from `part`."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_brand").alias("Brand"),
+        F.col("p_name").alias("Container"),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("Retail Price"))
+        .otherwise(F.lit("Part Size"))
+        .alias("Measure Type"),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("£ thousand"))
+        .otherwise(F.lit("Units Sold"))
+        .alias("Unit"),
+        F.when(F.col("p_partkey") % 2 == 0, F.col("p_retailprice"))
+        .otherwise(F.col("p_size").cast("double"))
+        .cast("string")
+        .alias("Value"),
+    )
+
+
+SQL_RAW_OBS = """
+SELECT p_brand AS Brand,
+       p_name AS Container,
+       CASE WHEN p_partkey % 2 = 0 THEN 'Retail Price' ELSE 'Part Size' END AS "Measure Type",
+       CASE WHEN p_partkey % 2 = 0 THEN '£ thousand' ELSE 'Units Sold' END AS Unit,
+       CAST(CASE WHEN p_partkey % 2 = 0 THEN p_retailprice ELSE CAST(p_size AS DOUBLE) END AS VARCHAR) AS Value
+FROM part
+"""
+
+SQL_OBS = f"""
+SELECT Brand AS brand,
+       {slug_sql('Container')} AS container,
+       {slug_sql('"Measure Type"')} AS measure_type,
+       {SQL_UNIT.format(x='Unit')} AS unit,
+       Value AS value
+FROM ({SQL_RAW_OBS})
+"""
+
+
+def q_cube_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full cube pipeline pass-1 + pass-2 (D7 transforms, P11
+    guards, A1 measure resolution) over the part-derived fixture."""
+    raw = _raw_observations(spark, sf_dir)
+    cfg = get_cube_configuration(raw, CUBE_CONFIG)
+    return cube_pipe.observation_records_df(raw, cfg)
+
+
+def q_observation_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _raw_observations(spark, sf_dir)
+    cfg = get_cube_configuration(raw, CUBE_CONFIG)
+    obs = cube_pipe.observation_records_df(raw, cfg)
+    return obs.select(
+        cube_pipe.observation_uri_expr("http://ex.org/data/", "parts", cfg).alias("obs_uri"),
+        F.col("value"),
+    )
+
+
+def q_used_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _raw_observations(spark, sf_dir)
+    cfg = get_cube_configuration(raw, CUBE_CONFIG)
+    obs = cube_pipe.observation_records_df(raw, cfg)
+    return cube_pipe.used_codes_df(obs, sorted(cfg.dimensions))
+
+
+def q_component_specifications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _raw_observations(spark, sf_dir)
+    cfg = get_cube_configuration(raw, CUBE_CONFIG)
+    return cube_pipe.component_specifications_df(spark, cfg)
+
+
+def q_resolve_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the distinct scan over the qb:measureType column."""
+    raw = _raw_observations(spark, sf_dir)
+    return raw.select(F.col("`Measure Type`").alias("measure_title")).distinct()
+
+
+def q_slug_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(F.col("p_type").alias("raw")).distinct()
+    return p.select(
+        "raw",
+        T.slugize("raw").alias("slug"),
+        T.unitize("raw").alias("unit"),
+        T.propertize("raw").alias("prop"),
+        T.classize("raw").alias("cls"),
+    )
+
+
+def q_codelist_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codelist pipeline over a region/nation hierarchy: regions are top
+    concepts, nations their children; Notation defaults to slugize(Label)."""
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("Label"), F.lit("").alias("Parent Notation")
+    )
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(_t(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n_name").alias("Label"),
+            T.slugize("r_name").alias("Parent Notation"),
+        )
+    )
+    src = region.unionByName(nation)
+    return codelist_pipe.code_records_df(spark, src).select(
+        "label", "notation", "parent_notation", "parent_notation2",
+        "top_concept_of", "has_top_concept", "pref_label",
+    )
+
+
+def q_components_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Components pipeline over distinct part containers; Component Type
+    assigned deterministically."""
+    src = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("Label"))
+        .distinct()
+        .withColumn(
+            "Component Type",
+            F.element_at(
+                F.array(F.lit("Dimension"), F.lit("Measure"), F.lit("Attribute")),
+                (F.length("Label") % 3).cast("int") + 1,
+            ),
+        )
+    )
+    return components_pipe.component_records_df(spark, src).select(
+        "label", "component_type", "notation",
+        "component_type_slug", "property_slug", "class_slug", "parent_property",
+    )
+
+
+def q_codelist_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: observation dimension values resolved against a codelist via
+    broadcast join; unmatched codes flagged (quarantine candidates)."""
+    codelist = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 25)
+        .select(T.slugize("p_name").alias("notation"))
+        .distinct()
+    )
+    obs = (
+        _t(spark, sf_dir, "part")
+        .select(T.slugize("p_name").alias("container"))
+        .groupBy("container")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    return obs.join(
+        F.broadcast(codelist), obs.container == codelist.notation, "left"
+    ).select(
+        "container",
+        "n_obs",
+        F.col("notation").isNotNull().alias("resolved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC operators over the events stream table
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-seq-wins per key (event_id is the sequence, user_id the key)."""
+    from table2qb_spark.cdc.dedup import dedup_max_seq
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return dedup_max_seq(ev, ["user_id"], seq_col="seq")
+
+
+def q_cdc_latest_state_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result via the explicit two-phase salted dedup (skew path)."""
+    from table2qb_spark.cdc.dedup import dedup_max_seq
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+    return dedup_max_seq(ev, ["user_id"], seq_col="seq", two_phase=True)
+
+
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics on the event stream: signup=I, error=D, rest=U keyed
+    by user_id; final state excludes keys whose last event is a delete."""
+    from table2qb_spark.cdc.dedup import dedup_max_seq
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round("value", 4).alias("value"),
+    )
+    latest = dedup_max_seq(ev, ["user_id"], seq_col="seq")
+    return latest.where(F.col("op") != "D").select("user_id", "seq", "op", "value")
+
+
+def q_cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user — lag window + running sum."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"))
+    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def q_cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition (event_type) throughput/lag-style metrics rollup."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(F.unix_millis(F.col("ts").cast("timestamp"))).alias("first_ms"),
+        F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("last_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: text / dedup / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.analyze_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.fingerprint_expr(F.col("text")).alias("text")
+    )
+    # exact dedup over the canonical fingerprint (bag-of-tokens identity)
+    return dedup.exact_dedup(docs, text_col="text", id_col="doc_id")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, n=3
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_dedup(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ann.cosine_topk(emb, queries, k=3)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = ann.seed_centroids(emb, n=4)
+    queries = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    return ann.ivf_topk(emb, queries, centroids, k=3)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    media = multimodal.to_media_df(docs, "doc_id", "payload", "blob")
+    return media.select("media_id", "kind", "byte_len", "sha256")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("kind"),
+    )
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        "kind",
+        "payload",
+        F.length("payload").cast("int").alias("byte_len"),
+        F.sha2("payload", 256).alias("sha256"),
+    )
+    out = multimodal.decode_media(media, fake=True)
+    return out.select(
+        "media_id", "kind", "byte_len", "width", "height", "n_frames", "sample_rate"
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-path check (TPC-H Q1 shape) — the numeric-cast layer the
+    typed cube view uses."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect-compatible ANSI)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BIT_SUMS = ",\n       ".join(
+    f"""CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN (('0x' || substr(md5(t),1,8))::BIGINT // {2**j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN {2**j} ELSE 0 END AS bit{j}"""
+    for j in range(16)
+)
+_SIMHASH_SUM = " + ".join(f"bit{j}" for j in range(16))
+
+ORACLES: dict[str, str] = {
+    "cube_observations": SQL_OBS,
+    "observation_uri": f"""
+        SELECT 'http://ex.org/data/parts' || '/' || brand || '/' || container || '/' || measure_type AS obs_uri,
+               value
+        FROM ({SQL_OBS})
+    """,
+    "used_codes": f"""
+        WITH obs AS ({SQL_OBS})
+        SELECT 'brand' AS component, brand AS code FROM obs GROUP BY 2
+        UNION ALL SELECT 'container', container FROM obs GROUP BY 2
+        UNION ALL SELECT 'measure_type', measure_type FROM obs GROUP BY 2
+    """,
+    "component_specifications": """
+        SELECT * FROM (VALUES
+          ('brand', 'qb:dimension', 'http://ex.org/def/dimension/brand'),
+          ('container', 'qb:dimension', 'http://ex.org/def/dimension/container'),
+          ('measure_type', 'qb:dimension', 'http://purl.org/linked-data/cube#measureType'),
+          ('unit', 'qb:attribute', 'http://ex.org/def/attribute/unit'),
+          ('part_size', 'qb:measure', 'http://ex.org/def/measure/part-size'),
+          ('retail_price', 'qb:measure', 'http://ex.org/def/measure/retail-price')
+        ) AS t(component_slug, component_attachment, component_property)
+    """,
+    "resolve_measures": f"""
+        SELECT DISTINCT "Measure Type" AS measure_title FROM ({SQL_RAW_OBS})
+    """,
+    "slug_transforms": f"""
+        SELECT raw,
+               {SQL_SLUG.format(x='raw')} AS slug,
+               {SQL_UNIT.format(x='raw')} AS unit,
+               {SQL_PROPERTIZE.format(x='raw')} AS prop,
+               {SQL_CLASSIZE.format(x='raw')} AS cls
+        FROM (SELECT DISTINCT p_type AS raw FROM part)
+    """,
+    "codelist_annotate": f"""
+        WITH src AS (
+          SELECT r_name AS label, '' AS parent FROM region
+          UNION ALL
+          SELECT n_name, {slug_sql('r_name')} FROM nation JOIN region ON n_regionkey = r_regionkey
+        )
+        SELECT label,
+               {slug_sql('label')} AS notation,
+               parent AS parent_notation,
+               parent AS parent_notation2,
+               CASE WHEN trim(parent) = '' THEN 'yes' ELSE '' END AS top_concept_of,
+               CASE WHEN trim(parent) = '' THEN 'yes' ELSE '' END AS has_top_concept,
+               label AS pref_label
+        FROM src
+    """,
+    "components_annotate": f"""
+        WITH src AS (
+          SELECT label,
+                 CASE length(label) % 3 WHEN 0 THEN 'Dimension' WHEN 1 THEN 'Measure' ELSE 'Attribute' END AS ct
+          FROM (SELECT DISTINCT p_name AS label FROM part)
+        )
+        SELECT label,
+               CASE ct WHEN 'Dimension' THEN 'qb:DimensionProperty' WHEN 'Measure' THEN 'qb:MeasureProperty' ELSE 'qb:AttributeProperty' END AS component_type,
+               {slug_sql('label')} AS notation,
+               lower(ct) AS component_type_slug,
+               {SQL_PROPERTIZE.format(x='label')} AS property_slug,
+               {SQL_CLASSIZE.format(x='label')} AS class_slug,
+               CASE WHEN ct = 'Measure' THEN 'http://purl.org/linked-data/sdmx/2009/measure#obsValue' END AS parent_property
+        FROM src
+    """,
+    "codelist_resolution": f"""
+        WITH codelist AS (
+          SELECT DISTINCT {slug_sql('p_name')} AS notation FROM part WHERE p_size <= 25
+        ),
+        obs AS (
+          SELECT {slug_sql('p_name')} AS container, count(*) AS n_obs FROM part GROUP BY 1
+        )
+        SELECT container, n_obs, notation IS NOT NULL AS resolved
+        FROM obs LEFT JOIN codelist ON container = notation
+    """,
+    "cdc_latest_state": """
+        SELECT user_id, seq, event_type, value, ts_ms FROM (
+          SELECT user_id, event_id AS seq, event_type, round(value, 4) AS value,
+                 epoch_ms(ts) AS ts_ms,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+    "cdc_latest_state_salted": """
+        SELECT user_id, seq, event_type, value FROM (
+          SELECT user_id, event_id AS seq, event_type, round(value, 4) AS value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+    "cdc_merge_upsert": """
+        SELECT user_id, seq, op, value FROM (
+          SELECT user_id, event_id AS seq,
+                 CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+                 round(value, 4) AS value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1 AND op <> 'D'
+    """,
+    "cdc_sessionize": """
+        WITH marked AS (
+          SELECT user_id,
+                 CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) > 1800000
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        )
+        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        FROM marked GROUP BY user_id
+    """,
+    "cdc_metrics": """
+        SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users,
+               min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+        FROM events GROUP BY event_type
+    """,
+    "text_analysis": f"""
+        WITH base AS (
+          SELECT doc_id, text, {SQL_TOKENS.format(x='text')} AS toks FROM documents
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens,
+               CASE
+                 WHEN greatest(
+                   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')),
+                   len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')),
+                   len(regexp_extract_all(lower(text), '\\b(el|la|los|y|de)\\b')),
+                   len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b'))) = 0 THEN 'und'
+                 WHEN len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) = greatest(
+                   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')),
+                   len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')),
+                   len(regexp_extract_all(lower(text), '\\b(el|la|los|y|de)\\b')),
+                   len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b'))) THEN 'de'
+                 WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')) = greatest(
+                   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')),
+                   len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')),
+                   len(regexp_extract_all(lower(text), '\\b(el|la|los|y|de)\\b')),
+                   len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b'))) THEN 'en'
+                 WHEN len(regexp_extract_all(lower(text), '\\b(el|la|los|y|de)\\b')) = greatest(
+                   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a)\\b')),
+                   len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')),
+                   len(regexp_extract_all(lower(text), '\\b(el|la|los|y|de)\\b')),
+                   len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b'))) THEN 'es'
+                 ELSE 'fr'
+               END AS pred_lang,
+               round(
+                 least(CASE WHEN len(toks) > 0 THEN len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|it|for|on)\\b'))::DOUBLE / len(toks) ELSE 0 END * 2.5, 1.0) * 0.4
+                 + least(len(toks) / 64.0, 1.0) * 0.3
+                 + CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) ELSE 0 END * 0.3
+               , 4) AS quality,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+        FROM base
+    """,
+    "dedup_exact": f"""
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct({SQL_TOKENS.format(x='text')})), ' ')) AS fingerprint
+          FROM documents
+        )
+        SELECT md5(fingerprint) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM fp GROUP BY 1
+    """,
+    "dedup_minhash_lsh": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+          FROM toks WHERE len(toks) >= 3
+        ),
+        sig AS (
+          SELECT doc_id,
+                 min(md5('0|' || sh)) AS mh0, min(md5('1|' || sh)) AS mh1,
+                 min(md5('2|' || sh)) AS mh2, min(md5('3|' || sh)) AS mh3,
+                 min(md5('4|' || sh)) AS mh4, min(md5('5|' || sh)) AS mh5,
+                 min(md5('6|' || sh)) AS mh6, min(md5('7|' || sh)) AS mh7
+          FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+          SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM sig
+          UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+    "dedup_ngram_jaccard": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+          FROM toks WHERE len(toks) >= 3
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(common::DOUBLE / (sa.sz + sb.sz - common), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 4) >= 0.2
+    """,
+    "dedup_simhash": f"""
+        WITH base AS (
+          SELECT doc_id, list_distinct({SQL_TOKENS.format(x='text')}) AS toks FROM documents
+        ),
+        bits AS (
+          SELECT doc_id,
+       {_SIMHASH_BIT_SUMS}
+          FROM base
+        )
+        SELECT doc_id, ({_SIMHASH_SUM})::BIGINT AS simhash,
+               (({_SIMHASH_SUM})::BIGINT // 256)::BIGINT AS bucket
+        FROM bits
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+          FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """,
+    "ann_ivf_topk": """
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings ORDER BY vec_id LIMIT 4
+        ),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                              c.centroid_id ASC
+                   ) AS r
+            FROM embeddings e CROSS JOIN cent c
+          ) WHERE r = 1
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, centroid_id
+          FROM assigned WHERE vec_id >= 5 AND vec_id < 10
+        ),
+        scored AS (
+          SELECT q.query_id, a.vec_id AS neighbor_id,
+                 round(list_dot_product(q.qv, a.embedding::DOUBLE[]) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))), 4) AS cosine
+          FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
+          WHERE a.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """,
+    "embedding_neardup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.9
+    """,
+    "multimodal_meta": """
+        SELECT doc_id AS media_id, 'blob' AS kind,
+               octet_length(encode(text)) AS byte_len,
+               sha256(text) AS sha256
+        FROM documents
+    """,
+    "multimodal_decode": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 octet_length(encode(text)) AS byte_len,
+                 sha256(text) AS h
+          FROM documents
+        )
+        SELECT media_id, kind, byte_len,
+               CASE kind WHEN 'image' THEN 64 + ('0x' || substr(h, 1, 2))::INT % 192 WHEN 'video' THEN 320 END AS width,
+               CASE kind WHEN 'image' THEN 64 + ('0x' || substr(h, 3, 2))::INT % 192 WHEN 'video' THEN 240 END AS height,
+               CASE kind WHEN 'image' THEN 1 WHEN 'video' THEN 1 + ('0x' || substr(h, 7, 2))::INT % 300 END AS n_frames,
+               CASE kind WHEN 'audio' THEN 8000 * (1 + ('0x' || substr(h, 5, 2))::INT % 6) END AS sample_rate
+        FROM m
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+}
+
+QUERIES = {
+    "cube_observations": q_cube_observations,
+    "observation_uri": q_observation_uri,
+    "used_codes": q_used_codes,
+    "component_specifications": q_component_specifications,
+    "resolve_measures": q_resolve_measures,
+    "slug_transforms": q_slug_transforms,
+    "codelist_annotate": q_codelist_annotate,
+    "components_annotate": q_components_annotate,
+    "codelist_resolution": q_codelist_resolution,
+    "cdc_latest_state": q_cdc_latest_state,
+    "cdc_latest_state_salted": q_cdc_latest_state_salted,
+    "cdc_merge_upsert": q_cdc_merge_upsert,
+    "cdc_sessionize": q_cdc_sessionize,
+    "cdc_metrics": q_cdc_metrics,
+    "text_analysis": q_text_analysis,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "pricing_summary": q_pricing_summary,
+}

@@ -1,0 +1,180 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale shapes:
+- **exact**: one hash-groupBy over md5(text) — map-side combined; at 100 TB
+  the only shuffle is (hash -> min doc_id), bytes shuffled = 48B/row.
+- **MinHash + LSH**: shingle -> K minhashes -> B bands -> band-bucket
+  self-join. The candidate join is on (band, band_hash) buckets, so the
+  quadratic blowup is confined to same-bucket collisions — THE standard
+  near-dup design at corpus scale (no all-pairs join anywhere).
+- **SimHash**: 64-bit signature via per-token hash bit voting; near-dups =
+  bucket join on band substrings of the signature.
+- **n-gram Jaccard**: exact verification, used on LSH candidates (or
+  directly at small scale) — token-set intersection via explode + join.
+- **embedding cosine near-dup**: see ops.ann.
+
+Hash family note: minhash uses ``min(md5(i || shingle))`` per hash index i —
+md5 exists identically in DuckDB/Spark, making every stage SQL-oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from table2qb_spark.ops.text import tokens_expr
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: keeper id + duplicate count."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles_expr(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) of lowercased text."""
+    toks = tokens_expr(c)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+    # sequence(0, negative) would generate a DESCENDING range — guard short docs
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str, k: int = 8, n: int = 3) -> DataFrame:
+    """K minhashes per doc: min over shingles of md5(i||'|'||shingle).
+    Implemented as explode -> ONE groupBy computing all K mins (map-side
+    partial agg; one shuffle of K×32B per doc)."""
+    sh = df.select(F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
+    rows_per_band = k // bands. Returns distinct (id_a, id_b)."""
+    rows = k // bands
+    sig = minhash_signature(df, text_col, id_col, k=k, n=n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + j}") for j in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bh"], how="inner")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs above threshold.
+
+    With ``candidates`` (e.g. from LSH) verification joins only those pairs;
+    without, the pair generation is the shingle self-join (inverted index:
+    explode -> join on shingle -> count common), never a cross join."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, on="sh")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(F.broadcast(candidates), on=["id_a", "id_b"], how="inner")
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        common.join(sa, common.id_a == F.col(f"sa.{id_col}"))
+        .join(sb, common.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash_expr(c: Column, bits: int = 16) -> Column:
+    """SimHash over token set: bit j of the signature = majority vote of bit
+    j across token hashes. Token hash = first 4 bytes of md5 (hex -> int), a
+    cross-engine-stable family. Returns a LONG signature of ``bits`` bits."""
+    toks = F.array_distinct(tokens_expr(c))
+
+    def token_hash(t):
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+
+    def vote_fn(j):
+        def fn(acc, t):
+            bit = F.shiftright(token_hash(t), j).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return fn
+
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        votes = F.aggregate(toks, F.lit(0).cast("long"), vote_fn(j))
+        sig = sig + F.when(votes > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) plus bucket = high byte — near-dup candidates share
+    a bucket (banding over the signature)."""
+    sig = simhash_expr(F.col(text_col), bits)
+    return df.select(
+        F.col(id_col),
+        sig.alias("simhash"),
+        F.shiftright(sig, bits - 8).alias("bucket"),
+    )

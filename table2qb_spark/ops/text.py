@@ -1,0 +1,92 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst expressions (JVM-side, whole-stage codegen) — language ID,
+quality scoring, token counting, document fingerprinting. Each has an exact
+ANSI-SQL twin registered in the driver oracle (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (n-gram heuristic). Deterministic
+# and SQL-twin-able; not a real langid model.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "y", "de"],
+}
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+
+def tokens_expr(c: Column) -> Column:
+    """Whitespace tokenization of lowercased text (empty tokens dropped)."""
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens_expr(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-ish subword proxy: count of maximal runs of word chars plus
+    punctuation marks (the classic GPT-style pre-tokenizer regex shape)."""
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def _marker_hits(c: Column, words: list[str]) -> Column:
+    alt = "|".join(words)
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(rf"\b({alt})\b"), 0))
+
+
+def lang_id_expr(c: Column) -> Column:
+    """Marker-word-ratio argmax across LANG_MARKERS; 'und' when no marker
+    hits at all. Ties broken by language code order (deterministic)."""
+    scores = [(lang, _marker_hits(c, words)) for lang, words in sorted(LANG_MARKERS.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties
+        out = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score_expr(c: Column) -> Column:
+    """Composite quality heuristic in [0,1]:
+    0.4·stopword-ratio-score + 0.3·length-score + 0.3·alpha-ratio.
+    Rounded to 4 decimals for cross-engine stability."""
+    toks = tokens_expr(c)
+    n_tok = F.size(toks).cast("double")
+    stop_hits = _marker_hits(c, EN_STOPWORDS).cast("double")
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    stop_score = F.least(stop_ratio * 2.5, F.lit(1.0))
+    length_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(
+        F.length(c) > 0, n_alpha.cast("double") / F.length(c).cast("double")
+    ).otherwise(F.lit(0.0))
+    return F.round(
+        stop_score * 0.4 + length_score * 0.3 + alpha_ratio * 0.3, 4
+    )
+
+
+def fingerprint_expr(c: Column) -> Column:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    whitespace/order/duplication-insensitive content identity (the cheap
+    cousin of winnowing; stable across engines)."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens_expr(c))), " ")
+    return F.md5(canon)
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subtokens"),
+        lang_id_expr(c).alias("pred_lang"),
+        quality_score_expr(c).alias("quality"),
+        fingerprint_expr(c).alias("fingerprint"),
+    )
