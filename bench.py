@@ -1,0 +1,141 @@
+"""Benchmark harness (driver-run per round -> BENCH_r{N}.json).
+
+Headline: CDC replay throughput — synthesize a deterministic skewed change
+log sized to the SF, replay it through the lake MERGE engine to converged
+final state, report change-events/sec (the BASELINE.json metric). Plus wall
+time for the headline analytical queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "cdc_replay": {events, seconds, events_per_sec, ...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+# headline analytical queries (subset of the full 25 — the expensive shapes)
+BENCH_QUERIES = [
+    "cube_observations",
+    "observation_uri",
+    "used_codes",
+    "cdc_latest_state",
+    "cdc_merge_upsert",
+    "cdc_sessionize",
+    "text_analysis",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "pricing_summary",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def run_cdc_replay(spark, sf: float, workdir: str) -> dict:
+    """Replay a synthetic change log sized ~20M events/sf unit (sf0.1 -> 2M)
+    into a fresh lake table; report converged events/sec."""
+    from table2qb_spark.cdc.apply import ChangeLogReplayer
+    from table2qb_spark.datagen import changelog as gen
+    from table2qb_spark.lake.table import LakeTable
+
+    n_events = max(200_000, int(20_000_000 * sf))
+    n_repos = max(64, n_events // 1000)
+    paths_per_repo = 500
+    events_path = os.path.join(workdir, "events")
+
+    t0 = time.time()
+    ev = gen.gen_change_log(
+        spark, n_events, n_repos, paths_per_repo, seed=42,
+        n_partitions=CPUS * 2,
+    )
+    gen.write_change_log(ev, events_path, n_files=CPUS * 2)
+    gen_sec = time.time() - t0
+
+    table = LakeTable.create(
+        spark,
+        os.path.join(workdir, "lake"),
+        [("repo", "string"), ("path", "string"), ("commit", "string"),
+         ("lang", "string"), ("content", "string")],
+        ["repo", "path"],
+        n_buckets=max(32, CPUS * 2),
+    )
+    # two micro-batches: still exercises incremental MERGE + checkpointing,
+    # while amortizing the ~5s per-batch fixed cost (at production scale a
+    # micro-batch is 10^8 events, so fixed cost vanishes; see BENCH.md)
+    replayer = ChangeLogReplayer(
+        spark, table, events_path, batch_events=max(1_000_000, n_events // 2)
+    )
+    t1 = time.time()
+    results = replayer.run()
+    replay_sec = time.time() - t1
+    return {
+        "events": n_events,
+        "gen_seconds": round(gen_sec, 2),
+        "seconds": round(replay_sec, 2),
+        "events_per_sec": round(n_events / replay_sec, 1),
+        "batches": len(results),
+        "final_rows": table.row_count(),
+        "n_buckets": table.snapshot().n_buckets,
+    }
+
+
+def main():
+    from table2qb_spark.entry_queries import QUERIES
+    from table2qb_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="table2qb_spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS * 2,
+    )
+    sf = sf_of(SF_DIR)
+
+    workdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        cdc = run_cdc_replay(spark, sf, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    queries = {}
+    total = cdc["seconds"]
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        total += dt
+
+    out = {
+        "metric": "cdc replay to converged lake state + headline query suite",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": CPUS,
+        "cdc_replay": cdc,
+        "events_per_sec": cdc["events_per_sec"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

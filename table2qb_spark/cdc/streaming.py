@@ -1,0 +1,102 @@
+"""Structured Streaming front-end for the CDC engine.
+
+``readStream`` over the change-log directory -> ``foreachBatch`` -> the SAME
+``merge_upsert`` + schema-reconcile path the batch replayer uses. Streaming
+micro-batches are arrival-defined rather than seq-defined, so exactly-once
+relies on the same two mechanisms, composed:
+
+- Structured Streaming's checkpointLocation gives at-least-once redelivery of
+  each micro-batch with a stable ``batch_id``;
+- our commit manifest (commit_id = ``stream-{batch_id}``) makes the MERGE
+  idempotent, upgrading the sink to exactly-once (the classic foreachBatch
+  idempotent-sink pattern).
+
+Late/out-of-order data: sequence numbers are authoritative — an event whose
+key already has a row with a HIGHER seq in the lake must not regress it, and
+a delete must not be resurrected by a late lower-seq update. Streaming
+tables therefore carry two bookkeeping columns the merge understands:
+``_seq`` (seq-guarded updates: incoming wins only when s.seq >= t._seq) and
+``_deleted`` (tombstones instead of physical deletes). The batch replayer
+doesn't need either because its seq-ranges are totally ordered. No
+event-time watermark is needed: dedup keys on seq, not time (SURVEY.md
+§2.7). Read the converged state with ``table.read_live()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from table2qb_spark.cdc.schema_evolution import reconcile_and_flatten
+from table2qb_spark.lake.merge import merge_upsert
+from table2qb_spark.lake.table import LakeTable
+
+BOOKKEEPING_COLUMNS = [("_seq", "long"), ("_deleted", "boolean")]
+
+
+def create_stream_table(
+    spark: SparkSession,
+    path: str,
+    schema: list[tuple[str, str]],
+    key_columns: list[str],
+    n_buckets: int = 64,
+) -> LakeTable:
+    """Create a lake table with the streaming bookkeeping columns appended
+    (seq-guard + tombstones; see module docstring)."""
+    return LakeTable.create(
+        spark, path, list(schema) + BOOKKEEPING_COLUMNS, key_columns, n_buckets
+    )
+
+
+def start_stream(
+    spark: SparkSession,
+    table: LakeTable,
+    events_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str | None = None,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    max_files_per_trigger: int = 8,
+    payload_col: str = "payload_json",
+):
+    """Start the streaming ingest. Returns the StreamingQuery."""
+    reader = spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+    if schema_ddl:
+        reader = reader.schema(schema_ddl)
+    else:
+        static = spark.read.parquet(events_dir)
+        reader = reader.schema(static.schema)
+    stream = reader.parquet(events_dir)
+
+    def apply_micro_batch(batch_df: DataFrame, batch_id: int) -> None:
+        commit_id = f"stream-{batch_id:08d}"
+        if table.has_commit(commit_id):
+            return  # redelivered micro-batch: exactly-once skip
+        flat = reconcile_and_flatten(table, batch_df, commit_id, payload_col)
+        merge_upsert(
+            table,
+            flat,
+            commit_id,
+            op_col=op_col,
+            seq_col=seq_col,
+            summary_update={"stream_batch": batch_id},
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_micro_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_to_completion(
+    spark: SparkSession,
+    table: LakeTable,
+    events_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+) -> None:
+    """availableNow trigger: process the whole backlog as a stream, then stop."""
+    q = start_stream(spark, table, events_dir, checkpoint_dir, **kwargs)
+    q.awaitTermination()

@@ -56,10 +56,24 @@ def merge_upsert(
     data_cols = [c["name"] for c in snap.current_schema()]
     extra_cols = [op_col, seq_col]
 
+    # seq-guarded merge: if the table carries a ``_seq`` provenance column,
+    # an incoming row only wins when its seq >= the stored row's seq — makes
+    # out-of-order delivery ACROSS batches safe (streaming micro-batches are
+    # arrival-ordered, not seq-ordered). Batches never supply ``_seq``; it is
+    # derived from the event's seq.
+    seq_guard = "_seq" in data_cols
+    # tombstones: with a ``_deleted`` column, deletes are recorded logically
+    # (row kept, flag set) instead of physically removed — required when
+    # batches can arrive out of seq order (a physical delete followed by a
+    # late lower-seq update would resurrect the row). Readers filter with
+    # LakeTable.read_live(); compaction can purge tombstones below the
+    # global applied-seq watermark.
+    tombstones = "_deleted" in data_cols
+
     # 1. dedup: one winner per key
-    batch_cols = keys + [c for c in data_cols if c not in keys] + [
-        c for c in extra_cols if c in batch_df.columns and c not in data_cols
-    ]
+    batch_cols = keys + [
+        c for c in data_cols if c not in keys and c not in ("_seq", "_deleted")
+    ] + [c for c in extra_cols if c in batch_df.columns and c not in data_cols]
     missing = [c for c in batch_cols if c not in batch_df.columns]
     if missing:
         raise ValueError(f"Batch is missing columns {missing}")
@@ -67,13 +81,25 @@ def merge_upsert(
         batch_df.select(*batch_cols), keys, seq_col=seq_col, two_phase=two_phase_dedup
     )
 
-    # 2. affected buckets (pruning). The deduped batch is reused by three
-    # jobs (bucket collect, merge join, stats) — persist once.
+    # 2. affected buckets (pruning) + batch stats in ONE job: a per-bucket
+    # aggregate over the deduped batch yields both the touched-bucket list
+    # and the upsert/delete/max-seq counters. The deduped batch is reused by
+    # the merge join — persist once.
     deduped = deduped.withColumn("__bucket", key_bucket_expr(keys, snap.n_buckets))
     deduped = deduped.persist()
-    affected = sorted(
-        r["__bucket"] for r in deduped.select("__bucket").distinct().collect()
+    bucket_stats = (
+        deduped.groupBy("__bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col(op_col) == delete_op, 1).otherwise(0)).alias("dels"),
+            F.max(seq_col).alias("max_seq"),
+        )
+        .collect()
     )
+    affected = sorted(r["__bucket"] for r in bucket_stats)
+    n_total = sum(int(r["n"]) for r in bucket_stats)
+    n_dels = sum(int(r["dels"] or 0) for r in bucket_stats)
+    max_seq = max((r["max_seq"] for r in bucket_stats), default=None)
     if not affected:
         deduped.unpersist()
         table.commit_files(commit_id, [], {}, summary_update)
@@ -94,17 +120,35 @@ def merge_upsert(
     t = current.alias("t")
     joined = t.join(s, on=keys, how="full_outer")
     s_present = F.col(f"s.{seq_col}").isNotNull()
-    is_delete = s_present & (F.col(f"s.{op_col}") == delete_op)
+    if seq_guard:
+        s_wins = s_present & (
+            F.col("t._seq").isNull() | (F.col(f"s.{seq_col}") >= F.col("t._seq"))
+        )
+    else:
+        s_wins = s_present
+    is_delete = s_wins & (F.col(f"s.{op_col}") == delete_op)
 
     result_cols = []
     for c in data_cols:
         if c in keys:
             result_cols.append(F.col(c).alias(c))
+        elif c == "_seq":
+            result_cols.append(
+                F.when(s_wins, F.col(f"s.{seq_col}")).otherwise(F.col("t._seq")).alias("_seq")
+            )
+        elif c == "_deleted":
+            result_cols.append(
+                F.when(s_wins, F.col(f"s.{op_col}") == delete_op)
+                .otherwise(F.coalesce(F.col("t._deleted"), F.lit(False)))
+                .alias("_deleted")
+            )
         else:
             result_cols.append(
-                F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                F.when(s_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
             )
-    merged = joined.where(~is_delete).select(*result_cols)
+    merged = joined.select(*result_cols)
+    if not tombstones:
+        merged = joined.where(~is_delete).select(*result_cols)
     merged = merged.withColumn("__bucket", key_bucket_expr(keys, snap.n_buckets))
 
     new_files = table.write_data_files(
@@ -114,21 +158,15 @@ def merge_upsert(
     for b in affected:
         new_files.setdefault(b, [])
 
-    stats_row = deduped.agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col(op_col) == delete_op, 1).otherwise(0)).alias("dels"),
-        F.max(seq_col).alias("max_seq"),
-    ).collect()[0]
-
     su = dict(summary_update or {})
-    su.setdefault("max_seq", stats_row["max_seq"])
+    su.setdefault("max_seq", max_seq)
     table.commit_files(commit_id, affected, new_files, su)
     deduped.unpersist()
     return {
         "skipped": False,
         "commit_id": commit_id,
         "affected_buckets": len(affected),
-        "upserts": int(stats_row["n"]) - int(stats_row["dels"] or 0),
-        "deletes": int(stats_row["dels"] or 0),
+        "upserts": n_total - n_dels,
+        "deletes": n_dels,
         "seconds": time.time() - t0,
     }

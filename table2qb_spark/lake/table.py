@@ -373,37 +373,36 @@ class LakeTable:
             .partitionBy("b")
             .parquet(out_dir)
         )
-        # enumerate written files + row counts from parquet footers
-        written = self.spark.read.parquet(out_dir)
-        counts = {
-            r["b"]: r["rows"]
-            for r in written.groupBy("b").agg(F.count("*").alias("rows")).collect()
-        }
+        # enumerate written files; row counts come from parquet footers
+        # (driver-side metadata read — no data scan, no extra Spark job)
+        import pyarrow.parquet as pq
+
         result: dict[int, list[dict]] = {}
         for b_dir in os.listdir(out_dir):
             if not b_dir.startswith("b="):
                 continue
             b = int(b_dir.split("=", 1)[1])
             entries = []
-            for fn in os.listdir(os.path.join(out_dir, b_dir)):
+            for fn in sorted(os.listdir(os.path.join(out_dir, b_dir))):
                 if fn.endswith(".parquet"):
-                    rel = os.path.relpath(
-                        os.path.join(out_dir, b_dir, fn), self.path
-                    )
+                    full = os.path.join(out_dir, b_dir, fn)
                     entries.append(
                         {
-                            "path": rel,
+                            "path": os.path.relpath(full, self.path),
                             "schema_version": snap.schema_version,
-                            "rows": None,
+                            "rows": pq.ParquetFile(full).metadata.num_rows,
                         }
                     )
-            # spread the bucket row count over its files (exact per-bucket)
-            for e in entries:
-                e["rows"] = 0
-            if entries:
-                entries[0]["rows"] = int(counts.get(b, 0))
             result[b] = entries
         return result
+
+    def read_live(self, snapshot_id: int | None = None) -> DataFrame:
+        """Like read(), but with tombstoned rows filtered out and the
+        bookkeeping columns (_seq, _deleted) dropped."""
+        df = self.read(snapshot_id)
+        if "_deleted" in df.columns:
+            df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        return df.drop("_seq", "_deleted")
 
     # ----- maintenance ---------------------------------------------------------
 

@@ -37,6 +37,7 @@ def get_spark(
             n = 0
         shuffle_partitions = max(n, os.cpu_count() or 8) if n else (os.cpu_count() or 8)
 
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -50,6 +51,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
