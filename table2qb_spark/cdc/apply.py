@@ -105,6 +105,7 @@ class ChangeLogReplayer:
             seq_col=self.seq_col,
             two_phase_dedup=self.two_phase_dedup,
             summary_update={"last_batch": batch_index, "max_seq": end},
+            batch_size_hint=end - start + 1,
         )
         elapsed = time.time() - t0
         n_events = int(stats.get("upserts", 0)) + int(stats.get("deletes", 0))

@@ -80,6 +80,7 @@ def start_stream(
             op_col=op_col,
             seq_col=seq_col,
             summary_update={"stream_batch": batch_id},
+            force_stats_pass=True,  # Observation doesn't fire in foreachBatch
         )
 
     return (

@@ -1,0 +1,224 @@
+"""spark-submit entry point.
+
+Launch (cluster):
+    spark-submit --py-files table2qb_spark.zip main.py <task> [args]
+Launch (sandbox):
+    python -m table2qb_spark.main <task> [args]
+
+Tasks mirror the reference CLI (src/table2qb/cli/tasks.clj: list, describe,
+csvw, exec) plus the CDC engine commands:
+
+  list                        list available pipelines/tasks
+  codelist-pipeline           codelist CSV -> annotated table + metadata
+  components-pipeline         components CSV -> annotated table + metadata
+  cube-pipeline               observations CSV -> cube tables + metadata
+  cdc-init                    create the lake table
+  cdc-replay                  replay a change log into the lake (resumable)
+  cdc-stream                  same via Structured Streaming (availableNow)
+  cdc-status                  checkpoint/lineage/metrics summary
+  datagen                     write a deterministic synthetic change log
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from table2qb_spark.session import get_spark
+
+BASE_SCHEMA = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+]
+
+PIPELINES = {
+    "codelist-pipeline": "Generates a codelist from a CSV file describing its members",
+    "components-pipeline": "Generates component specifications",
+    "cube-pipeline": "Generates cube RDF-shaped tables for the given input CSV",
+}
+
+
+def cmd_list(_args) -> int:
+    for name, desc in PIPELINES.items():
+        print(f"{name}\t{desc}")
+    return 0
+
+
+def cmd_codelist(args) -> int:
+    from table2qb_spark.pipelines.codelist import codelist_pipeline
+
+    spark = get_spark("codelist-pipeline")
+    res = codelist_pipeline(
+        spark, args.output_directory, args.codelist_csv, args.codelist_name,
+        args.codelist_slug, args.base_uri,
+    )
+    print(res["metadata_file"])
+    return 0
+
+
+def cmd_components(args) -> int:
+    from table2qb_spark.pipelines.components import components_pipeline
+
+    spark = get_spark("components-pipeline")
+    res = components_pipeline(spark, args.output_directory, args.input_csv, args.base_uri)
+    print(res["metadata_file"])
+    return 0
+
+
+def cmd_cube(args) -> int:
+    from table2qb_spark.config.columns import load_column_configuration
+    from table2qb_spark.pipelines.cube import cube_pipeline
+
+    spark = get_spark("cube-pipeline")
+    cols = load_column_configuration(args.column_config)
+    res = cube_pipeline(
+        spark, args.output_directory, args.input_csv, args.dataset_name,
+        args.dataset_slug, cols, args.base_uri,
+    )
+    print(res["metadata_file"])
+    return 0
+
+
+def cmd_cdc_init(args) -> int:
+    from table2qb_spark.lake.table import LakeTable
+
+    spark = get_spark("cdc-init")
+    LakeTable.create(spark, args.table, BASE_SCHEMA, ["repo", "path"], args.buckets)
+    print(f"created {args.table}")
+    return 0
+
+
+def cmd_cdc_replay(args) -> int:
+    from table2qb_spark.cdc.apply import ChangeLogReplayer
+    from table2qb_spark.lake.table import LakeTable
+
+    spark = get_spark("cdc-replay")
+    table = LakeTable(spark, args.table)
+    replayer = ChangeLogReplayer(
+        spark, table, args.events, batch_events=args.batch_events,
+        two_phase_dedup=args.salted_dedup,
+    )
+    results = replayer.run(max_batches=args.max_batches)
+    applied = [r for r in results if not r.skipped]
+    print(json.dumps({
+        "batches_applied": len(applied),
+        "batches_skipped": len(results) - len(applied),
+        "rows": table.row_count(),
+        "snapshot": table.current_snapshot_id(),
+    }))
+    return 0
+
+
+def cmd_cdc_stream(args) -> int:
+    from table2qb_spark.cdc.streaming import run_stream_to_completion
+    from table2qb_spark.lake.table import LakeTable
+
+    spark = get_spark("cdc-stream")
+    table = LakeTable(spark, args.table)
+    run_stream_to_completion(spark, table, args.events, args.checkpoint)
+    print(json.dumps({"rows": table.row_count(), "snapshot": table.current_snapshot_id()}))
+    return 0
+
+
+def cmd_cdc_status(args) -> int:
+    from table2qb_spark.lake.table import LakeTable
+
+    spark = get_spark("cdc-status")
+    table = LakeTable(spark, args.table)
+    snap = table.snapshot()
+    print(json.dumps({
+        "snapshot": snap.snapshot_id,
+        "schema_version": snap.schema_version,
+        "columns": [c["name"] for c in snap.current_schema()],
+        "summary": snap.summary,
+        "commits": len(snap.applied_commits),
+        "buckets_with_data": len(snap.files),
+    }, indent=2))
+    return 0
+
+
+def cmd_datagen(args) -> int:
+    from table2qb_spark.datagen import changelog as gen
+
+    spark = get_spark("datagen")
+    ev = gen.gen_change_log(spark, args.events_n, args.repos, args.paths_per_repo, seed=args.seed)
+    gen.write_change_log(ev, args.out, n_files=args.files)
+    print(args.out)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="table2qb_spark")
+    sub = p.add_subparsers(dest="task", required=True)
+
+    sub.add_parser("list").set_defaults(fn=cmd_list)
+
+    c = sub.add_parser("codelist-pipeline")
+    c.add_argument("--codelist-csv", required=True)
+    c.add_argument("--codelist-name", required=True)
+    c.add_argument("--codelist-slug", required=True)
+    c.add_argument("--base-uri", default="http://gss-data.org.uk/")
+    c.add_argument("--output-directory", required=True)
+    c.set_defaults(fn=cmd_codelist)
+
+    c = sub.add_parser("components-pipeline")
+    c.add_argument("--input-csv", required=True)
+    c.add_argument("--base-uri", default="http://gss-data.org.uk/")
+    c.add_argument("--output-directory", required=True)
+    c.set_defaults(fn=cmd_components)
+
+    c = sub.add_parser("cube-pipeline")
+    c.add_argument("--input-csv", required=True)
+    c.add_argument("--dataset-name", required=True)
+    c.add_argument("--dataset-slug", required=True)
+    c.add_argument("--column-config", required=True)
+    c.add_argument("--base-uri", default="http://gss-data.org.uk/")
+    c.add_argument("--output-directory", required=True)
+    c.set_defaults(fn=cmd_cube)
+
+    c = sub.add_parser("cdc-init")
+    c.add_argument("--table", required=True)
+    c.add_argument("--buckets", type=int, default=64)
+    c.set_defaults(fn=cmd_cdc_init)
+
+    c = sub.add_parser("cdc-replay")
+    c.add_argument("--table", required=True)
+    c.add_argument("--events", required=True)
+    c.add_argument("--batch-events", type=int, default=1_000_000)
+    c.add_argument("--max-batches", type=int, default=None)
+    c.add_argument("--salted-dedup", action="store_true")
+    c.set_defaults(fn=cmd_cdc_replay)
+
+    c = sub.add_parser("cdc-stream")
+    c.add_argument("--table", required=True)
+    c.add_argument("--events", required=True)
+    c.add_argument("--checkpoint", required=True)
+    c.set_defaults(fn=cmd_cdc_stream)
+
+    c = sub.add_parser("cdc-status")
+    c.add_argument("--table", required=True)
+    c.set_defaults(fn=cmd_cdc_status)
+
+    c = sub.add_parser("datagen")
+    c.add_argument("--out", required=True)
+    c.add_argument("--events-n", type=int, default=1_000_000)
+    c.add_argument("--repos", type=int, default=1000)
+    c.add_argument("--paths-per-repo", type=int, default=500)
+    c.add_argument("--files", type=int, default=32)
+    c.add_argument("--seed", type=int, default=42)
+    c.set_defaults(fn=cmd_datagen)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,87 @@
+"""CLI entry point + typed-view tests."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from table2qb_spark.config.cube import get_cube_configuration
+from table2qb_spark.config.typing import typed_view
+from table2qb_spark.pipelines.cube import observation_records_df
+from tests.conftest import example_csv
+
+
+def test_cli_list():
+    out = subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "list"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    ).stdout
+    assert "cube-pipeline" in out and "codelist-pipeline" in out
+
+
+def test_cli_datagen_and_replay(tmp_path):
+    events = str(tmp_path / "ev")
+    table = str(tmp_path / "lake")
+    import os
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "datagen",
+         "--out", events, "--events-n", "2000", "--repos", "10",
+         "--paths-per-repo", "30", "--files", "4"],
+        capture_output=True, text=True, cwd="/root/repo", check=True, env=env,
+    )
+    subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "cdc-init",
+         "--table", table, "--buckets", "4"],
+        capture_output=True, text=True, cwd="/root/repo", check=True, env=env,
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "cdc-replay",
+         "--table", table, "--events", events, "--batch-events", "1000"],
+        capture_output=True, text=True, cwd="/root/repo", check=True, env=env,
+    ).stdout
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["batches_applied"] == 2 and res["rows"] > 0
+
+    status = subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "cdc-status", "--table", table],
+        capture_output=True, text=True, cwd="/root/repo", check=True, env=env,
+    ).stdout
+    s = json.loads(status)
+    assert s["summary"]["last_batch"] == 1
+
+
+def test_typed_view(spark, default_config, reference_available):
+    src = example_csv("regional-trade", "input.csv")
+    cfg = get_cube_configuration(src, default_config, spark=spark)
+    raw = spark.read.option("header", True).option("inferSchema", False).csv(src)
+    obs = observation_records_df(raw, cfg)
+    typed = typed_view(obs, cfg)
+    # Value declared number -> double; dimensions stay strings
+    types = dict(typed.dtypes)
+    assert types["value"] == "double"
+    assert types["geography"] == "string"
+    total = typed.agg(F.sum("value")).collect()[0][0]
+    assert total and total > 0
+
+
+def test_typed_view_strict_raises(spark, default_config):
+    from table2qb_spark.config.columns import load_column_configuration
+
+    cols = load_column_configuration(
+        "title,name,component_attachment,property_template,datatype\n"
+        "Date,date,qb:dimension,http://p/refPeriod,string\n"
+        "Measure Type,measure_type,qb:dimension,http://purl.org/linked-data/cube#measureType,string\n"
+        "Count,count,qb:measure,http://p/count,number\n"
+        "Value,value,,http://p/{measure_type},number\n"
+    )
+    df = spark.createDataFrame(
+        [("2011", "Count", "not_a_number")], ["Date", "Measure Type", "Value"]
+    )
+    cfg = get_cube_configuration(df, cols)
+    obs = observation_records_df(df, cfg)
+    with pytest.raises(Exception, match="cannot cast"):
+        typed_view(obs, cfg).collect()
