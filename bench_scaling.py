@@ -40,14 +40,14 @@ SCHEMA = [("repo","string"),("path","string"),("commit","string"),
 def replay(tag):
     t = LakeTable.create(spark, os.path.join(wd, tag), SCHEMA, ["repo","path"],
                          n_buckets=64)
-    r = ChangeLogReplayer(spark, t, events_path, batch_events=n_events // 2)
+    r = ChangeLogReplayer(spark, t, events_path, batch_events=n_events)
     t0 = time.time(); r.run(); dt = time.time() - t0
     return dt, t.row_count()
 
 replay("warmup0")
 replay("warmup1")  # two warmups: whole-stage-codegen JIT needs several runs
 times = []
-for i in range(3):
+for i in range(5):
     dt, rows = replay(f"m{{i}}")
     times.append(dt)
 best = min(times)
@@ -65,7 +65,7 @@ sys.path.insert(0, {REPO!r})
 from table2qb_spark.session import get_spark
 from table2qb_spark.datagen import changelog as gen
 spark = get_spark(app_name="scaling-gen", master="local[32]", shuffle_partitions=64)
-ev = gen.gen_change_log(spark, {n_events}, 2000, 500, seed=42, n_partitions=64)
+ev = gen.gen_change_log(spark, {n_events}, 4000, 800, seed=42, n_partitions=128)
 gen.write_change_log(ev, {events_path!r}, n_files=64)
 """
     subprocess.run([sys.executable, "-c", code], check=True, capture_output=True)
@@ -91,7 +91,7 @@ def run_level(cores: int, events_path: str, n_events: int) -> dict:
 
 
 def main():
-    n_events = int(os.environ.get("SCALING_EVENTS", 16_000_000))
+    n_events = int(os.environ.get("SCALING_EVENTS", 48_000_000))
     tmp = tempfile.mkdtemp(
         prefix="scaling_events_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
     )
@@ -113,9 +113,9 @@ def main():
 
     md = f"""## Scaling measurement (N vs 4N protocol, {n_events:,} events)
 
-Identical replay job (2 micro-batches, 64 buckets, deterministic seed=42
+Identical replay job (single MERGE batch, 64 buckets, deterministic seed=42
 change log with hot-repo skew, duplicates, deletes, schema evolution), two
-parallelism levels, best of 3 runs after warmup:
+parallelism levels, best of 5 runs after 2 warmups (shared host: min is the signal):
 
 | level | cores | shuffle partitions | seconds | events/sec |
 |---|---|---|---|---|

@@ -8,26 +8,28 @@ insert/update/delete ops —
       WHEN MATCHED THEN UPDATE SET *
       WHEN NOT MATCHED AND batch.op != 'D' THEN INSERT *
 
-Two physical strategies, chosen by batch-vs-table size:
+Physical design — **union-aggregate merge**: instead of (dedup-shuffle the
+batch) + (key-shuffle both join sides) + (bucket repartition), the current
+rows are unioned UNDER the batch at an always-losing sequence number
+(``-1``, or their stored ``_seq`` for seq-guarded tables) and one
+``groupBy(key).agg(max(struct(seq, op, ...)))`` picks the winner per key:
 
-**Pruned path** (steady-state CDC: batch small relative to table):
-1. dedup the batch max-seq-wins per key (map-side combining hash agg),
-   persist it (it feeds two jobs);
-2. collect the *distinct affected buckets* (<= n_buckets rows) — the
-   partition-pruning step;
-3. read ONLY those buckets' files; full-outer join on the key; apply op
-   rules; rewrite only the affected buckets.
+    winner(key) = max over {current row @ seq=-1} ∪ {batch events @ seq}
 
-**Single-pass path** (bursts/backfills: batch comparable to table): skip the
-pruning pre-pass entirely — dedup -> join against the full table -> write,
-all in ONE Spark action. Batch statistics (events, deletes, max seq) ride
-along via ``pyspark.sql.Observation`` on the deduped subtree: zero extra
-passes, no persist. The batch scan happens exactly once.
+This folds in-batch dedup AND the merge join into ONE hash aggregate with
+map-side partial aggregation (hot keys combine locally before the exchange),
+so the whole merge is: scan -> one key-hash shuffle -> one bucket
+repartition -> write. Winners with op='D' are dropped (or tombstoned when
+the table has a ``_deleted`` column).
 
-In both paths the join is key-hash shuffled on both sides (AQE skew-join
-splits residual hot keys) and the result is repartitioned by bucket so each
-bucket writes one file. At 100 TB the pruned path is the default: cost per
-batch is proportional to the touched-bucket data, not the table size.
+Strategies:
+- **single-pass** (bursts/backfills): everything in ONE Spark action; batch
+  stats ride along via ``pyspark.sql.Observation`` (no extra pass).
+- **pruned** (steady-state CDC: batch small vs table): a cheap pre-pass over
+  the deduped batch finds the touched buckets; only those buckets' files are
+  read and rewritten (copy-on-write). At 100 TB this is the default — batch
+  cost scales with batch locality, not table size. (Also used under
+  foreachBatch, where Observation metrics never fire.)
 """
 
 from __future__ import annotations
@@ -60,9 +62,10 @@ def merge_upsert(
     """Apply one change batch. Returns merge stats. Idempotent: a commit_id
     already present in the snapshot history is skipped outright.
 
-    ``batch_size_hint``: approximate event count of the batch (e.g. the seq
-    range width) — used to pick the pruned vs single-pass strategy without
-    counting the batch."""
+    ``batch_size_hint``: approximate event count (e.g. the seq-range width) —
+    picks pruned vs single-pass without counting the batch.
+    ``force_stats_pass``: always run the explicit stats pre-pass (required
+    inside streaming foreachBatch, where Observation metrics never fire)."""
     if table.has_commit(commit_id):
         return {"skipped": True, "commit_id": commit_id}
 
@@ -70,38 +73,36 @@ def merge_upsert(
     snap = table.snapshot()
     keys = snap.key_columns
     data_cols = [c["name"] for c in snap.current_schema()]
-    extra_cols = [op_col, seq_col]
 
-    # seq-guarded merge: if the table carries a ``_seq`` provenance column,
-    # an incoming row only wins when its seq >= the stored row's seq — makes
-    # out-of-order delivery ACROSS batches safe (streaming micro-batches are
-    # arrival-ordered, not seq-ordered). Batches never supply ``_seq``; it is
-    # derived from the event's seq.
+    # seq-guarded tables carry ``_seq`` (stored per-row sequence): an incoming
+    # row wins only when its seq >= the stored one — out-of-order delivery
+    # ACROSS batches is safe. ``_deleted`` adds tombstones (logical deletes)
+    # so a late lower-seq update cannot resurrect a deleted key. The batch
+    # replayer needs neither (its seq ranges are totally ordered); the
+    # streaming path uses both. Read converged state via read_live().
     seq_guard = "_seq" in data_cols
-    # tombstones: with a ``_deleted`` column, deletes are recorded logically
-    # (row kept, flag set) instead of physically removed — required when
-    # batches can arrive out of seq order (a physical delete followed by a
-    # late lower-seq update would resurrect the row). Readers filter with
-    # LakeTable.read_live(); compaction can purge tombstones below the
-    # global applied-seq watermark.
     tombstones = "_deleted" in data_cols
+    value_cols = [c for c in data_cols if c not in keys and c not in ("_seq", "_deleted")]
 
-    # 1. dedup: one winner per key
-    batch_cols = keys + [
-        c for c in data_cols if c not in keys and c not in ("_seq", "_deleted")
-    ] + [c for c in extra_cols if c in batch_df.columns and c not in data_cols]
+    batch_cols = keys + value_cols + [
+        c for c in (op_col, seq_col) if c in batch_df.columns and c not in data_cols
+    ]
     missing = [c for c in batch_cols if c not in batch_df.columns]
     if missing:
         raise ValueError(f"Batch is missing columns {missing}")
-    deduped = dedup_max_seq(
-        batch_df.select(*batch_cols), keys, seq_col=seq_col, two_phase=two_phase_dedup
+    batch_sel = batch_df.select(
+        *keys,
+        F.col(seq_col).cast("long").alias("__seq"),
+        F.col(op_col).alias("__op"),
+        *[F.col(c) for c in value_cols],
     )
-    deduped = deduped.withColumn("__bucket", key_bucket_expr(keys, snap.n_buckets))
+    if two_phase_dedup:
+        # explicit salted pre-combine for single-key bursts, then the main agg
+        batch_sel = dedup_max_seq(
+            batch_sel, keys, seq_col="__seq", two_phase=True
+        )
 
     table_rows = int(snap.summary.get("row_count", 0) or 0)
-    # force_stats_pass: Observation metrics never fire for actions run inside
-    # a streaming foreachBatch, so the streaming path must always take the
-    # explicit stats pre-pass.
     use_pruning = force_stats_pass or (
         table_rows > 0
         and batch_size_hint is not None
@@ -109,17 +110,14 @@ def merge_upsert(
     )
 
     observation = None
-    persisted = False
     if use_pruning:
-        # pruned path: one extra (cheap, pruned) pass to find touched buckets
-        deduped = deduped.persist()
-        persisted = True
+        # pre-pass: touched buckets + batch stats in one tiny aggregate
         bucket_stats = (
-            deduped.groupBy("__bucket")
+            batch_sel.groupBy(key_bucket_expr(keys, snap.n_buckets).alias("__bucket"))
             .agg(
                 F.count("*").alias("n"),
-                F.sum(F.when(F.col(op_col) == delete_op, 1).otherwise(0)).alias("dels"),
-                F.max(seq_col).alias("max_seq"),
+                F.sum(F.when(F.col("__op") == delete_op, 1).otherwise(0)).alias("dels"),
+                F.max("__seq").alias("max_seq"),
             )
             .collect()
         )
@@ -128,77 +126,75 @@ def merge_upsert(
         n_dels = sum(int(r["dels"] or 0) for r in bucket_stats)
         max_seq = max((r["max_seq"] for r in bucket_stats), default=None)
         if not affected:
-            deduped.unpersist()
             table.commit_files(commit_id, [], {}, summary_update)
             return {
-                "skipped": False,
-                "commit_id": commit_id,
-                "affected_buckets": 0,
-                "upserts": 0,
-                "deletes": 0,
-                "strategy": "pruned",
+                "skipped": False, "commit_id": commit_id, "affected_buckets": 0,
+                "upserts": 0, "deletes": 0, "strategy": "pruned",
                 "seconds": time.time() - t0,
             }
         current = table.read(buckets=affected)
     else:
-        # single-pass path: stats observed inside the one merge action
         observation = Observation(f"merge-{commit_id}")
-        deduped = deduped.observe(
+        batch_sel = batch_sel.observe(
             observation,
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col(op_col) == delete_op, 1).otherwise(0)).alias("dels"),
-            F.max(seq_col).alias("max_seq"),
+            F.sum(F.when(F.col("__op") == delete_op, 1).otherwise(0)).alias("dels"),
+            F.max("__seq").alias("max_seq"),
         )
         affected = None  # every bucket is replaced
         current = table.read()
 
-    # 2. full-outer merge, op rules applied per column
-    s = deduped.alias("s")
-    t = current.alias("t")
-    joined = t.join(s, on=keys, how="full_outer")
-    s_present = F.col(f"s.{seq_col}").isNotNull()
-    if seq_guard:
-        s_wins = s_present & (
-            F.col("t._seq").isNull() | (F.col(f"s.{seq_col}") >= F.col("t._seq"))
-        )
-    else:
-        s_wins = s_present
-    is_delete = s_wins & (F.col(f"s.{op_col}") == delete_op)
-
-    result_cols = []
-    for c in data_cols:
-        if c in keys:
-            result_cols.append(F.col(c).alias(c))
-        elif c == "_seq":
-            result_cols.append(
-                F.when(s_wins, F.col(f"s.{seq_col}")).otherwise(F.col("t._seq")).alias("_seq")
-            )
-        elif c == "_deleted":
-            result_cols.append(
-                F.when(s_wins, F.col(f"s.{op_col}") == delete_op)
-                .otherwise(F.coalesce(F.col("t._deleted"), F.lit(False)))
-                .alias("_deleted")
-            )
-        else:
-            result_cols.append(
-                F.when(s_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-            )
-    if tombstones:
-        merged = joined.select(*result_cols)
-    else:
-        merged = joined.where(~is_delete).select(*result_cols)
-    merged = merged.withColumn("__bucket", key_bucket_expr(keys, snap.n_buckets))
-
-    new_files = table.write_data_files(
-        merged, snapshot_hint=f"{snap.snapshot_id + 1:08d}"
+    # current rows enter the contest below every batch event: at their stored
+    # _seq (guarded tables) or at -1 (seq ranges are totally ordered, any
+    # batch event is newer). Tombstoned rows re-enter as op='D' so they keep
+    # winning over nothing and stay tombstones.
+    cur_seq = F.col("_seq") if seq_guard else F.lit(-1).cast("long")
+    cur_op = (
+        F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit(delete_op)).otherwise(F.lit("U"))
+        if tombstones
+        else F.lit("U")
     )
+    current_sel = current.select(
+        *keys,
+        cur_seq.alias("__seq"),
+        cur_op.alias("__op"),
+        *[F.col(c) for c in value_cols],
+    )
+
+    # ONE hash aggregate = in-batch dedup + merge decision (map-side combine)
+    payload = F.struct(F.col("__seq"), F.col("__op"), *[F.col(c) for c in value_cols])
+    winners = (
+        current_sel.unionByName(batch_sel)
+        .groupBy(*keys)
+        .agg(F.max(payload).alias("__p"))
+        .select(
+            *keys,
+            F.col("__p.__seq").alias("__seq"),
+            F.col("__p.__op").alias("__op"),
+            *[F.col(f"__p.{c}").alias(c) for c in value_cols],
+        )
+    )
+
+    out_cols = list(keys) + value_cols
+    if seq_guard:
+        winners = winners.withColumn("_seq", F.col("__seq"))
+        out_cols.append("_seq")
+    if tombstones:
+        winners = winners.withColumn("_deleted", F.col("__op") == delete_op)
+        out_cols.append("_deleted")
+    else:
+        winners = winners.where(F.col("__op") != delete_op)
+    merged = winners.select(*out_cols).withColumn(
+        "__bucket", key_bucket_expr(keys, snap.n_buckets)
+    )
+
+    new_files = table.write_data_files(merged, snapshot_hint=f"{snap.snapshot_id + 1:08d}")
 
     if observation is not None:
         got = observation.get
         n_total = int(got["n"] or 0)
         n_dels = int(got["dels"] or 0)
         max_seq = got["max_seq"]
-        # full rewrite: every previously-populated bucket is replaced
         affected = sorted(set(new_files) | {int(b) for b in snap.files})
     # buckets that lost all rows still count as replaced (their old files go)
     for b in affected:
@@ -207,8 +203,6 @@ def merge_upsert(
     su = dict(summary_update or {})
     su.setdefault("max_seq", max_seq)
     table.commit_files(commit_id, affected, new_files, su)
-    if persisted:
-        deduped.unpersist()
     return {
         "skipped": False,
         "commit_id": commit_id,
