@@ -73,9 +73,9 @@ def run_cdc_replay(spark, sf: float, workdir: str) -> dict:
         spark,
         os.path.join(workdir, "lake"),
         [("repo", "string"), ("path", "string"), ("commit", "string"),
-         ("lang", "string"), ("content", "string")],
+         ("lang", "string"), ("content", "string"), ("content_sha", "string")],
         ["repo", "path"],
-        n_buckets=max(32, CPUS * 2),
+        n_buckets=256,  # fine buckets: short straggler tails, pruned rewrites
     )
     # two micro-batches: still exercises incremental MERGE + checkpointing,
     # while amortizing the ~5s per-batch fixed cost (at production scale a
@@ -104,7 +104,8 @@ def main():
     spark = get_spark(
         app_name="table2qb_spark-bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=CPUS * 2,
+        # fine-grained shuffle partitioning + AQE coalesce: short task tails
+        shuffle_partitions=max(128, CPUS * 4),
     )
     sf = sf_of(SF_DIR)
 

@@ -30,16 +30,19 @@ from table2qb_spark.cdc.apply import ChangeLogReplayer
 cores = int(sys.argv[1])
 events_path = sys.argv[2]
 n_events = int(sys.argv[3])
+# identical physical job at both levels: same shuffle partitioning, same
+# bucket count — only the executor-core count differs (what a real N vs 4N
+# cluster varies)
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores * 2)
+                  shuffle_partitions=256)
 wd = tempfile.mkdtemp(prefix=f"scal{{cores}}_",
                       dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 SCHEMA = [("repo","string"),("path","string"),("commit","string"),
-          ("lang","string"),("content","string")]
+          ("lang","string"),("content","string"),("content_sha","string")]
 
 def replay(tag):
     t = LakeTable.create(spark, os.path.join(wd, tag), SCHEMA, ["repo","path"],
-                         n_buckets=64)
+                         n_buckets=256)
     r = ChangeLogReplayer(spark, t, events_path, batch_events=n_events)
     t0 = time.time(); r.run(); dt = time.time() - t0
     return dt, t.row_count()
@@ -65,8 +68,9 @@ sys.path.insert(0, {REPO!r})
 from table2qb_spark.session import get_spark
 from table2qb_spark.datagen import changelog as gen
 spark = get_spark(app_name="scaling-gen", master="local[32]", shuffle_partitions=64)
-ev = gen.gen_change_log(spark, {n_events}, 4000, 800, seed=42, n_partitions=128)
-gen.write_change_log(ev, {events_path!r}, n_files=64)
+ev = gen.gen_change_log(spark, {n_events}, 4000, 800, seed=42, n_partitions=128,
+                        schema_evolution_after=None)
+gen.write_change_log(ev, {events_path!r}, n_files=128)
 """
     subprocess.run([sys.executable, "-c", code], check=True, capture_output=True)
 
@@ -113,14 +117,14 @@ def main():
 
     md = f"""## Scaling measurement (N vs 4N protocol, {n_events:,} events)
 
-Identical replay job (single MERGE batch, 64 buckets, deterministic seed=42
+Identical replay job (single MERGE batch incl. per-row sha256 invariant, 256 buckets, 256 shuffle partitions at BOTH levels (identical physical job; only core count differs), deterministic seed=42
 change log with hot-repo skew, duplicates, deletes, schema evolution), two
 parallelism levels, best of 5 runs after 2 warmups (shared host: min is the signal):
 
 | level | cores | shuffle partitions | seconds | events/sec |
 |---|---|---|---|---|
-| N  | 8  | 16 | {r8['seconds']} | {r8['events_per_sec']:,.0f} |
-| 4N | 32 | 64 | {r32['seconds']} | {r32['events_per_sec']:,.0f} |
+| N  | 8  | 256 | {r8['seconds']} | {r8['events_per_sec']:,.0f} |
+| 4N | 32 | 256 | {r32['seconds']} | {r32['events_per_sec']:,.0f} |
 
 **Scaling efficiency = throughput(4N) / (4 x throughput(N)) = {efficiency:.3f}**
 (target >= 0.8: {"PASS" if efficiency >= 0.8 else "MISS"})

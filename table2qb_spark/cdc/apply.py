@@ -95,6 +95,12 @@ class ChangeLogReplayer:
         batch = self.events.where(
             (F.col(self.seq_col) >= start) & (F.col(self.seq_col) <= end)
         )
+        # per-row invariant (BASELINE input_hint): content sha256 computed at
+        # ingest and stored alongside the row, so state verification never
+        # needs to re-read content
+        schema_names = {c["name"] for c in self.table.snapshot().current_schema()}
+        if "content_sha" in schema_names and "content" in batch.columns:
+            batch = batch.withColumn("content_sha", F.sha2(F.col("content"), 256))
         # schema evolution first (metadata-only commits), then flat MERGE
         batch = reconcile_and_flatten(self.table, batch, commit_id, self.payload_col)
         stats = merge_upsert(
@@ -104,7 +110,10 @@ class ChangeLogReplayer:
             op_col=self.op_col,
             seq_col=self.seq_col,
             two_phase_dedup=self.two_phase_dedup,
-            summary_update={"last_batch": batch_index, "max_seq": end},
+            # max_seq is NOT pinned to the range end here: merge records the
+            # actually-observed max sequence (ops truth); resume keys off
+            # last_batch, which is range-based
+            summary_update={"last_batch": batch_index, "range_end": end},
             batch_size_hint=end - start + 1,
         )
         elapsed = time.time() - t0
@@ -114,7 +123,7 @@ class ChangeLogReplayer:
             "commit_id": commit_id,
             "seq_start": start,
             "seq_end": end,
-            "unique_events": n_events,
+            "batch_events": n_events,
             "upserts": stats.get("upserts", 0),
             "deletes": stats.get("deletes", 0),
             "buckets_touched": stats.get("affected_buckets", 0),

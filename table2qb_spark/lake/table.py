@@ -357,18 +357,21 @@ class LakeTable:
         return new_snap
 
     def write_data_files(
-        self, df: DataFrame, snapshot_hint: str
+        self, df: DataFrame, snapshot_hint: str, repartition: bool = True
     ) -> dict[int, list[dict]]:
         """Write a DataFrame that carries a ``__bucket`` column into new
         immutable parquet files under data/, partitioned by bucket. Returns
-        {bucket: [file entries]} for ``commit_files``. The write is
-        repartitioned by bucket so each bucket's rows land in that bucket's
-        directory co-located (one shuffle, the only one in the merge path)."""
+        {bucket: [file entries]} for ``commit_files``. With ``repartition``
+        the rows are shuffled so each bucket writes one file; pass False when
+        the input partitions already align 1:1 with buckets (bucketed
+        shuffle-free apply) — each task then writes its own directory."""
         snap = self.snapshot()
         out_dir = os.path.join(self.path, DATA_DIR, f"snap-{snapshot_hint}")
+        out = df
+        if repartition:
+            out = df.repartition(max(1, min(snap.n_buckets, 256)), F.col("__bucket"))
         (
-            df.repartition(max(1, min(snap.n_buckets, 256)), F.col("__bucket"))
-            .withColumnRenamed("__bucket", "b")
+            out.withColumnRenamed("__bucket", "b")
             .write.mode("overwrite")
             .partitionBy("b")
             .parquet(out_dir)

@@ -48,6 +48,34 @@ def cmd_list(_args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    # reference parity: tasks.clj `describe` prints a pipeline's parameters
+    params = {
+        "codelist-pipeline": ["codelist-csv", "codelist-name", "codelist-slug", "base-uri", "output-directory"],
+        "components-pipeline": ["input-csv", "base-uri", "output-directory"],
+        "cube-pipeline": ["input-csv", "dataset-name", "dataset-slug", "column-config", "base-uri", "output-directory"],
+    }
+    if args.pipeline not in PIPELINES:
+        print(f"error: unknown pipeline {args.pipeline}", file=sys.stderr)
+        return 2
+    print(PIPELINES[args.pipeline])
+    for p in params[args.pipeline]:
+        print(f"  --{p}")
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from table2qb_spark.lake.compact import compact
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-compact")
+    table = LakeTable(spark, args.table)
+    res = compact(table, purge_below_seq=args.purge_below_seq)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_codelist(args) -> int:
     from table2qb_spark.pipelines.codelist import codelist_pipeline
 
@@ -96,6 +124,7 @@ def cmd_cdc_replay(args) -> int:
     from table2qb_spark.cdc.apply import ChangeLogReplayer
     from table2qb_spark.lake.table import LakeTable
 
+    _require_table(args.table)
     spark = get_spark("cdc-replay")
     table = LakeTable(spark, args.table)
     replayer = ChangeLogReplayer(
@@ -117,6 +146,7 @@ def cmd_cdc_stream(args) -> int:
     from table2qb_spark.cdc.streaming import run_stream_to_completion
     from table2qb_spark.lake.table import LakeTable
 
+    _require_table(args.table)
     spark = get_spark("cdc-stream")
     table = LakeTable(spark, args.table)
     run_stream_to_completion(spark, table, args.events, args.checkpoint)
@@ -124,9 +154,18 @@ def cmd_cdc_stream(args) -> int:
     return 0
 
 
+def _require_table(path: str):
+    from table2qb_spark.lake.table import LakeTable
+
+    if not LakeTable.exists(path):
+        print(f"error: no lake table at {path} (run cdc-init first)", file=sys.stderr)
+        raise SystemExit(2)
+
+
 def cmd_cdc_status(args) -> int:
     from table2qb_spark.lake.table import LakeTable
 
+    _require_table(args.table)
     spark = get_spark("cdc-status")
     table = LakeTable(spark, args.table)
     snap = table.snapshot()
@@ -156,6 +195,15 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="task", required=True)
 
     sub.add_parser("list").set_defaults(fn=cmd_list)
+
+    c = sub.add_parser("describe")
+    c.add_argument("pipeline")
+    c.set_defaults(fn=cmd_describe)
+
+    c = sub.add_parser("cdc-compact")
+    c.add_argument("--table", required=True)
+    c.add_argument("--purge-below-seq", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
 
     c = sub.add_parser("codelist-pipeline")
     c.add_argument("--codelist-csv", required=True)
