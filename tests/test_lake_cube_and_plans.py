@@ -108,6 +108,10 @@ class TestPhysicalPlans:
             [(1, "I", "r", "p", "c")], "seq long, op string, repo string, path string, content string"
         )
         out = dedup_max_seq(df, ["repo", "path"], "seq")
+        out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
-        # partial (map-side) aggregate before the exchange, final after
-        assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+        # partial (map-side) aggregate before the exchange, final after.
+        # struct-valued max falls to SortAggregate (strings in the buffer),
+        # which still does partial aggregation — assert the partial stage.
+        assert "partial_max" in plan and "Exchange" in plan
+        assert plan.count("Aggregate") >= 2
