@@ -7,9 +7,14 @@ relies on the same two mechanisms, composed:
 
 - Structured Streaming's checkpointLocation gives at-least-once redelivery of
   each micro-batch with a stable ``batch_id``;
-- our commit manifest (commit_id = ``stream-{batch_id}``) makes the MERGE
-  idempotent, upgrading the sink to exactly-once (the classic foreachBatch
-  idempotent-sink pattern).
+- our commit manifest (commit_id = ``stream-{app_id}-{batch_id}``) makes the
+  MERGE idempotent, upgrading the sink to exactly-once (the classic
+  foreachBatch idempotent-sink pattern). The ``app_id`` is a uuid minted once
+  per checkpoint directory and persisted inside it — the Delta
+  txnAppId+txnVersion pattern — so batch_id restarting at 0 under a NEW
+  checkpoint (checkpoint loss, or a second stream into the same table) mints
+  fresh commit ids instead of colliding with already-applied ones and being
+  silently dropped as "redelivered".
 
 Late/out-of-order data: sequence numbers are authoritative — an event whose
 key already has a row with a HIGHER seq in the lake must not regress it, and
@@ -24,6 +29,9 @@ event-time watermark is needed: dedup keys on seq, not time (SURVEY.md
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +40,25 @@ from table2qb_spark.lake.merge import merge_upsert
 from table2qb_spark.lake.table import LakeTable
 
 BOOKKEEPING_COLUMNS = [("_seq", "long"), ("_deleted", "boolean")]
+
+
+def checkpoint_app_id(checkpoint_dir: str) -> str:
+    """Stable per-checkpoint identity: minted on first use, persisted in the
+    checkpoint dir, reread on resume. Namespaces commit ids so two different
+    checkpoints (= two different streams / a rebuilt checkpoint) can never
+    collide on batch_id."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "table2qb_app_id")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return f.read().strip()
+    app_id = uuid.uuid4().hex[:12]
+    tmp = f"{marker}.tmp.{app_id}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(app_id)
+    os.rename(tmp, marker)
+    with open(marker) as f:  # reread: another racer may have won the rename
+        return f.read().strip()
 
 
 def create_stream_table(
@@ -67,9 +94,10 @@ def start_stream(
         static = spark.read.parquet(events_dir)
         reader = reader.schema(static.schema)
     stream = reader.parquet(events_dir)
+    app_id = checkpoint_app_id(checkpoint_dir)
 
     def apply_micro_batch(batch_df: DataFrame, batch_id: int) -> None:
-        commit_id = f"stream-{batch_id:08d}"
+        commit_id = f"stream-{app_id}-{batch_id:08d}"
         if table.has_commit(commit_id):
             return  # redelivered micro-batch: exactly-once skip
         flat = reconcile_and_flatten(table, batch_df, commit_id, payload_col)

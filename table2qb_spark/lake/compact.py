@@ -59,7 +59,13 @@ def compact(
         new_files.setdefault(b, [])
     files_before = sum(len(snap.files.get(str(b), [])) for b in candidates)
     files_after = sum(len(v) for v in new_files.values())
-    table.commit_files(commit_id, candidates, new_files, {"compacted": candidates})
+    table.commit_files(
+        commit_id,
+        candidates,
+        new_files,
+        {"compacted": candidates},
+        base_snapshot_id=snap.snapshot_id,
+    )
     return {
         "skipped": False,
         "commit_id": commit_id,

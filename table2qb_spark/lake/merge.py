@@ -84,15 +84,14 @@ def merge_upsert(
     tombstones = "_deleted" in data_cols
     value_cols = [c for c in data_cols if c not in keys and c not in ("_seq", "_deleted")]
 
-    batch_cols = keys + value_cols + [
-        c for c in (op_col, seq_col) if c in batch_df.columns and c not in data_cols
-    ]
-    missing = [c for c in batch_cols if c not in batch_df.columns]
+    required = list(dict.fromkeys(keys + value_cols + [op_col, seq_col]))
+    missing = [c for c in required if c not in batch_df.columns]
     if missing:
         raise ValueError(f"Batch is missing columns {missing}")
     batch_sel = batch_df.select(
         *keys,
         F.col(seq_col).cast("long").alias("__seq"),
+        F.lit(1).alias("__pri"),  # seq ties: batch beats stored (see below)
         F.col(op_col).alias("__op"),
         *[F.col(c) for c in value_cols],
     )
@@ -126,7 +125,9 @@ def merge_upsert(
         n_dels = sum(int(r["dels"] or 0) for r in bucket_stats)
         max_seq = max((r["max_seq"] for r in bucket_stats), default=None)
         if not affected:
-            table.commit_files(commit_id, [], {}, summary_update)
+            table.commit_files(
+                commit_id, [], {}, summary_update, base_snapshot_id=snap.snapshot_id
+            )
             return {
                 "skipped": False, "commit_id": commit_id, "affected_buckets": 0,
                 "upserts": 0, "deletes": 0, "strategy": "pruned",
@@ -157,12 +158,19 @@ def merge_upsert(
     current_sel = current.select(
         *keys,
         cur_seq.alias("__seq"),
+        F.lit(0).alias("__pri"),
         cur_op.alias("__op"),
         *[F.col(c) for c in value_cols],
     )
 
-    # ONE hash aggregate = in-batch dedup + merge decision (map-side combine)
-    payload = F.struct(F.col("__seq"), F.col("__op"), *[F.col(c) for c in value_cols])
+    # ONE hash aggregate = in-batch dedup + merge decision (map-side combine).
+    # __pri sits right after __seq in the ordering struct so an incoming event
+    # whose seq EQUALS the stored row's _seq deterministically wins (including
+    # deletes — 'D' would otherwise lose a lexicographic tie to 'U'),
+    # honouring "incoming wins when its seq >= the stored one".
+    payload = F.struct(
+        F.col("__seq"), F.col("__pri"), F.col("__op"), *[F.col(c) for c in value_cols]
+    )
     winners = (
         current_sel.unionByName(batch_sel)
         .groupBy(*keys)
@@ -202,7 +210,9 @@ def merge_upsert(
 
     su = dict(summary_update or {})
     su.setdefault("max_seq", max_seq)
-    table.commit_files(commit_id, affected, new_files, su)
+    table.commit_files(
+        commit_id, affected, new_files, su, base_snapshot_id=snap.snapshot_id
+    )
     return {
         "skipped": False,
         "commit_id": commit_id,

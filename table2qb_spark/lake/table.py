@@ -4,15 +4,25 @@ This container ships no Iceberg/Delta jars, so the engine implements the
 lakehouse semantics the north rule needs directly (and keeps the interface
 narrow so a real Iceberg catalog can be dropped in behind it on a cluster):
 
-- **Atomic snapshot commits**: each commit writes an immutable snapshot JSON
+- **Atomic snapshot commits**: each commit writes an immutable manifest
+  (``_meta/m{N}.json``, the bucket->files map) and a small snapshot header
   (``_meta/v{N}.json``) via temp-file + ``os.rename`` (atomic on POSIX), then
   swaps the ``_meta/VERSION`` pointer the same way. Readers only ever see a
-  fully-committed snapshot. O_EXCL creation of the snapshot file detects
-  concurrent writers.
+  fully-committed snapshot. The snapshot header is O(1) per commit — file
+  lists live in the manifest, not the header, exactly like Iceberg's
+  metadata.json -> manifest-list split.
 - **Idempotent commit manifests (exactly-once)**: every commit carries a
-  ``commit_id``; the snapshot records the cumulative set of applied commit
-  ids. Re-applying a batch whose commit_id is already present is a no-op, so
+  ``commit_id`` recorded as a marker file under ``_meta/commits/``. Markers
+  are written AFTER the VERSION swap; a crash in between leaves at most ONE
+  snapshot (the current) without a marker, which ``has_commit`` /
+  ``commit_files`` heal by consulting the current header's own commit_id.
+  Re-applying a batch whose commit_id is already present is a no-op, so
   replay from any checkpoint converges to the identical final table state.
+- **Optimistic concurrency**: writers compute their merge against a base
+  snapshot and pass ``base_snapshot_id`` to ``commit_files``; if another
+  commit landed in between, ``ConcurrentCommitError`` is raised instead of
+  silently clobbering the interloper's buckets (Iceberg-style
+  validate-then-retry; callers may re-read and re-merge).
 - **Key-bucket layout**: data files live under ``data/b=<bucket>/`` where
   ``bucket = pmod(xxhash64(key_cols), n_buckets)``. MERGE rewrites only the
   buckets a batch touches (copy-on-write at bucket granularity, like
@@ -26,9 +36,10 @@ narrow so a real Iceberg catalog can be dropped in behind it on a cluster):
 
 Scale notes (100 TB / 1000 executors): n_buckets is the unit of merge
 parallelism and file pruning — size it so one bucket's data fits an executor
-(e.g. 4096+ at 100 TB). Snapshot JSON holds one file list per bucket; at
-millions of files this would move to avro manifests exactly like Iceberg —
-the structure (bucket -> files) is already manifest-shaped.
+(e.g. 4096+ at 100 TB). Snapshot headers are O(1); each manifest is O(live
+files), rewritten per commit — at millions of files the manifest would split
+per-bucket so only touched buckets' manifests rewrite (the bucket->files
+structure here is already shaped for that).
 """
 
 from __future__ import annotations
@@ -37,7 +48,7 @@ import json
 import os
 import time
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +56,12 @@ from pyspark.sql.types import StructType
 
 META_DIR = "_meta"
 DATA_DIR = "data"
+COMMITS_DIR = "commits"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another commit landed between this writer's base snapshot read and its
+    commit attempt. The caller should re-read the table and retry the merge."""
 
 
 def key_bucket_expr(key_cols: list[str], n_buckets: int) -> Column:
@@ -69,16 +86,17 @@ class Snapshot:
     schemas: dict[str, list[dict]]  # version(str) -> [{id,name,type}]
     key_columns: list[str]
     n_buckets: int
-    # bucket(str) -> [{path, schema_version, rows}]
+    # bucket(str) -> [{path, schema_version, rows}] — hydrated from the
+    # manifest file on load; NOT stored in the snapshot header.
     files: dict[str, list[dict]]
-    applied_commits: list[str]
+    n_commits: int
     summary: dict
     timestamp_ms: int
 
     def current_schema(self) -> list[dict]:
         return self.schemas[str(self.schema_version)]
 
-    def to_json(self) -> dict:
+    def header_json(self) -> dict:
         return {
             "snapshot_id": self.snapshot_id,
             "parent_id": self.parent_id,
@@ -87,14 +105,14 @@ class Snapshot:
             "schemas": self.schemas,
             "key_columns": self.key_columns,
             "n_buckets": self.n_buckets,
-            "files": self.files,
-            "applied_commits": self.applied_commits,
+            "manifest": f"{META_DIR}/m{self.snapshot_id:08d}.json",
+            "n_commits": self.n_commits,
             "summary": self.summary,
             "timestamp_ms": self.timestamp_ms,
         }
 
     @staticmethod
-    def from_json(d: dict) -> "Snapshot":
+    def from_json(d: dict, files: dict[str, list[dict]]) -> "Snapshot":
         return Snapshot(
             snapshot_id=d["snapshot_id"],
             parent_id=d.get("parent_id"),
@@ -103,22 +121,19 @@ class Snapshot:
             schemas=d["schemas"],
             key_columns=d["key_columns"],
             n_buckets=d["n_buckets"],
-            files=d["files"],
-            applied_commits=d["applied_commits"],
+            files=files,
+            n_commits=d.get("n_commits", len(d.get("applied_commits", []))),
             summary=d.get("summary", {}),
             timestamp_ms=d.get("timestamp_ms", 0),
         )
 
 
-def _atomic_write(path: str, content: str, exclusive: bool = False) -> None:
+def _atomic_write(path: str, content: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(content)
         f.flush()
         os.fsync(f.fileno())
-    if exclusive and os.path.exists(path):
-        os.unlink(tmp)
-        raise RuntimeError(f"Concurrent commit detected: {path} already exists")
     os.rename(tmp, path)
 
 
@@ -141,7 +156,7 @@ class LakeTable:
     ) -> "LakeTable":
         """Create an empty table. ``schema``: [(name, spark_type_ddl)]."""
         t = LakeTable(spark, path)
-        os.makedirs(os.path.join(t.path, META_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.path, META_DIR, COMMITS_DIR), exist_ok=True)
         os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
         cols = [{"id": i + 1, "name": n, "type": ty} for i, (n, ty) in enumerate(schema)]
         snap = Snapshot(
@@ -153,7 +168,7 @@ class LakeTable:
             key_columns=key_columns,
             n_buckets=n_buckets,
             files={},
-            applied_commits=["__create__"],
+            n_commits=1,
             summary={"row_count": 0, "max_seq": None},
             timestamp_ms=int(time.time() * 1000),
         )
@@ -167,22 +182,53 @@ class LakeTable:
     def _snapshot_path(self, snapshot_id: int) -> str:
         return os.path.join(self.path, META_DIR, f"v{snapshot_id:08d}.json")
 
+    def _manifest_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.path, META_DIR, f"m{snapshot_id:08d}.json")
+
+    def _marker_path(self, commit_id: str) -> str:
+        return os.path.join(self.path, META_DIR, COMMITS_DIR, commit_id)
+
     def _write_snapshot(self, snap: Snapshot) -> None:
-        _atomic_write(
-            self._snapshot_path(snap.snapshot_id),
-            json.dumps(snap.to_json()),
-            exclusive=True,
-        )
+        """Commit order: manifest -> header (exclusive) -> VERSION swap ->
+        commit marker. A crash leaves either an invisible orphan (header
+        written, VERSION unswapped — replaced on retry) or a visible snapshot
+        missing only its marker (healed lazily from the header's commit_id)."""
+        header_path = self._snapshot_path(snap.snapshot_id)
+        if os.path.exists(header_path):
+            # distinguish a crash orphan (never became current: safe to
+            # replace) from a live concurrent writer's committed snapshot
+            if self.current_snapshot_id() >= snap.snapshot_id:
+                raise ConcurrentCommitError(
+                    f"Snapshot {snap.snapshot_id} already committed by another writer"
+                )
+        _atomic_write(self._manifest_path(snap.snapshot_id), json.dumps({"files": snap.files}))
+        _atomic_write(header_path, json.dumps(snap.header_json()))
         _atomic_write(os.path.join(self.path, META_DIR, "VERSION"), str(snap.snapshot_id))
+        self._write_marker(snap.commit_id)
+
+    def _write_marker(self, commit_id: str) -> None:
+        marker = self._marker_path(commit_id)
+        if not os.path.exists(marker):
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            _atomic_write(marker, "")
 
     def current_snapshot_id(self) -> int:
         with open(os.path.join(self.path, META_DIR, "VERSION")) as f:
             return int(f.read().strip())
 
+    def _read_header(self, snapshot_id: int) -> dict:
+        with open(self._snapshot_path(snapshot_id)) as f:
+            return json.load(f)
+
     def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
-        with open(self._snapshot_path(sid)) as f:
-            return Snapshot.from_json(json.load(f))
+        d = self._read_header(sid)
+        if "files" in d:  # legacy header with inline file lists
+            files = d["files"]
+        else:
+            with open(os.path.join(self.path, d["manifest"])) as f:
+                files = json.load(f)["files"]
+        return Snapshot.from_json(d, files)
 
     def history(self) -> list[Snapshot]:
         out = []
@@ -244,7 +290,7 @@ class LakeTable:
             key_columns=snap.key_columns,
             n_buckets=snap.n_buckets,
             files=snap.files,
-            applied_commits=snap.applied_commits + [cid],
+            n_commits=snap.n_commits + 1,
             summary=snap.summary,
             timestamp_ms=int(time.time() * 1000),
         )
@@ -267,17 +313,14 @@ class LakeTable:
         those directories (the MERGE fast path)."""
         snap = self.snapshot(snapshot_id)
         current = snap.current_schema()
-        cur_by_id = {c["id"]: c for c in current}
 
         wanted = set(buckets) if buckets is not None else None
         by_version: dict[str, list[str]] = {}
-        bucket_of_file: dict[str, int] = {}
         for b, entries in snap.files.items():
             if wanted is not None and int(b) not in wanted:
                 continue
             for e in entries:
                 by_version.setdefault(str(e["schema_version"]), []).append(e["path"])
-                bucket_of_file[e["path"]] = int(b)
 
         parts: list[DataFrame] = []
         for version, rel_paths in by_version.items():
@@ -314,7 +357,15 @@ class LakeTable:
     # ----- commits -----------------------------------------------------------
 
     def has_commit(self, commit_id: str) -> bool:
-        return commit_id in set(self.snapshot().applied_commits)
+        """O(1): marker file, else the current header's own commit_id (the one
+        marker a crash between VERSION-swap and marker-write can lose)."""
+        if os.path.exists(self._marker_path(commit_id)):
+            return True
+        d = self._read_header(self.current_snapshot_id())
+        if d["commit_id"] == commit_id:
+            self._write_marker(commit_id)  # heal the crash window
+            return True
+        return False
 
     def commit_files(
         self,
@@ -322,13 +373,23 @@ class LakeTable:
         replaced_buckets: list[int],
         new_files: dict[int, list[dict]],
         summary_update: dict | None = None,
+        base_snapshot_id: int | None = None,
     ) -> Snapshot:
         """Commit a copy-on-write result: buckets in ``replaced_buckets`` get
         exactly ``new_files``; every other bucket keeps its current files.
+
+        ``base_snapshot_id``: the snapshot the caller computed its result
+        from. If another commit landed since, raises ConcurrentCommitError
+        instead of clobbering it (the caller must re-read and re-merge).
         Raises if commit_id was already applied (caller should check
         ``has_commit`` first for the cheap skip)."""
         snap = self.snapshot()
-        if commit_id in set(snap.applied_commits):
+        self._write_marker(snap.commit_id)  # heal any crashed predecessor
+        if base_snapshot_id is not None and snap.snapshot_id != base_snapshot_id:
+            raise ConcurrentCommitError(
+                f"Base snapshot {base_snapshot_id} is stale: current is {snap.snapshot_id}"
+            )
+        if self.has_commit(commit_id):
             raise RuntimeError(f"Commit {commit_id} already applied")
         files = {b: list(entries) for b, entries in snap.files.items()}
         for b in replaced_buckets:
@@ -349,7 +410,7 @@ class LakeTable:
             key_columns=snap.key_columns,
             n_buckets=snap.n_buckets,
             files=files,
-            applied_commits=snap.applied_commits + [commit_id],
+            n_commits=snap.n_commits + 1,
             summary=summary,
             timestamp_ms=int(time.time() * 1000),
         )

@@ -174,7 +174,7 @@ def cmd_cdc_status(args) -> int:
         "schema_version": snap.schema_version,
         "columns": [c["name"] for c in snap.current_schema()],
         "summary": snap.summary,
-        "commits": len(snap.applied_commits),
+        "commits": snap.n_commits,
         "buckets_with_data": len(snap.files),
     }, indent=2))
     return 0

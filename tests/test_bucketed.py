@@ -88,3 +88,60 @@ def test_bucketed_plan_has_no_exchange(spark, tmp_path, logs):
     unioned = reduce(lambda a, c: a.unionByName(c), children)
     plan = unioned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pruned_cow_rewrites_only_overlapping_buckets(spark, tmp_path, logs):
+    """Steady-state small batches: a seq range whose events live in ONE
+    bucket must rewrite exactly that bucket; every other bucket's files carry
+    forward untouched (footer-pruned copy-on-write)."""
+    _, bucketed, _ = logs
+    t = LakeTable.create(spark, str(tmp_path / "b4"), BASE_SCHEMA, KEYS, n_buckets=N_BUCKETS)
+    BucketedReplayer(spark, t, bucketed, batch_events=10_000).run()
+    before = {b: [e["path"] for e in ents] for b, ents in t.snapshot().files.items()}
+
+    # a follow-on segment touching a single key -> a single bucket
+    seg = spark.createDataFrame(
+        [(10_000_000, "U", "repo-0", "src/f0.py", "cX", "python", "patched")],
+        "seq long, op string, repo string, path string, commit string, lang string, content string",
+    )
+    seg_dir = str(tmp_path / "seg")
+    write_bucketed_change_log(seg, seg_dir, KEYS, N_BUCKETS)
+    r = BucketedReplayer(spark, t, seg_dir, batch_events=10_000)
+    stats = r.apply_range("seg-0", 10_000_000, 10_000_000)
+    assert stats["affected_buckets"] == 1
+
+    after = {b: [e["path"] for e in ents] for b, ents in t.snapshot().files.items()}
+    changed = [b for b in sorted(set(before) | set(after)) if before.get(b) != after.get(b)]
+    assert len(changed) == 1
+    # untouched buckets carried forward byte-identical; no rows lost anywhere
+    for b in before:
+        if b not in changed:
+            assert after[b] == before[b]
+    got = {
+        (r_["repo"], r_["path"]): r_["content"]
+        for r_ in t.read().where(F.col("repo") == "repo-0").collect()
+    }
+    assert got[("repo-0", "src/f0.py")] == "patched"
+
+
+def test_range_with_no_events_commits_checkpoint_only(spark, tmp_path, logs):
+    _, bucketed, _ = logs
+    t = LakeTable.create(spark, str(tmp_path / "b5"), BASE_SCHEMA, KEYS, n_buckets=N_BUCKETS)
+    BucketedReplayer(spark, t, bucketed, batch_events=10_000).run()
+    rows_before = t.read().count()
+    files_before = t.snapshot().files
+    r = BucketedReplayer(spark, t, bucketed, batch_events=10_000)
+    stats = r.apply_range("empty-range", 50_000_000, 60_000_000)
+    assert stats["affected_buckets"] == 0
+    assert t.read().count() == rows_before
+    assert t.snapshot().files == files_before
+
+
+def test_layout_mismatch_is_rejected(spark, tmp_path, logs):
+    flat, _, root = logs
+    ev = spark.read.parquet(flat)
+    wrong = str(tmp_path / "wrong_layout")
+    write_bucketed_change_log(ev, wrong, KEYS, N_BUCKETS * 2)
+    t = LakeTable.create(spark, str(tmp_path / "b6"), BASE_SCHEMA, KEYS, n_buckets=N_BUCKETS)
+    with pytest.raises(ValueError, match="n_buckets"):
+        BucketedReplayer(spark, t, wrong)

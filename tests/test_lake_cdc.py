@@ -214,3 +214,86 @@ class TestReplayVsOracle:
             res = ChangeLogReplayer(spark, t, events_path, batch_events=500).run()
             assert res == [] or all(b.skipped for b in res)
             assert table_sha256(t.read(), cols) == want
+
+
+class TestRound2Semantics:
+    def test_equal_seq_incoming_wins_including_delete(self, spark, tmp_path):
+        """Seq ties: the incoming event beats the stored row ('incoming wins
+        when its seq >= the stored one'), even for deletes, which would lose
+        a lexicographic op tie ('D' < 'U') without the priority field."""
+        from table2qb_spark.cdc.streaming import create_stream_table
+
+        t = create_stream_table(spark, str(tmp_path / "t"), BASE_SCHEMA, KEYS, n_buckets=4)
+        b1 = batch_df(
+            spark,
+            [
+                (5, "I", "r1", "a.py", "c1", "python", "v1"),
+                (5, "I", "r1", "b.py", "c1", "python", "keep"),
+            ],
+        )
+        merge_upsert(t, b1, "b1")
+        # same seq, update payload: incoming must win deterministically
+        merge_upsert(
+            t, batch_df(spark, [(5, "U", "r1", "a.py", "c2", "python", "v2")]), "b2"
+        )
+        state = {(r["repo"], r["path"]): r["content"] for r in t.read_live().collect()}
+        assert state[("r1", "a.py")] == "v2"
+        # same seq, delete: incoming delete must win too
+        merge_upsert(
+            t, batch_df(spark, [(5, "D", "r1", "a.py", None, None, None)]), "b3"
+        )
+        state = {(r["repo"], r["path"]): r["content"] for r in t.read_live().collect()}
+        assert ("r1", "a.py") not in state and ("r1", "b.py") in state
+
+    def test_concurrent_commit_is_detected(self, spark, tmp_path):
+        """Optimistic concurrency: a commit computed against a base snapshot
+        that another commit has since superseded must raise, not clobber."""
+        from table2qb_spark.lake.table import ConcurrentCommitError
+
+        t = make_table(spark, tmp_path)
+        merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "b1")
+        stale_base = t.current_snapshot_id()
+        merge_upsert(t, batch_df(spark, [(2, "U", "r1", "a.py", "c", "py", "v2")]), "b2")
+        with pytest.raises(ConcurrentCommitError):
+            t.commit_files("late", [], {}, base_snapshot_id=stale_base)
+        # and the interleaved commit's state is intact
+        assert t.read().collect()[0]["content"] == "v2"
+
+    def test_snapshot_header_is_o1_per_commit(self, spark, tmp_path):
+        """Scalability of the metadata: snapshot headers must not accumulate
+        per-commit state (file lists live in manifests, commit ids in marker
+        files), so header size stays flat as commits pile up."""
+        import json as _json
+
+        t = make_table(spark, tmp_path)
+        sizes = []
+        for i in range(1, 7):
+            merge_upsert(
+                t,
+                batch_df(spark, [(i, "U", "r1", "a.py", "c", "py", f"v{i}")]),
+                f"b{i}",
+                batch_size_hint=1,
+            )
+            hdr = t._read_header(t.current_snapshot_id())
+            assert "files" not in hdr and "applied_commits" not in hdr
+            sizes.append(len(_json.dumps(hdr)))
+        assert max(sizes) - min(sizes) < 64  # flat, not O(commits)
+        assert t.snapshot().n_commits == 7  # __create__ + 6 merges
+
+    def test_marker_crash_window_heals(self, spark, tmp_path):
+        """Simulate a crash between VERSION swap and marker write: deleting
+        the newest marker must not re-open the commit for replay."""
+        t = make_table(spark, tmp_path)
+        merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "b1")
+        os.unlink(t._marker_path("b1"))
+        assert t.has_commit("b1")  # healed from the current header
+        assert os.path.exists(t._marker_path("b1"))
+
+    def test_batch_missing_op_or_seq_gets_clean_error(self, spark, tmp_path):
+        t = make_table(spark, tmp_path)
+        bad = spark.createDataFrame(
+            [("r1", "a.py", "c", "py", "v1")],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        with pytest.raises(ValueError, match="missing columns.*op.*seq"):
+            merge_upsert(t, bad, "bad")

@@ -70,3 +70,18 @@ def test_streaming_restart_is_exactly_once(spark, tmp_path, stream_events):
     run_stream_to_completion(spark, t, stream_events, ckpt, max_files_per_trigger=5)
     assert table_sha256(t.read_live(), COLS) == sha1
     assert t.current_snapshot_id() == n_snapshots
+
+
+def test_new_checkpoint_does_not_collide_with_old_commits(spark, tmp_path, stream_events):
+    """Commit ids are namespaced per checkpoint (app id): restarting with a
+    FRESH checkpoint re-delivers batch_id 0.. but mints new commit ids, so
+    the batches are re-applied (seq-guard keeps the state converged) instead
+    of being silently dropped as 'redelivered' — the data-loss mode when a
+    checkpoint is lost or a second stream feeds the same table."""
+    t = create_stream_table(spark, str(tmp_path / "lake"), BASE_SCHEMA, KEYS, n_buckets=4)
+    run_stream_to_completion(spark, t, stream_events, str(tmp_path / "ckpt1"), max_files_per_trigger=5)
+    sha1 = table_sha256(t.read_live(), COLS)
+    n_snapshots = t.current_snapshot_id()
+    run_stream_to_completion(spark, t, stream_events, str(tmp_path / "ckpt2"), max_files_per_trigger=5)
+    assert t.current_snapshot_id() > n_snapshots  # re-applied, not skipped
+    assert table_sha256(t.read_live(), COLS) == sha1  # and still converged
