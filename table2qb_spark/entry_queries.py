@@ -127,6 +127,45 @@ def q_observation_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_uri_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11: RFC 6570 template expansion — {var} percent-encodes reserved
+    characters ('#' -> %23, the reference's integration evidence
+    test/table2qb/pipelines/integration_test.clj:57; ' ' -> %20), {+var}
+    substitutes raw. Pure Catalyst concat + url_encode fixups."""
+    from table2qb_spark.functions.uris import uri_template_expr
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.concat(F.lit("cn#cn8_"), F.col("p_partkey").cast("string")).alias("code"),
+        F.col("p_name").alias("label"),
+    )
+    return p.select(
+        "k",
+        uri_template_expr(
+            "http://ex.org/codes/{code}", {"code": F.col("code")}
+        ).alias("encoded_uri"),
+        uri_template_expr(
+            "http://ex.org/raw/{+code}/def", {"code": F.col("code")}
+        ).alias("raw_uri"),
+        uri_template_expr(
+            "http://ex.org/l/{label}", {"label": F.col("label")}
+        ).alias("label_uri"),
+    )
+
+
+def q_typed_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: typed view over the all-string staging observations — each column
+    cast to the Spark type of its declared datatype (value: number -> double)
+    with the fail-fast guard active."""
+    from table2qb_spark.config.typing import typed_view
+
+    raw = _raw_observations(spark, sf_dir)
+    cfg = get_cube_configuration(raw, CUBE_CONFIG)
+    obs = cube_pipe.observation_records_df(raw, cfg)
+    typed = typed_view(obs, cfg)
+    return typed.withColumn("value", F.round(F.col("value"), 4))
+
+
 def q_used_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _raw_observations(spark, sf_dir)
     cfg = get_cube_configuration(raw, CUBE_CONFIG)
@@ -347,7 +386,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+    # IVF-partitioned pairing (equi-join on centroid_id — the scale path);
+    # threshold chosen so the fixture yields non-empty output (synthetic
+    # 64-dim embeddings top out around cosine 0.51)
+    return ann.cosine_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=8
+    )
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,6 +452,18 @@ _SIMHASH_SUM = " + ".join(f"bit{j}" for j in range(16))
 
 ORACLES: dict[str, str] = {
     "cube_observations": SQL_OBS,
+    "uri_expand": """
+        SELECT p_partkey AS k,
+               'http://ex.org/codes/' || replace(replace('cn#cn8_' || CAST(p_partkey AS VARCHAR), '#', '%23'), ' ', '%20') AS encoded_uri,
+               'http://ex.org/raw/cn#cn8_' || CAST(p_partkey AS VARCHAR) || '/def' AS raw_uri,
+               'http://ex.org/l/' || replace(p_name, ' ', '%20') AS label_uri
+        FROM part
+    """,
+    "typed_observations": f"""
+        SELECT brand, container, measure_type, unit,
+               round(CAST(value AS DOUBLE), 4) AS value
+        FROM ({SQL_OBS})
+    """,
     "observation_uri": f"""
         SELECT 'http://ex.org/data/parts' || '/' || brand || '/' || container || '/' || measure_type AS obs_uri,
                value
@@ -677,10 +733,24 @@ ORACLES: dict[str, str] = {
         ) WHERE rank <= 3
     """,
     "embedding_neardup": """
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings ORDER BY vec_id LIMIT 8
+        ),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                              c.centroid_id ASC
+                   ) AS r
+            FROM embeddings e CROSS JOIN cent c
+          ) WHERE r = 1
+        )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.9
+        FROM assigned a JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.35
     """,
     "multimodal_meta": """
         SELECT doc_id AS media_id, 'blob' AS kind,
@@ -717,6 +787,8 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "cube_observations": q_cube_observations,
+    "uri_expand": q_uri_expand,
+    "typed_observations": q_typed_observations,
     "observation_uri": q_observation_uri,
     "used_codes": q_used_codes,
     "component_specifications": q_component_specifications,

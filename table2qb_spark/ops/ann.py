@@ -161,15 +161,42 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 8,
+    exact: bool = False,
 ) -> DataFrame:
-    """All pairs (a<b) with cosine >= threshold. Small-scale exact form; at
-    corpus scale run it per-IVF-partition (pairs across partitions are below
-    threshold by construction of the coarse quantizer)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """Embedding near-dup pairs (a < b) with cosine >= threshold.
+
+    Scale path (default): IVF-partitioned pairing — every vector is assigned
+    to its nearest centroid (one broadcast-join corpus scan), then pairs are
+    generated ONLY within a centroid partition via an **equi-join on
+    centroid_id** (hash/sort-merge, never a nested-loop cross join). The
+    quadratic blowup is confined to one partition's population, and at high
+    thresholds near-dups share their nearest centroid with overwhelming
+    probability (the standard IVF coarse-quantizer argument; raise
+    ``n_centroids`` with corpus size to keep partitions bounded, or pass
+    k-means ``centroids``). Approximate: a pair straddling two centroid
+    cells is missed — the recall/cost knob every ANN index exposes.
+
+    ``exact=True`` keeps the brute-force all-pairs form for small corpora or
+    recall evaluation (cartesian — do not run at scale)."""
+    if exact:
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        if centroids is None:
+            centroids = seed_centroids(corpus, n_centroids, id_col, vec_col)
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        a = assigned.select(
+            F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        b = assigned.select(
+            F.col("centroid_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+        pairs = a.join(b, on="centroid_id").where(F.col("id_a") < F.col("id_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             F.round(cosine_expr(F.col("va"), F.col("vb")), round_to).alias("cosine"),

@@ -102,18 +102,39 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs above threshold.
 
     With ``candidates`` (e.g. from LSH) verification joins only those pairs;
     without, the pair generation is the shingle self-join (inverted index:
-    explode -> join on shingle -> count common), never a cross join."""
+    explode -> join on shingle -> count common), never a cross join.
+
+    ``max_df`` caps the inverted index: shingles appearing in more than
+    ``max_df`` documents are dropped from PAIR GENERATION before the
+    self-join (a common shingle like "return 0 ;" would otherwise make one
+    join group quadratic — df² candidate rows from a single key). The hot
+    set is found with one tiny aggregate and removed with a broadcast
+    anti-join. Per-doc set sizes keep counting ALL shingles, so jaccard for
+    surviving pairs is a (slight, high-df-only) underestimate — safe for a
+    >= threshold dedup filter. Set ``max_df=None`` for the exact small-scale
+    form."""
     sh = df.select(
         F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
-    a, b = sh.alias("a"), sh.alias("b")
+    pair_src = sh
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("sh")
+        )
+        pair_src = sh.join(F.broadcast(hot), on="sh", how="left_anti")
+
+    a, b = pair_src.alias("a"), pair_src.alias("b")
     common = (
         a.join(b, on="sh")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
