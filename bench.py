@@ -120,7 +120,9 @@ def main():
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = QUERIES[name](spark, SF_DIR)
-        n = df.count()
+        # noop sink: materializes EVERY output column (a bare .count() lets
+        # Catalyst prune projections and time only the scan)
+        df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         queries[name] = round(dt, 3)
         total += dt

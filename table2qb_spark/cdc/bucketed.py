@@ -8,14 +8,17 @@ needs **no wide shuffle at all**:
     for each bucket b:   winner(key) = last-writer-wins over
                          events[b=b, seq range] ∪ current rows[bucket b]
 
-Each bucket's events and current files are read into ONE task partition
-(union of per-bucket coalesced subplans), the last-writer-wins reduction
-runs locally per partition (vectorized Arrow ``mapInPandas`` — pandas
-sort + drop_duplicates over one bucket's rows), and each task writes its own
-bucket directory. Memory traffic per batch = read events + read touched
-buckets + write touched buckets — no shuffle spill/serialization at all.
-This is what makes 4N-executor scaling near-linear: there is no all-to-all
-exchange left to contend on.
+Each touched bucket becomes an INDEPENDENT single-task Spark job (scan the
+bucket's events ∪ current files -> pure-JVM local sort + window winner ->
+write that bucket's directory), submitted concurrently from a driver thread
+pool and joined only at the metadata commit. An un-partitioned window over
+a single-partition child plans as a local sort — no Exchange, no Python
+round-trip (plan-asserted in tests). Memory traffic per batch = read events
++ read touched buckets + write touched buckets — no shuffle
+spill/serialization at all. This is what makes 4N-executor scaling
+near-linear: there is no all-to-all exchange left to contend on, and every
+per-bucket job is independent (the same shape as Iceberg's per-partition
+compaction/rewrite actions).
 
 **Bucket pruning** (the steady-state-small-batch property that matters at
 100 TB): the replayer indexes each event file's (min_seq, max_seq) from its
@@ -31,9 +34,9 @@ Trade-offs vs the shuffle merge (lake/merge.py):
 - requires the log laid out by the same bucket function AND the same bucket
   count as the table (validated at startup against the log's _layout.json);
 - per-bucket data must fit one task's memory (bucket count is the knob);
-- the union-of-subplans plan grows with touched-bucket count (fine to ~1k
-  buckets; beyond that a custom DataSource would assign file groups to
-  partitions).
+- one driver-submitted job per touched bucket (~tens of ms each, fully
+  overlapped by the thread pool; at >10^4 touched buckets per batch a
+  custom DataSource assigning file groups to partitions would amortize it).
 """
 
 from __future__ import annotations
@@ -41,10 +44,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections.abc import Iterator
-from functools import reduce
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -178,9 +178,6 @@ class BucketedReplayer:
         keys = snap.key_columns
         data_cols = [c["name"] for c in snap.current_schema()]
         value_cols = [c for c in data_cols if c not in keys]
-        out_ddl = ", ".join(
-            [f"`{c['name']}` {c['type']}" for c in snap.current_schema()]
-        ) + ", __bucket int"
 
         # footer-pruned copy-on-write: only buckets whose event files overlap
         # the seq range are merged + replaced; everything else carries forward
@@ -198,8 +195,40 @@ class BucketedReplayer:
                 "seconds": time.time() - t0,
             }
 
-        children = []
-        for b in relevant:
+        # Per-bucket last-writer-wins, ALL JVM, ZERO exchange: each child is
+        # one coalesced partition (one bucket's events ∪ current rows); an
+        # un-partitioned window needs every row in one partition — which the
+        # coalesce(1) child already satisfies, so the planner inserts a local
+        # sort only, no Exchange (plan-asserted in tests). The winner per key
+        # is the last row of the key group under (key, __seq, __pri) order:
+        # keep a row when the NEXT row starts a different key. Ordering stops
+        # at (__seq, __pri) — measured 2x cheaper than sorting by the full
+        # payload struct (content strings as sort keys) — because equal
+        # (key, seq) beyond __pri means an exact duplicate delivery (seq is
+        # unique per key in a CDC log); scalar per-key leads likewise beat a
+        # struct lead. This replaced a mapInPandas reduction — the
+        # Arrow->pandas->Arrow round-trip was ~6x slower than staying in
+        # whole-stage-codegen'd JVM operators.
+        from pyspark.sql.window import Window
+
+        key_cols = [F.col(k) for k in keys]
+        w = Window.orderBy(*key_cols, F.col("__seq"), F.col("__pri"))
+
+        # per-row invariant parity with ChangeLogReplayer (BASELINE
+        # input_hint): tables carrying content_sha get it computed at ingest
+        event_cols = {f.name for f in self._events_schema.fields}
+        value_exprs = []
+        for c in value_cols:
+            if c == "content_sha" and c not in event_cols and "content" in event_cols:
+                value_exprs.append(F.sha2(F.col("content"), 256).alias("content_sha"))
+            else:
+                value_exprs.append(F.col(c))
+
+        out_dir = os.path.join(
+            self.table.path, "data", f"snap-{snap.snapshot_id + 1:08d}"
+        )
+
+        def merge_one_bucket(b: int) -> int:
             ev = (
                 self.spark.read.schema(self._events_schema)
                 .parquet(os.path.join(self.events_dir, f"b={b}"))
@@ -209,7 +238,7 @@ class BucketedReplayer:
                     F.col(self.seq_col).cast("long").alias("__seq"),
                     F.lit(1).alias("__pri"),  # seq tie: event beats stored row
                     F.col(self.op_col).alias("__op"),
-                    *[F.col(c) for c in value_cols],
+                    *value_exprs,
                 )
             )
             cur_entries = snap.files.get(str(b), [])
@@ -224,34 +253,53 @@ class BucketedReplayer:
                 child = ev.unionByName(cur)
             else:
                 child = ev
-            children.append(child.coalesce(1).withColumn("__bucket", F.lit(b)))
+            child = child.coalesce(1)
+            last = F.lead(key_cols[0]).over(w).isNull()
+            for k in keys:
+                last = last | (F.lead(F.col(k)).over(w) != F.col(k))
+            winners = (
+                child.withColumn("__last", last)
+                .where(F.col("__last") & (F.col("__op") != self.delete_op))
+                .select(*keys, *[F.col(c) for c in value_cols])
+            )
+            winners.write.mode("overwrite").parquet(os.path.join(out_dir, f"b={b}"))
+            return b
 
-        unioned = reduce(lambda a, b: a.unionByName(b), children)
+        # Driver thread pool: one independent single-task Spark job per
+        # bucket (scan -> local sort/window -> write its own directory).
+        # Plan construction AND analysis parallelize across threads (py4j
+        # releases the GIL during JVM calls), jobs overlap on the executor —
+        # the union-of-256-subplans alternative spent ~30s per batch just
+        # BUILDING the DataFrame driver-side and re-ran the whole plan for
+        # the write. This is how a real engine schedules per-partition
+        # merges/compactions: independent tasks, no global barrier until the
+        # metadata commit.
+        from concurrent.futures import ThreadPoolExecutor
 
-        key_list, op_col_name, delete_op = list(keys), "__op", self.delete_op
-        val_list = list(value_cols)
+        pool = min(len(relevant), self.spark.sparkContext.defaultParallelism, 64)
+        with ThreadPoolExecutor(max_workers=pool) as ex:
+            list(ex.map(merge_one_bucket, relevant))
 
-        def winner_per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            chunks = list(batches)
-            if not chunks:
-                return
-            pdf = pd.concat(chunks, ignore_index=True)
-            if len(pdf) == 0:
-                return
-            # last-writer-wins: stable sort by (__seq, __pri), keep the last
-            # per key — an event whose seq ties the stored row's wins
-            pdf = pdf.sort_values(["__seq", "__pri"], kind="stable")
-            pdf = pdf.drop_duplicates(subset=key_list, keep="last")
-            pdf = pdf[pdf[op_col_name] != delete_op]
-            yield pdf[key_list + val_list + ["__bucket"]]
+        # enumerate written files from parquet footers (driver metadata read)
+        import pyarrow.parquet as pq
 
-        merged = unioned.mapInPandas(winner_per_partition, schema=out_ddl)
-
-        new_files = self.table.write_data_files(
-            merged, snapshot_hint=f"{snap.snapshot_id + 1:08d}", repartition=False
-        )
+        new_files: dict[int, list[dict]] = {b: [] for b in relevant}
         for b in relevant:
-            new_files.setdefault(b, [])  # bucket lost all rows: old files go
+            b_dir = os.path.join(out_dir, f"b={b}")
+            for fn in sorted(os.listdir(b_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(b_dir, fn)
+                rows = pq.ParquetFile(full).metadata.num_rows
+                if rows:
+                    new_files[b].append(
+                        {
+                            "path": os.path.relpath(full, self.table.path),
+                            "schema_version": snap.schema_version,
+                            "rows": rows,
+                        }
+                    )
+
         self.table.commit_files(
             commit_id, relevant, new_files, su, base_snapshot_id=snap.snapshot_id
         )

@@ -154,12 +154,6 @@ def gen_change_log(
     return events.unionAll(dups)
 
 
-def content_sha_py(repo: str, path: str, seq: int) -> str:
-    """Driver-side twin of _content_expr for oracle checks (not used in the
-    data plane)."""
-    raise NotImplementedError("oracle compares Spark-generated content directly")
-
-
 def write_change_log(df: DataFrame, path: str, n_files: int = 32) -> None:
     """Materialize the log as parquet. Files are written from hash-shuffled
     partitions, so physical order within the log is NOT seq order —

