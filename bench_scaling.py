@@ -39,6 +39,8 @@ cores = int(sys.argv[1])
 flat_path = sys.argv[2]
 bucketed_path = sys.argv[3]
 n_events = int(sys.argv[4])
+which = sys.argv[5]  # "shuffle" | "bucketed" — one path per JVM: sharing a
+# JVM measurably degrades the other path (GC/page-cache pollution)
 # identical physical job at both levels: same shuffle partitioning, same
 # bucket count — only the executor-core count differs (what a real N vs 4N
 # cluster varies)
@@ -54,17 +56,24 @@ def replay_flat(tag):
                          n_buckets=256)
     r = ChangeLogReplayer(spark, t, flat_path, batch_events=n_events)
     t0 = time.time(); r.run(); dt = time.time() - t0
-    return dt, t.row_count()
+    rows = t.row_count()
+    shutil.rmtree(t.path, ignore_errors=True)  # tmpfs IS RAM: never accumulate
+    return dt, rows
 
 def replay_bucketed(tag):
+    # 64 buckets: per-bucket task time (~1-2s) amortizes the per-bucket
+    # fixed costs (plan build, scheduling); production sizes buckets the
+    # same way — big enough that task time >> per-task overhead
     t = LakeTable.create(spark, os.path.join(wd, tag), SCHEMA, ["repo","path"],
-                         n_buckets=256)
+                         n_buckets=64)
     r = BucketedReplayer(spark, t, bucketed_path, batch_events=n_events)
     t0 = time.time(); r.run(); dt = time.time() - t0
-    return dt, t.row_count()
+    rows = t.row_count()
+    shutil.rmtree(t.path, ignore_errors=True)
+    return dt, rows
 
 out = {{"cores": cores}}
-for name, fn in (("shuffle", replay_flat), ("bucketed", replay_bucketed)):
+for name, fn in [(which, replay_flat if which == "shuffle" else replay_bucketed)]:
     fn(name + "w0"); fn(name + "w1")  # 2 warmups: codegen JIT needs several runs
     times, rows = [], None
     for i in range(5):
@@ -94,7 +103,7 @@ gen.write_change_log(ev, {flat_path!r}, n_files=128)
 t_flat = time.time() - t0
 t0 = time.time()
 write_bucketed_change_log(spark.read.parquet({flat_path!r}), {bucketed_path!r},
-                          ["repo", "path"], 256)
+                          ["repo", "path"], 64)
 t_layout = time.time() - t0
 print("GEN_RESULT " + json.dumps({{"flat_write_sec": round(t_flat, 1),
       "bucket_layout_sec": round(t_layout, 1)}}))
@@ -108,12 +117,12 @@ print("GEN_RESULT " + json.dumps({{"flat_write_sec": round(t_flat, 1),
     return {}
 
 
-def run_level(cores: int, flat: str, bucketed: str, n_events: int) -> dict:
+def run_level(cores: int, flat: str, bucketed: str, n_events: int, which: str = "shuffle") -> dict:
     """Run one parallelism level in a fresh JVM, hard-pinned to `cores` CPUs
     with taskset — local[8] alone would still let GC/JIT/shuffle-IO threads
     use all 32 host cores, overstating the small level's throughput."""
     cmd = [sys.executable, "-c", CHILD.format(repo=REPO),
-           str(cores), flat, bucketed, str(n_events)]
+           str(cores), flat, bucketed, str(n_events), which]
     import shutil as _sh
 
     if _sh.which("taskset"):
@@ -137,8 +146,10 @@ def main():
     bucketed = os.path.join(tmp, "events_bucketed")
     gen_stats = gen_events(flat, bucketed, n_events)
 
-    r8 = run_level(8, flat, bucketed, n_events)
-    r32 = run_level(32, flat, bucketed, n_events)
+    r8, r32 = {"cores": 8}, {"cores": 32}
+    for which in ("shuffle", "bucketed"):
+        r8.update(run_level(8, flat, bucketed, n_events, which))
+        r32.update(run_level(32, flat, bucketed, n_events, which))
     rows_seen = {r[p]["rows"] for r in (r8, r32) for p in ("shuffle", "bucketed")}
     assert len(rows_seen) == 1, f"paths/levels diverged: {rows_seen}"
     eff = {

@@ -369,7 +369,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_dedup(_t(spark, sf_dir, "documents"), bits=16)
+    return dedup.simhash_dedup(_t(spark, sf_dir, "documents"), bits=60)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,11 +444,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle SQL (DuckDB dialect-compatible ANSI)
 # ---------------------------------------------------------------------------
 
+_SIMHASH_BITS = 60  # token hash = 15 md5 hex chars: positive in signed int64
 _SIMHASH_BIT_SUMS = ",\n       ".join(
-    f"""CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN (('0x' || substr(md5(t),1,8))::BIGINT // {2**j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN {2**j} ELSE 0 END AS bit{j}"""
-    for j in range(16)
+    f"""CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN (('0x' || substr(md5(t),1,15))::BIGINT // {2**j}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN {2**j} ELSE 0 END AS bit{j}"""
+    for j in range(_SIMHASH_BITS)
 )
-_SIMHASH_SUM = " + ".join(f"bit{j}" for j in range(16))
+_SIMHASH_SUM = " + ".join(f"bit{j}" for j in range(_SIMHASH_BITS))
 
 ORACLES: dict[str, str] = {
     "cube_observations": SQL_OBS,
@@ -686,7 +687,7 @@ ORACLES: dict[str, str] = {
           FROM base
         )
         SELECT doc_id, ({_SIMHASH_SUM})::BIGINT AS simhash,
-               (({_SIMHASH_SUM})::BIGINT // 256)::BIGINT AS bucket
+               (({_SIMHASH_SUM})::BIGINT // {2**(_SIMHASH_BITS - 8)})::BIGINT AS bucket
         FROM bits
     """,
     "ann_cosine_topk": """

@@ -7,8 +7,9 @@ Scale shapes:
   self-join. The candidate join is on (band, band_hash) buckets, so the
   quadratic blowup is confined to same-bucket collisions — THE standard
   near-dup design at corpus scale (no all-pairs join anywhere).
-- **SimHash**: 64-bit signature via per-token hash bit voting; near-dups =
-  bucket join on band substrings of the signature.
+- **SimHash**: 60-bit signature via per-token hash bit voting (60 = widest
+  slice positive in signed int64 on Spark AND DuckDB); near-dups = bucket
+  join on band substrings of the signature.
 - **n-gram Jaccard**: exact verification, used on LSH candidates (or
   directly at small scale) — token-set intersection via explode + join.
 - **embedding cosine near-dup**: see ops.ann.
@@ -165,14 +166,19 @@ def ngram_jaccard_pairs(
     return out
 
 
-def simhash_expr(c: Column, bits: int = 16) -> Column:
+def simhash_expr(c: Column, bits: int = 60) -> Column:
     """SimHash over token set: bit j of the signature = majority vote of bit
-    j across token hashes. Token hash = first 4 bytes of md5 (hex -> int), a
-    cross-engine-stable family. Returns a LONG signature of ``bits`` bits."""
+    j across token hashes. Token hash = first 15 md5 hex chars (60 bits —
+    the widest slice that stays positive in a signed 64-bit int on BOTH
+    Spark and DuckDB, keeping the operator SQL-oracle-able). Returns a LONG
+    signature of ``bits`` (<= 60) bits; 60 is the production default — a
+    16-bit signature saturates its 65k hash space long before corpus scale."""
+    if not 1 <= bits <= 60:
+        raise ValueError("simhash bits must be in [1, 60]")
     toks = F.array_distinct(tokens_expr(c))
 
     def token_hash(t):
-        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
     def vote_fn(j):
         def fn(acc, t):
@@ -190,7 +196,7 @@ def simhash_expr(c: Column, bits: int = 16) -> Column:
     return sig
 
 
-def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """(doc_id, simhash) plus bucket = high byte — near-dup candidates share
     a bucket (banding over the signature)."""
     sig = simhash_expr(F.col(text_col), bits)

@@ -315,6 +315,11 @@ def get_uris(base_uri: str, dataset_slug: str) -> dict:
     return resolve_uris(CUBE_PIPELINE_URIS, base_uri, dataset_slug)
 
 
+# Above this input size the observations sink switches from the driver-side
+# single-file golden artifact to a distributed df.write.csv (no collect).
+CSV_DRIVER_SINK_MAX_BYTES = 64 * 1024 * 1024
+
+
 def cube_pipeline(
     spark: SparkSession,
     output_directory: str,
@@ -324,9 +329,16 @@ def cube_pipeline(
     column_config: ColumnsConfig,
     base_uri: str,
     uri_templates: dict | None = None,
+    distributed_csv: bool | None = None,
 ) -> dict:
     """cube.clj:195-227 end-to-end: component-specifications.csv,
-    observations.csv, metadata.json."""
+    observations.csv, metadata.json.
+
+    ``distributed_csv``: None (default) auto-selects the observations sink by
+    input size — small inputs collect to ONE driver-written CSV (byte-stable
+    against the reference goldens), large inputs write executor-side part
+    files under ``observations.csv.d/`` with no driver materialization
+    (``df.write.csv``). True/False force a sink."""
     uri_defs = uri_fns.merge_uris(CUBE_PIPELINE_URIS, uri_templates)
     uris = resolve_uris(uri_defs, base_uri, dataset_slug)
     cube_config = get_cube_configuration(input_csv, column_config, spark=spark)
@@ -345,11 +357,21 @@ def cube_pipeline(
         for r in comp_recs:
             w.writerow([r.get(c) or "" for c in COMPONENT_SPEC_COLUMNS])
 
-    # observations: distributed transform, then single-file CSV artifact
+    # observations: distributed transform, then the CSV sink. The golden
+    # artifact path (small inputs) is ONE driver-written file; past the size
+    # threshold the rows never touch the driver — executors write header-ed
+    # part files that any CSVW consumer (and spark.read.csv) reads as a unit.
     obs_raw = spark.read.option("header", True).option("inferSchema", False).csv(input_csv)
     obs = observation_records_df(obs_raw, cube_config)
-    pdf = obs.toPandas()
-    pdf.to_csv(observations_csv, index=False)
+    if distributed_csv is None:
+        distributed_csv = os.path.getsize(input_csv) > CSV_DRIVER_SINK_MAX_BYTES
+    if distributed_csv:
+        obs_dir = observations_csv + ".d"
+        obs.write.mode("overwrite").option("header", True).csv(obs_dir)
+        observations_csv = obs_dir
+    else:
+        pdf = obs.toPandas()
+        pdf.to_csv(observations_csv, index=False)
 
     metadata = {
         "@context": ["http://www.w3.org/ns/csvw", {"@language": "en"}],

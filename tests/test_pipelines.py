@@ -311,3 +311,49 @@ class TestCubePipeline:
         pairs = {(r["component"], r["code"]) for r in used}
         assert ("flow", "export") in pairs and ("flow", "import") in pairs
         assert ("measure_type", "gbp-total") in pairs
+
+
+class TestDistributedObservationsSink:
+    def test_large_cube_writes_without_driver_collect(
+        self, spark, default_config, reference_available, tmp_path
+    ):
+        """Past the size threshold the observations sink is executor-side
+        part files (df.write.csv) — no toPandas/collect. Forced here via
+        distributed_csv=True on the regional-trade fixture; content must
+        equal the golden rows (order-insensitive: part files)."""
+        res = cube.cube_pipeline(
+            spark,
+            str(tmp_path),
+            example_csv("regional-trade", "input.csv"),
+            "Regional Trade",
+            "regional-trade",
+            default_config,
+            TEST_DOMAIN,
+            distributed_csv=True,
+        )
+        out = res["observations_csv"]
+        assert os.path.isdir(out)  # a directory of part files, not one file
+        assert any(f.startswith("part-") for f in os.listdir(out))
+        got = spark.read.option("header", True).csv(out)
+        want_rows = read_csv_dicts(example_csvw("regional-trade", "observations.csv"))
+        got_rows = [
+            {k: (v if v is not None else "") for k, v in r.asDict().items()}
+            for r in got.collect()
+        ]
+        key = lambda r: tuple(sorted(r.items()))  # noqa: E731
+        assert sorted(got_rows, key=key) == sorted(want_rows, key=key)
+
+    def test_auto_threshold_keeps_golden_single_file(
+        self, spark, default_config, reference_available, tmp_path
+    ):
+        """Small inputs (goldens) stay on the single-file driver sink."""
+        res = cube.cube_pipeline(
+            spark,
+            str(tmp_path),
+            example_csv("regional-trade", "input.csv"),
+            "Regional Trade",
+            "regional-trade",
+            default_config,
+            TEST_DOMAIN,
+        )
+        assert os.path.isfile(res["observations_csv"])
