@@ -81,7 +81,9 @@ def cmd_exec(args) -> int:
         "implemented in this engine: it produces and verifies final TABLE "
         "state. Run 'codelist-pipeline', 'components-pipeline' or "
         "'cube-pipeline' to generate the tables (CSV + CSVW metadata.json) "
-        "that csv2rdf would serialize.",
+        "that csv2rdf would serialize; codelist/components support "
+        "--rdf-output for a distributed N-Triples serialization of the "
+        "minimal csv2rdf subset.",
         file=sys.stderr,
     )
     return 2
@@ -122,7 +124,7 @@ def cmd_codelist(args) -> int:
     spark = get_spark("codelist-pipeline")
     res = codelist_pipeline(
         spark, args.output_directory, args.codelist_csv, args.codelist_name,
-        args.codelist_slug, args.base_uri,
+        args.codelist_slug, args.base_uri, rdf_output=args.rdf_output,
     )
     print(res["metadata_file"])
     return 0
@@ -133,7 +135,10 @@ def cmd_components(args) -> int:
 
     _require_file(args.input_csv, "input CSV")
     spark = get_spark("components-pipeline")
-    res = components_pipeline(spark, args.output_directory, args.input_csv, args.base_uri)
+    res = components_pipeline(
+        spark, args.output_directory, args.input_csv, args.base_uri,
+        rdf_output=args.rdf_output,
+    )
     print(res["metadata_file"])
     return 0
 
@@ -260,12 +265,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--codelist-slug", required=True)
     c.add_argument("--base-uri", default="http://gss-data.org.uk/")
     c.add_argument("--output-directory", required=True)
+    c.add_argument("--rdf-output", default=None,
+                   help="also write the table as N-Triples (distributed part files)")
     c.set_defaults(fn=cmd_codelist)
 
     c = sub.add_parser("components-pipeline")
     c.add_argument("--input-csv", required=True)
     c.add_argument("--base-uri", default="http://gss-data.org.uk/")
     c.add_argument("--output-directory", required=True)
+    c.add_argument("--rdf-output", default=None,
+                   help="also write the table as N-Triples (distributed part files)")
     c.set_defaults(fn=cmd_components)
 
     c = sub.add_parser("cube-pipeline")

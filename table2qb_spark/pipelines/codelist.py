@@ -181,8 +181,12 @@ def codelist_pipeline(
     codelist_slug: str,
     base_uri: str,
     uri_templates: dict | None = None,
+    rdf_output: str | None = None,
 ) -> dict:
-    """Full pipeline (codelist.clj:134-148): annotated CSV + metadata.json."""
+    """Full pipeline (codelist.clj:134-148): annotated CSV + metadata.json.
+    ``rdf_output``: optional directory for a distributed N-Triples
+    serialization of the annotated table (the minimal csv2rdf subset —
+    pipelines/rdf.py)."""
     uri_defs = uri_fns.merge_uris(CODELIST_PIPELINE_URIS, uri_templates)
     uris = resolve_uris(uri_defs, base_uri, codelist_slug)
     os.makedirs(output_directory, exist_ok=True)
@@ -196,4 +200,10 @@ def codelist_pipeline(
     metadata = codelist_schema(output_csv, codelist_name, uris)
     with open(metadata_file, "w", encoding="utf-8") as f:
         json.dump(metadata, f, indent=2, ensure_ascii=False)
-    return {"metadata_file": metadata_file, "codelist_csv": output_csv, "df": df}
+    out = {"metadata_file": metadata_file, "codelist_csv": output_csv, "df": df}
+    if rdf_output:
+        from table2qb_spark.pipelines.rdf import write_ntriples
+
+        write_ntriples(df, metadata, rdf_output)
+        out["rdf_output"] = rdf_output
+    return out

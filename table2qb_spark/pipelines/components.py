@@ -179,8 +179,11 @@ def components_pipeline(
     input_csv: str,
     base_uri: str,
     uri_templates: dict | None = None,
+    rdf_output: str | None = None,
 ) -> dict:
-    """Full pipeline (components.clj:123-137): annotated CSV + metadata.json."""
+    """Full pipeline (components.clj:123-137): annotated CSV + metadata.json.
+    ``rdf_output``: optional directory for a distributed N-Triples
+    serialization (minimal csv2rdf subset, pipelines/rdf.py)."""
     uri_defs = uri_fns.merge_uris(COMPONENTS_PIPELINE_URIS, uri_templates)
     uris = resolve_uris(uri_defs, base_uri)
     os.makedirs(output_directory, exist_ok=True)
@@ -198,4 +201,10 @@ def components_pipeline(
     metadata = components_schema(components_csv, uris)
     with open(metadata_file, "w", encoding="utf-8") as f:
         json.dump(metadata, f, indent=2, ensure_ascii=False)
-    return {"metadata_file": metadata_file, "components_csv": components_csv, "df": df}
+    out = {"metadata_file": metadata_file, "components_csv": components_csv, "df": df}
+    if rdf_output:
+        from table2qb_spark.pipelines.rdf import write_ntriples
+
+        write_ntriples(df, metadata, rdf_output)
+        out["rdf_output"] = rdf_output
+    return out

@@ -357,3 +357,104 @@ class TestDistributedObservationsSink:
             TEST_DOMAIN,
         )
         assert os.path.isfile(res["observations_csv"])
+
+
+class TestRdfSink:
+    """Minimal CSVW->N-Triples sink (pipelines/rdf.py) — the distributed
+    subset of what the reference's csv2rdf minimal mode emits for the
+    codelist/components schemas."""
+
+    def _triples(self, path):
+        import glob
+
+        out = set()
+        for f in glob.glob(os.path.join(path, "part-*")):
+            with open(f) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        assert line.endswith(" .")
+                        out.add(line[:-2].strip())
+        return out
+
+    def test_codelist_ntriples(self, spark, reference_available, tmp_path):
+        res = codelist.codelist_pipeline(
+            spark,
+            str(tmp_path / "out"),
+            example_csv("regional-trade", "flow-directions.csv"),
+            "Flow Directions",
+            "flow-directions",
+            TEST_DOMAIN,
+            rdf_output=str(tmp_path / "nt"),
+        )
+        got = self._triples(res["rdf_output"])
+        code = "http://gss-data.org.uk/def/concept/flow-directions/export"
+        scheme = "http://gss-data.org.uk/def/concept-scheme/flow-directions"
+        skos = "http://www.w3.org/2004/02/skos/core#"
+        assert f'<{code}> <{skos}notation> "export"@en' in got
+        assert f'<{code}> <{skos}inScheme> <{scheme}>' in got
+        assert f'<{code}> <{skos}topConceptOf> <{scheme}>' in got
+        assert f'<{scheme}> <{skos}hasTopConcept> <{code}>' in got
+        assert (
+            f'<{scheme}> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> '
+            f'<{skos}ConceptScheme>' in got
+        )
+        # CSVW null rule: no skos:broader for codes without a parent
+        assert not any("broader" in t for t in got)
+
+    def test_codelist_ntriples_hierarchy_and_types(self, spark, reference_available, tmp_path):
+        res = codelist.codelist_pipeline(
+            spark,
+            str(tmp_path / "out"),
+            example_csv("regional-trade", "sitc-sections.csv"),
+            "SITC Sections",
+            "sitc-sections",
+            TEST_DOMAIN,
+            rdf_output=str(tmp_path / "nt"),
+        )
+        got = self._triples(res["rdf_output"])
+        base = "http://gss-data.org.uk/def/concept/sitc-sections/"
+        skos = "http://www.w3.org/2004/02/skos/core#"
+        # child -> parent broader edge and the inverse narrower edge
+        assert f'<{base}0-food-and-live-animals> <{skos}broader> <{base}total>' in got
+        assert f'<{base}total> <{skos}narrower> <{base}0-food-and-live-animals>' in got
+        # typed literal from the integer-datatyped sort_priority column
+        assert any(
+            "sortPriority" in t and "^^<http://www.w3.org/2001/XMLSchema#integer>" in t
+            for t in got
+        )
+        # every code is a skos:Concept (virtual column fires on every row)
+        concepts = [t for t in got if t.endswith(f"<{skos}Concept>")]
+        assert len(concepts) == 11
+
+    def test_components_ntriples_curie_expansion(self, spark, reference_available, tmp_path):
+        res = components.components_pipeline(
+            spark,
+            str(tmp_path / "out"),
+            example_csv("regional-trade", "components.csv"),
+            TEST_DOMAIN,
+            rdf_output=str(tmp_path / "nt"),
+        )
+        got = self._triples(res["rdf_output"])
+        qb = "http://purl.org/linked-data/cube#"
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        # {+component_type} cell 'qb:DimensionProperty' expands to a full IRI
+        assert any(t.endswith(f"<{qb}DimensionProperty>") for t in got)
+        # virtual rdf:Property type triple on every component
+        props = [t for t in got if t.endswith(f"<{rdf}type> <{rdf}Property>")]
+        assert len(props) >= 4
+
+    def test_rdf_write_is_distributed(self, spark, reference_available, tmp_path):
+        """The sink is executor part files, not a driver-written artifact."""
+        res = codelist.codelist_pipeline(
+            spark,
+            str(tmp_path / "out"),
+            example_csv("regional-trade", "sitc-sections.csv"),
+            "SITC Sections",
+            "sitc-sections",
+            TEST_DOMAIN,
+            rdf_output=str(tmp_path / "nt"),
+        )
+        import glob
+
+        assert glob.glob(os.path.join(res["rdf_output"], "part-*"))
