@@ -153,7 +153,7 @@ def cmd_cube(args) -> int:
     cols = load_column_configuration(args.column_config)
     res = cube_pipeline(
         spark, args.output_directory, args.input_csv, args.dataset_name,
-        args.dataset_slug, cols, args.base_uri,
+        args.dataset_slug, cols, args.base_uri, rdf_output=args.rdf_output,
     )
     print(res["metadata_file"])
     return 0
@@ -284,6 +284,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--column-config", required=True)
     c.add_argument("--base-uri", default="http://gss-data.org.uk/")
     c.add_argument("--output-directory", required=True)
+    c.add_argument("--rdf-output", default=None,
+                   help="also write observation triples as N-Triples part files")
     c.set_defaults(fn=cmd_cube)
 
     c = sub.add_parser("cdc-init")

@@ -330,6 +330,7 @@ def cube_pipeline(
     base_uri: str,
     uri_templates: dict | None = None,
     distributed_csv: bool | None = None,
+    rdf_output: str | None = None,
 ) -> dict:
     """cube.clj:195-227 end-to-end: component-specifications.csv,
     observations.csv, metadata.json.
@@ -386,10 +387,22 @@ def cube_pipeline(
     }
     with open(metadata_file, "w", encoding="utf-8") as f:
         json.dump(metadata, f, indent=2, ensure_ascii=False)
-    return {
+    out = {
         "metadata_file": metadata_file,
         "observations_csv": observations_csv,
         "component_specifications_csv": comp_spec_csv,
         "cube_config": cube_config,
         "observations_df": obs,
     }
+    if rdf_output:
+        # distributed N-Triples for the observation rows (qb:Observation
+        # type + dataSet link + one triple per component); the blank-node
+        # DSD stays csv2rdf territory — see pipelines/rdf.py
+        from table2qb_spark.pipelines.rdf import write_ntriples
+
+        obs_schema = observations_schema(
+            observations_csv, domain_data, dataset_slug, cube_config, uris
+        )
+        write_ntriples(obs, obs_schema, rdf_output)
+        out["rdf_output"] = rdf_output
+    return out

@@ -96,7 +96,10 @@ def triples_df(df: DataFrame, schema: dict, language: str = "en") -> DataFrame:
         name = col.get("name")
         virtual = col.get("virtual", False)
         s = _template_expr(col.get("aboutUrl", about_default), df_cols)
-        p = F.lit(expand_term(col["propertyUrl"]))
+        # propertyUrl may itself be a template (the cube's value column uses
+        # .../measure/{measure_type} so each row's predicate follows its
+        # measure-type dimension)
+        p = _template_expr(col["propertyUrl"], df_cols)
         if "valueUrl" in col:
             obj = F.concat(F.lit("<"), _template_expr(col["valueUrl"], df_cols), F.lit(">"))
         else:
@@ -131,7 +134,10 @@ def triples_df(df: DataFrame, schema: dict, language: str = "en") -> DataFrame:
 
 
 def table_level_triples(schema: dict, language: str = "en") -> list[tuple[str, str, str]]:
-    """The handful of triples about the table resource itself (@id node)."""
+    """The handful of triples about the table resource itself (@id node).
+    Schemas without an @id (e.g. observations) contribute none."""
+    if "@id" not in schema:
+        return []
     subject = f"<{schema['@id']}>"
     out = []
     rdf_type = schema.get("rdf:type")

@@ -458,3 +458,36 @@ class TestRdfSink:
         import glob
 
         assert glob.glob(os.path.join(res["rdf_output"], "part-*"))
+
+    def test_cube_observation_ntriples(self, spark, default_config, reference_available, tmp_path):
+        """Observation rows serialize too: qb:Observation typing, dataSet
+        link, IRIs for coded dimensions, and per-row measure predicates
+        resolved through the {measure_type} propertyUrl template."""
+        res = cube.cube_pipeline(
+            spark,
+            str(tmp_path / "out"),
+            example_csv("regional-trade", "input.csv"),
+            "Regional Trade",
+            "regional-trade",
+            default_config,
+            TEST_DOMAIN,
+            rdf_output=str(tmp_path / "nt"),
+        )
+        got = self._triples(res["rdf_output"])
+        n_obs = len(read_csv_dicts(res["observations_csv"]))
+        qb = "http://purl.org/linked-data/cube#"
+        typed = [t for t in got if t.endswith(f"<{qb}Observation>")]
+        assert len(typed) == n_obs
+        linked = [t for t in got if f"<{qb}dataSet> <http://gss-data.org.uk/data/regional-trade>" in t]
+        assert len(linked) == n_obs
+        # measure predicate comes from the row's measure_type cell
+        assert any(
+            "<http://gss-data.org.uk/def/measure/gbp-total> " in t
+            and t.endswith('^^<http://www.w3.org/2001/XMLSchema#double>')
+            for t in got
+        )
+        # coded dimension -> IRI object
+        assert any(
+            "<http://gss-data.org.uk/def/concept/flow-directions/export>" in t
+            for t in got
+        )
