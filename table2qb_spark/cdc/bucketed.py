@@ -80,6 +80,7 @@ def _bucket_seq_index(
     for b in buckets:
         b_dir = os.path.join(events_dir, f"b={b}")
         lo = hi = None
+        degraded = False
         for fn in os.listdir(b_dir):
             if not fn.endswith(".parquet"):
                 continue
@@ -93,11 +94,18 @@ def _bucket_seq_index(
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ci).statistics
                 if st is None or not st.has_min_max:
-                    # no stats -> must assume the file spans everything
-                    return {bb: (-(2**62), 2**62) for bb in buckets}
+                    # no stats -> THIS bucket must assume it spans everything;
+                    # every other bucket keeps its exact footer range (a
+                    # single stat-less file must not disable pruning globally)
+                    degraded = True
+                    break
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None:
+            if degraded:
+                break
+        if degraded:
+            index[b] = (-(2**62), 2**62)
+        elif lo is not None:
             index[b] = (int(lo), int(hi))
     return index
 
@@ -137,7 +145,8 @@ class BucketedReplayer:
             for d in os.listdir(events_dir)
             if d.startswith("b=")
         )
-        n_buckets = table.snapshot().n_buckets
+        snap0 = table.snapshot()
+        n_buckets = snap0.n_buckets
         layout_path = os.path.join(events_dir, LAYOUT_FILE)
         if os.path.exists(layout_path):
             with open(layout_path) as f:
@@ -147,6 +156,16 @@ class BucketedReplayer:
                     f"Change-log layout has n_buckets={layout['n_buckets']} but the "
                     f"table has n_buckets={n_buckets}; bucket-aligned replay would "
                     "misplace rows — use ChangeLogReplayer or rewrite the log"
+                )
+            # same bucket COUNT but different bucket FUNCTION (other key
+            # columns) misplaces rows just as silently — validate both
+            layout_keys = list(layout.get("key_columns") or [])
+            if layout_keys and layout_keys != list(snap0.key_columns):
+                raise ValueError(
+                    f"Change-log layout is bucketed by key_columns={layout_keys} "
+                    f"but the table's keys are {list(snap0.key_columns)}; "
+                    "bucket-aligned replay would misplace rows — use "
+                    "ChangeLogReplayer or rewrite the log"
                 )
         elif self._event_buckets and self._event_buckets[-1] >= n_buckets:
             raise ValueError(
@@ -253,9 +272,11 @@ class BucketedReplayer:
             F.lit("U").alias("__op"),
             *[F.col(c) for c in value_cols],
         ]
-        last = F.lead(key_cols[0]).over(w).isNull()
+        # null-safe group-end detection (see lake/merge.py): lead(lit(1)) is
+        # NULL only at the last row; eqNullSafe keeps NULL keys a real group
+        last = F.lead(F.lit(1)).over(w).isNull()
         for k in keys:
-            last = last | (F.lead(F.col(k)).over(w) != F.col(k))
+            last = last | ~F.lead(F.col(k)).over(w).eqNullSafe(F.col(k))
         keep = F.col("__last") & (F.col("__op") != self.delete_op)
         post_select = [*key_cols, *[F.col(c) for c in value_cols]]
 
@@ -290,8 +311,10 @@ class BucketedReplayer:
                 sql_vals.append("sha2(`content`, 256) AS `content_sha`")
             else:
                 sql_vals.append(f"`{c}`")
+        # lead(1) IS NULL = last row; IS DISTINCT FROM = null-safe inequality
         lead_cond = " OR ".join(
-            [f"lead({qk[0]}) OVER w IS NULL"] + [f"lead({q}) OVER w <> {q}" for q in qk]
+            ["lead(1) OVER w IS NULL"]
+            + [f"(lead({q}) OVER w IS DISTINCT FROM {q})" for q in qk]
         )
         out_cols_sql = ", ".join(qk + [f"`{c}`" for c in value_cols])
 

@@ -56,8 +56,18 @@ def checkpoint_app_id(checkpoint_dir: str) -> str:
     tmp = f"{marker}.tmp.{app_id}"
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(app_id)
-    os.rename(tmp, marker)
-    with open(marker) as f:  # reread: another racer may have won the rename
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        # true O_EXCL: the FIRST writer wins and the marker never changes
+        # afterwards (os.rename would let a late racer silently REPLACE the
+        # marker, orphaning commit ids already minted under the first id)
+        os.link(tmp, marker)
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
+    with open(marker) as f:  # all racers reread the single persisted id
         return f.read().strip()
 
 

@@ -372,6 +372,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_dedup(_t(spark, sf_dir, "documents"), bits=60)
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-LSH candidate pairs: docs sharing >=1 of 4 15-bit simhash
+    bands (covers all pairs within Hamming distance 3)."""
+    return dedup.simhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"), bits=60, bands=4
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -690,6 +698,28 @@ ORACLES: dict[str, str] = {
                (({_SIMHASH_SUM})::BIGINT // {2**(_SIMHASH_BITS - 8)})::BIGINT AS bucket
         FROM bits
     """,
+    # banded Hamming-LSH pairs: 4 bands x 15 bits; band j value =
+    # (sig >> 15j) & 32767 (top band keeps the remainder — none at 60/4)
+    "dedup_simhash_pairs": f"""
+        WITH base AS (
+          SELECT doc_id, list_distinct({SQL_TOKENS.format(x='text')}) AS toks FROM documents
+        ),
+        bits AS (
+          SELECT doc_id,
+       {_SIMHASH_BIT_SUMS}
+          FROM base
+        ),
+        sig AS (SELECT doc_id, ({_SIMHASH_SUM})::BIGINT AS simhash FROM bits),
+        banded AS (
+          SELECT doc_id, 0 AS band, (simhash % {2**15})::BIGINT AS bv FROM sig
+          UNION ALL SELECT doc_id, 1, ((simhash // {2**15}) % {2**15})::BIGINT FROM sig
+          UNION ALL SELECT doc_id, 2, ((simhash // {2**30}) % {2**15})::BIGINT FROM sig
+          UNION ALL SELECT doc_id, 3, (simhash // {2**45})::BIGINT FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    """,
     "ann_cosine_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -808,6 +838,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup": q_embedding_neardup,

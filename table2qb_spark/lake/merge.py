@@ -209,9 +209,14 @@ def merge_upsert(
         w = Window.partitionBy("__bucket").orderBy(
             *[F.col(k) for k in keys], F.col("__seq"), F.col("__pri")
         )
-        last = F.lead(F.col(keys[0])).over(w).isNull()
+        # null-safe group-end detection: lead(lit(1)) is NULL only at the
+        # partition's last row (lead(key).isNull() would also fire mid-stream
+        # when the NEXT key is genuinely NULL), and eqNullSafe treats NULL
+        # keys as a real group — lead(k) != k evaluates to NULL for them,
+        # silently keeping/dropping whole NULL-key groups
+        last = F.lead(F.lit(1)).over(w).isNull()
         for k in keys:
-            last = last | (F.lead(F.col(k)).over(w) != F.col(k))
+            last = last | ~F.lead(F.col(k)).over(w).eqNullSafe(F.col(k))
         winners = bucketed.withColumn("__last", last).where(F.col("__last"))
         write_repartition = False
 

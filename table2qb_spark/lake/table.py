@@ -137,6 +137,22 @@ def _atomic_write(path: str, content: str) -> None:
     os.rename(tmp, path)
 
 
+def _exclusive_write(path: str, content: str) -> None:
+    """Atomic CREATE-if-absent: os.link of a fully-fsynced temp fails with
+    FileExistsError when ``path`` exists (true O_EXCL, unlike os.rename which
+    silently overwrites). This is what makes two racing writers on the same
+    snapshot id resolve to exactly one winner."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
+
+
 class LakeTable:
     """Handle to one lake table rooted at ``path``."""
 
@@ -189,20 +205,36 @@ class LakeTable:
         return os.path.join(self.path, META_DIR, COMMITS_DIR, commit_id)
 
     def _write_snapshot(self, snap: Snapshot) -> None:
-        """Commit order: manifest -> header (exclusive) -> VERSION swap ->
-        commit marker. A crash leaves either an invisible orphan (header
-        written, VERSION unswapped — replaced on retry) or a visible snapshot
-        missing only its marker (healed lazily from the header's commit_id)."""
+        """Commit order: manifest -> header (EXCLUSIVE create) -> VERSION swap
+        -> commit marker. The header link is the commit point between racing
+        writers: os.link gives true O_EXCL semantics, so two writers that both
+        passed the base-snapshot check cannot both create v{N}.json — the
+        loser gets ConcurrentCommitError instead of silently clobbering the
+        winner's files. A crash leaves either an invisible orphan (header
+        written, VERSION unswapped — reclaimed on retry ONLY when it carries
+        our own commit_id, i.e. it is provably our predecessor's attempt at
+        this same idempotent commit) or a visible snapshot missing only its
+        marker (healed lazily from the header's commit_id)."""
         header_path = self._snapshot_path(snap.snapshot_id)
-        if os.path.exists(header_path):
-            # distinguish a crash orphan (never became current: safe to
-            # replace) from a live concurrent writer's committed snapshot
+        header_json = json.dumps(snap.header_json())
+        _atomic_write(self._manifest_path(snap.snapshot_id), json.dumps({"files": snap.files}))
+        try:
+            _exclusive_write(header_path, header_json)
+        except FileExistsError:
             if self.current_snapshot_id() >= snap.snapshot_id:
                 raise ConcurrentCommitError(
                     f"Snapshot {snap.snapshot_id} already committed by another writer"
-                )
-        _atomic_write(self._manifest_path(snap.snapshot_id), json.dumps({"files": snap.files}))
-        _atomic_write(header_path, json.dumps(snap.header_json()))
+                ) from None
+            existing = self._read_header(snap.snapshot_id)
+            if existing.get("commit_id") != snap.commit_id:
+                raise ConcurrentCommitError(
+                    f"Snapshot {snap.snapshot_id} header already created by a "
+                    f"concurrent writer (commit {existing.get('commit_id')!r})"
+                ) from None
+            # our own crashed predecessor's orphan (same commit_id, never
+            # became current): replacing it is a retry of the same commit
+            os.unlink(header_path)
+            _exclusive_write(header_path, header_json)
         _atomic_write(os.path.join(self.path, META_DIR, "VERSION"), str(snap.snapshot_id))
         self._write_marker(snap.commit_id)
 
@@ -358,13 +390,22 @@ class LakeTable:
 
     def has_commit(self, commit_id: str) -> bool:
         """O(1): marker file, else the current header's own commit_id (the one
-        marker a crash between VERSION-swap and marker-write can lose)."""
+        marker a crash between VERSION-swap and marker-write can lose). Tables
+        written in the legacy pre-marker format (inline ``applied_commits``
+        header lists) get their markers backfilled on first consult so
+        redelivered historic commit_ids stay exactly-once across the format
+        upgrade."""
         if os.path.exists(self._marker_path(commit_id)):
             return True
         d = self._read_header(self.current_snapshot_id())
         if d["commit_id"] == commit_id:
             self._write_marker(commit_id)  # heal the crash window
             return True
+        legacy = d.get("applied_commits")
+        if legacy:
+            for cid in legacy:
+                self._write_marker(cid)
+            return commit_id in set(legacy)
         return False
 
     def commit_files(

@@ -123,9 +123,26 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("sh")
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     pair_src = sh
+    if candidates is not None:
+        # verify-only-LSH-candidates means the SELF-JOIN must see only
+        # candidate docs: semi-join the inverted index on the candidate id
+        # set BEFORE pair generation (a post-hoc filter on `common` would
+        # still pay the whole corpus-wide self-join). The exact pair filter
+        # below still applies — the semi-join admits (a, c) pairs between
+        # candidate ids that are not themselves a candidate pair.
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        pair_src = pair_src.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        # per-doc set sizes stay EXACT (counted over all the doc's shingles,
+        # pre-max_df-cap) but only candidate docs need one
+        sizes = pair_src.groupBy(id_col).agg(F.count("*").alias("sz"))
+    else:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -204,4 +221,48 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col),
         sig.alias("simhash"),
         F.shiftright(sig, bits - 8).alias("bucket"),
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs sharing >=1 simhash band (Hamming LSH).
+
+    The signature is split into ``bands`` contiguous bands of
+    ``bits // bands`` bits (the top band absorbs the remainder); two
+    signatures within Hamming distance ``bands - 1`` differ in at most
+    ``bands - 1`` bands, so by pigeonhole they agree on >=1 band and collide
+    there. The candidate join is a band-bucket equi-join — same corpus-scale
+    shape as ``lsh_candidate_pairs`` — replacing the single fixed top-byte
+    bucket (which was ~N²/256 per bucket AND missed near-dups differing in
+    the top byte). Returns distinct (id_a, id_b) with id_a < id_b."""
+    if bands < 1 or bands > bits:
+        raise ValueError("bands must be in [1, bits]")
+    w = bits // bands
+    sig = simhash_expr(F.col(text_col), bits)
+    base = df.select(F.col(id_col), sig.alias("simhash"))
+    band_structs = []
+    for j in range(bands):
+        val = F.shiftright(F.col("simhash"), j * w)
+        if j < bands - 1:  # top band keeps the remainder bits
+            val = val.bitwiseAND(F.lit(2**w - 1))
+        band_structs.append(
+            F.struct(F.lit(j).alias("band"), val.cast("long").alias("bv"))
+        )
+    banded = base.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("x")
+    ).select(id_col, F.col("x.band").alias("band"), F.col("x.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "bv"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
     )

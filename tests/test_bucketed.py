@@ -90,9 +90,9 @@ def test_bucketed_plan_has_no_exchange_and_no_python(spark, tmp_path, logs):
             )
             .coalesce(1)
         )
-        last = F.lead(key_cols[0]).over(w).isNull()
+        last = F.lead(F.lit(1)).over(w).isNull()
         for k in KEYS:
-            last = last | (F.lead(F.col(k)).over(w) != F.col(k))
+            last = last | ~F.lead(F.col(k)).over(w).eqNullSafe(F.col(k))
         winners = (
             ev.withColumn("__last", last)
             .where(F.col("__last") & (F.col("__op") != "D"))
@@ -163,3 +163,50 @@ def test_layout_mismatch_is_rejected(spark, tmp_path, logs):
     t = LakeTable.create(spark, str(tmp_path / "b6"), BASE_SCHEMA, KEYS, n_buckets=N_BUCKETS)
     with pytest.raises(ValueError, match="n_buckets"):
         BucketedReplayer(spark, t, wrong)
+
+
+def test_layout_key_columns_mismatch_is_rejected(spark, tmp_path, logs):
+    """Same bucket COUNT but a different bucket FUNCTION (other key columns)
+    misplaces rows just as silently — the layout check must catch it."""
+    flat, _, _ = logs
+    ev = spark.read.parquet(flat)
+    wrong = str(tmp_path / "wrong_keys")
+    write_bucketed_change_log(ev, wrong, ["repo", "commit"], N_BUCKETS)
+    t = LakeTable.create(spark, str(tmp_path / "b7"), BASE_SCHEMA, KEYS, n_buckets=N_BUCKETS)
+    with pytest.raises(ValueError, match="key_columns"):
+        BucketedReplayer(spark, t, wrong)
+
+
+def test_statless_file_degrades_only_its_own_bucket(spark, tmp_path, logs):
+    """A parquet file without min/max seq stats must widen only ITS bucket's
+    footer range — every other bucket keeps exact pruning (previously one
+    stat-less file disabled pruning globally)."""
+    import os
+    import pyarrow.parquet as pq
+    from table2qb_spark.cdc.bucketed import _bucket_seq_index
+
+    _, bucketed, _ = logs
+    # copy the log, rewriting bucket 0's files WITHOUT statistics
+    import shutil
+
+    nostat = str(tmp_path / "nostat")
+    shutil.copytree(bucketed, nostat)
+    b0 = os.path.join(nostat, "b=0")
+    for fn in os.listdir(b0):
+        if fn.endswith(".parquet"):
+            tbl = pq.read_table(os.path.join(b0, fn))
+            pq.write_table(tbl, os.path.join(b0, fn), write_statistics=False)
+        elif fn.endswith(".crc"):
+            # stale Hadoop checksum sidecars from the copy would fail the read
+            os.unlink(os.path.join(b0, fn))
+
+    t = LakeTable.create(spark, str(tmp_path / "b8"), BASE_SCHEMA, KEYS, n_buckets=N_BUCKETS)
+    r = BucketedReplayer(spark, t, nostat, batch_events=10_000)
+    idx = _bucket_seq_index(nostat, r._event_buckets, "seq")
+    assert idx[0] == (-(2**62), 2**62)  # degraded: must assume it spans all
+    for b in r._event_buckets:
+        if b != 0:
+            assert idx[b][0] > -(2**62) and idx[b][1] < 2**62  # exact ranges
+    # a seq range beyond every real footer range touches ONLY the degraded
+    # bucket — buckets 1..N-1 are still pruned
+    assert r.buckets_in_range(90_000_000, 99_000_000) == [0]

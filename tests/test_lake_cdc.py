@@ -289,6 +289,97 @@ class TestRound2Semantics:
         assert t.has_commit("b1")  # healed from the current header
         assert os.path.exists(t._marker_path("b1"))
 
+    def test_null_key_rows_single_pass(self, spark, tmp_path):
+        """NULL key columns form a real group: the last-writer-wins window
+        must neither drop adjacent non-null-key winners (lead(k) != k is NULL
+        at the group boundary) nor keep duplicate NULL-key rows."""
+        t = make_table(spark, tmp_path, n_buckets=1)
+        b = batch_df(
+            spark,
+            [
+                (1, "I", "r1", None, "c1", "py", "v1"),
+                (2, "U", "r1", None, "c2", "py", "v2"),
+                (3, "I", "r1", "a.py", "c3", "py", "x"),
+                (4, "I", "r2", None, "c4", "py", "y"),
+            ],
+        )
+        stats = merge_upsert(t, b, "b1")  # empty table -> single-pass path
+        assert stats["strategy"] == "single-pass"
+        state = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+        assert state == {
+            ("r1", None): "v2",
+            ("r1", "a.py"): "x",
+            ("r2", None): "y",
+        }
+
+    def test_null_key_rows_pruned_path(self, spark, tmp_path):
+        t = make_table(spark, tmp_path, n_buckets=1)
+        rows = [(i, "I", f"r{i}", f"f{i}.py", "c", "py", "v") for i in range(1, 40)]
+        merge_upsert(t, batch_df(spark, rows), "seed")
+        b = batch_df(
+            spark,
+            [
+                (100, "I", "r1", None, "c1", "py", "v1"),
+                (101, "U", "r1", None, "c2", "py", "v2"),
+            ],
+        )
+        stats = merge_upsert(t, b, "b1", batch_size_hint=2)
+        assert stats["strategy"] == "pruned"
+        got = [
+            r["content"]
+            for r in t.read().where(F.col("path").isNull()).collect()
+        ]
+        assert got == ["v2"]
+
+    def test_header_creation_is_exclusive(self, spark, tmp_path):
+        """Two writers racing on the same snapshot id: the loser must get
+        ConcurrentCommitError even if it passed the base-snapshot check —
+        a foreign header for our target id must never be overwritten."""
+        from table2qb_spark.lake.table import ConcurrentCommitError, _atomic_write
+        import json as _json
+
+        t = make_table(spark, tmp_path)
+        merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "b1")
+        nxt = t.current_snapshot_id() + 1
+        # simulate the racing winner: its header exists, VERSION not yet swapped
+        foreign = t._read_header(t.current_snapshot_id())
+        foreign["snapshot_id"] = nxt
+        foreign["commit_id"] = "racer-wins"
+        _atomic_write(t._snapshot_path(nxt), _json.dumps(foreign))
+        with pytest.raises(ConcurrentCommitError, match="racer-wins"):
+            t.commit_files("loser", [], {}, base_snapshot_id=t.current_snapshot_id())
+        # ...but our OWN crashed predecessor's orphan (same commit_id) is
+        # reclaimed: the retry of the identical idempotent commit succeeds
+        os.unlink(t._snapshot_path(nxt))
+        orphan = dict(foreign)
+        orphan["commit_id"] = "retry-me"
+        _atomic_write(t._snapshot_path(nxt), _json.dumps(orphan))
+        t.commit_files("retry-me", [], {}, base_snapshot_id=t.current_snapshot_id())
+        assert t.snapshot().commit_id == "retry-me"
+
+    def test_legacy_applied_commits_backfill(self, spark, tmp_path):
+        """Pre-marker-format tables keep exactly-once across the upgrade:
+        commit ids recorded only in the legacy inline applied_commits list
+        must still be recognized (and backfilled as markers)."""
+        from table2qb_spark.lake.table import _atomic_write
+        import json as _json
+        import shutil
+
+        t = make_table(spark, tmp_path)
+        merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "b1")
+        # rewrite the current header in the legacy format: inline
+        # applied_commits, and wipe the marker directory entirely
+        sid = t.current_snapshot_id()
+        d = t._read_header(sid)
+        d["applied_commits"] = ["__create__", "b1", "historic-7"]
+        _atomic_write(t._snapshot_path(sid), _json.dumps(d))
+        shutil.rmtree(os.path.join(t.path, "_meta", "commits"))
+        assert t.has_commit("historic-7")  # from the legacy list
+        assert t.has_commit("b1")
+        assert not t.has_commit("never-applied")
+        # markers were backfilled: marker-only lookup now succeeds too
+        assert os.path.exists(t._marker_path("historic-7"))
+
     def test_batch_missing_op_or_seq_gets_clean_error(self, spark, tmp_path):
         t = make_table(spark, tmp_path)
         bad = spark.createDataFrame(

@@ -94,3 +94,98 @@ class TestNgramJaccardHotShingleCap:
 
         sig = inspect.signature(dedup.ngram_jaccard_pairs)
         assert sig.parameters["max_df"].default is not None
+
+
+class TestCandidatePrunedVerify:
+    def docs(self, spark):
+        hot = "the common phrase"
+        rows = [
+            (1, f"{hot} alpha beta gamma delta one two"),
+            (2, f"{hot} alpha beta gamma delta one three"),
+            (3, f"{hot} completely different text here now"),
+            (4, f"{hot} unrelated words occupy this line too"),
+            (5, f"{hot} nothing shared with anything else here"),
+            (6, f"{hot} final doc with its own content"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_candidates_prune_the_self_join_input(self, spark):
+        """When LSH candidates are passed, the shingle SELF-JOIN input must be
+        semi-joined down to candidate docs BEFORE pair generation — not
+        filtered afterwards (which pays the full corpus-wide join)."""
+        df = self.docs(spark)
+        cands = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        out = dedup.ngram_jaccard_pairs(df, threshold=0.01, candidates=cands, max_df=None)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan, plan
+        # and the semi-join is below the pair self-join: the inner-join on
+        # shingles must consume the semi-joined side (no LeftSemi above it)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        assert set(got) == {(1, 2)}
+
+    def test_candidates_path_matches_unrestricted_verify(self, spark):
+        """Correctness: verifying only candidates returns exactly the
+        unrestricted result restricted to candidate pairs (same jaccard —
+        denominators stay exact per-doc set sizes)."""
+        df = self.docs(spark)
+        full = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(df, threshold=0.01, max_df=None).collect()
+        }
+        cands = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
+        sub = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.01, candidates=cands, max_df=None
+            ).collect()
+        }
+        assert sub == {k: v for k, v in full.items() if k in {(1, 2), (3, 4)}}
+
+
+class TestSimhashBanding:
+    DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+    def corpus(self, spark):
+        base = spark.read.parquet(self.DOCS).select("doc_id", "text").limit(60)
+        first = base.orderBy("doc_id").first()
+        planted = spark.createDataFrame(
+            [
+                (900001, first["text"]),                # exact dup: Hamming 0
+                (900002, first["text"] + " zz"),        # near dup: tiny drift
+            ],
+            ["doc_id", "text"],
+        )
+        return base.unionByName(planted)
+
+    def test_all_hamming_close_pairs_are_candidates(self, spark):
+        """The banding guarantee: any pair within Hamming distance bands-1
+        (=3) agrees on >=1 of the 4 bands, so it MUST appear in the candidate
+        pairs — including pairs differing only in the top byte, which the old
+        single top-8-bit bucket missed."""
+        df = self.corpus(spark)
+        sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_dedup(df).collect()}
+        cands = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_candidate_pairs(df, bits=60, bands=4).collect()
+        }
+        ids = sorted(sigs)
+        close = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        assert close, "fixture must contain at least the planted Hamming-0 pair"
+        assert (900001, 900002) in close or bin(
+            sigs[900001] ^ sigs[900002]
+        ).count("1") > 3
+        assert close <= cands
+
+    def test_band_count_knob(self, spark):
+        """More bands widen recall (Hamming tolerance bands-1) — candidates
+        at B bands must be a superset of candidates at fewer bands only in
+        tolerance, and every B-band candidate shares >=1 B-band value."""
+        df = self.corpus(spark)
+        c2 = dedup.simhash_candidate_pairs(df, bits=60, bands=2).count()
+        c4 = dedup.simhash_candidate_pairs(df, bits=60, bands=4).count()
+        assert c4 >= c2  # shorter bands collide more: recall grows with B

@@ -85,3 +85,25 @@ def test_new_checkpoint_does_not_collide_with_old_commits(spark, tmp_path, strea
     run_stream_to_completion(spark, t, stream_events, str(tmp_path / "ckpt2"), max_files_per_trigger=5)
     assert t.current_snapshot_id() > n_snapshots  # re-applied, not skipped
     assert table_sha256(t.read_live(), COLS) == sha1  # and still converged
+
+
+def test_app_id_first_writer_wins(tmp_path):
+    """The app-id marker is created exclusively: once any writer persisted an
+    id, later callers (including a racer that already minted its own uuid)
+    must read THAT id back — the marker is never replaced."""
+    from table2qb_spark.cdc.streaming import checkpoint_app_id
+
+    cp = str(tmp_path / "cp")
+    os.makedirs(cp, exist_ok=True)
+    marker = os.path.join(cp, "table2qb_app_id")
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("first-writer")
+    assert checkpoint_app_id(cp) == "first-writer"
+    # simulate the loser's late attempt: marker exists -> link fails -> reread
+    assert checkpoint_app_id(cp) == "first-writer"
+    with open(marker) as f:
+        assert f.read().strip() == "first-writer"
+    # and a fresh checkpoint mints + persists exactly one stable id
+    cp2 = str(tmp_path / "cp2")
+    a = checkpoint_app_id(cp2)
+    assert checkpoint_app_id(cp2) == a and len(a) == 12
