@@ -396,9 +396,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF-partitioned pairing (equi-join on centroid_id — the scale path);
     # threshold chosen so the fixture yields non-empty output (synthetic
-    # 64-dim embeddings top out around cosine 0.51)
+    # 64-dim embeddings top out around cosine 0.51). Seed centroids are
+    # passed EXPLICITLY so DuckDB can replicate the assignment exactly;
+    # production default is kmeans_centroids (data-aware).
+    emb = _t(spark, sf_dir, "embeddings")
     return ann.cosine_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=8
+        emb, threshold=0.35, centroids=ann.seed_centroids(emb, 8)
     )
 
 

@@ -106,13 +106,96 @@ def ivf_assign(
 def seed_centroids(
     corpus: DataFrame, n: int = 4, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Deterministic centroids: the n lowest-id corpus vectors (stand-in for
-    a k-means pass; keeps the whole operator SQL-oracle-able)."""
+    """Deterministic centroids: the n lowest-id corpus vectors. Kept for
+    SQL-oracle-ability (DuckDB can replicate it exactly); NOT data-aware —
+    use ``kmeans_centroids`` for real partition-size guarantees."""
     return (
         corpus.orderBy(id_col)
         .limit(n)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
     )
+
+
+def n_centroids_for(corpus_rows: int, target_cell_size: int = 1024) -> int:
+    """The IVF sizing rule: enough centroids that the average cell holds
+    ``target_cell_size`` vectors — the knob that keeps the within-cell
+    quadratic pair join bounded as the corpus grows."""
+    return max(1, -(-int(corpus_rows) // int(target_cell_size)))
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 4,
+    oversample: int = 4,
+) -> DataFrame:
+    """Deterministic k-means(||-style) centroids, pure DataFrame ops.
+
+    Seeding: a hash-ordered oversample of ``n * oversample`` corpus vectors
+    (TakeOrderedAndProject — top-K per partition, no full sort) thinned to
+    ``n`` by greedy farthest-point selection on the driver (the k-means||
+    idea: oversample cheaply in parallel, recluster the tiny candidate set
+    centrally). Lloyd iterations then run as ONE broadcast-assign scan plus
+    ONE per-dimension avg aggregate per round — all JVM-side; only the
+    C x dim centroid matrix ever reaches the driver. Deterministic: seeding
+    orders by xxhash64(id), no RNG (resume-safe).
+
+    Scale: per iteration cost = corpus scan x C broadcast compares + a
+    map-side-combined groupBy of C x dim doubles. C = use ``n_centroids_for``.
+    """
+    import math
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("kmeans_centroids: empty corpus")
+    dim = len(first[0])
+
+    cand_rows = (
+        corpus.select(
+            F.col(vec_col), F.xxhash64(F.col(id_col).cast("string")).alias("__h")
+        )
+        .orderBy("__h")
+        .limit(max(n * oversample, n))
+        .collect()
+    )
+    vecs = [[float(x) for x in r[vec_col]] for r in cand_rows]
+    norms = [math.sqrt(sum(x * x for x in v)) or 1.0 for v in vecs]
+
+    def cos(i: int, j: int) -> float:
+        return sum(a * b for a, b in zip(vecs[i], vecs[j])) / (norms[i] * norms[j])
+
+    chosen = [0]
+    # greedy max-min (farthest-point) over the candidate set: spreads seeds
+    # across the data's clusters instead of wherever the lowest ids landed
+    while len(chosen) < min(n, len(vecs)):
+        best_i, best_d = -1, -1.0
+        for i in range(len(vecs)):
+            if i in chosen:
+                continue
+            d = min(1.0 - cos(i, j) for j in chosen)
+            if d > best_d:
+                best_i, best_d = i, d
+        chosen.append(best_i)
+
+    spark = corpus.sparkSession
+    schema = "centroid_id int, cv array<double>"
+    centroids = {ci: vecs[i] for ci, i in enumerate(chosen)}
+    cdf = spark.createDataFrame(sorted(centroids.items()), schema)
+
+    for _ in range(max_iter):
+        assigned = ivf_assign(corpus, cdf, id_col, vec_col)
+        means = (
+            assigned.groupBy("centroid_id")
+            .agg(*[F.avg(F.col(vec_col)[i].cast("double")).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        # a centroid that lost every vector keeps its previous position
+        for r in means:
+            centroids[r["centroid_id"]] = [float(r[f"d{i}"]) for i in range(dim)]
+        cdf = spark.createDataFrame(sorted(centroids.items()), schema)
+    return cdf
 
 
 def ivf_topk(
@@ -162,8 +245,9 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     round_to: int = 4,
     centroids: DataFrame | None = None,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     exact: bool = False,
+    target_cell_size: int = 1024,
 ) -> DataFrame:
     """Embedding near-dup pairs (a < b) with cosine >= threshold.
 
@@ -173,10 +257,13 @@ def cosine_neardup_pairs(
     centroid_id** (hash/sort-merge, never a nested-loop cross join). The
     quadratic blowup is confined to one partition's population, and at high
     thresholds near-dups share their nearest centroid with overwhelming
-    probability (the standard IVF coarse-quantizer argument; raise
-    ``n_centroids`` with corpus size to keep partitions bounded, or pass
-    k-means ``centroids``). Approximate: a pair straddling two centroid
-    cells is missed — the recall/cost knob every ANN index exposes.
+    probability (the standard IVF coarse-quantizer argument). Centroids
+    default to a deterministic k-means pass (``kmeans_centroids``) with
+    ``n_centroids = ceil(corpus / target_cell_size)`` — data-aware centroids
+    are what guarantees bounded cells; pass explicit ``centroids`` (e.g.
+    ``seed_centroids`` for SQL-oracle-able runs) to override. Approximate: a
+    pair straddling two centroid cells is missed — the recall/cost knob
+    every ANN index exposes.
 
     ``exact=True`` keeps the brute-force all-pairs form for small corpora or
     recall evaluation (cartesian — do not run at scale)."""
@@ -186,7 +273,9 @@ def cosine_neardup_pairs(
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         if centroids is None:
-            centroids = seed_centroids(corpus, n_centroids, id_col, vec_col)
+            if n_centroids is None:
+                n_centroids = n_centroids_for(corpus.count(), target_cell_size)
+            centroids = kmeans_centroids(corpus, n_centroids, id_col, vec_col)
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
         a = assigned.select(
             F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")

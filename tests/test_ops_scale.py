@@ -189,3 +189,77 @@ class TestSimhashBanding:
         c2 = dedup.simhash_candidate_pairs(df, bits=60, bands=2).count()
         c4 = dedup.simhash_candidate_pairs(df, bits=60, bands=4).count()
         assert c4 >= c2  # shorter bands collide more: recall grows with B
+
+
+class TestKmeansCentroids:
+    """Data-aware IVF centroids: on a clustered corpus whose lowest ids all
+    sit in ONE cluster, seed_centroids collapses into that region and splits
+    every other cluster across near-identical cells; kmeans_centroids must
+    recover the clusters and deliver >=0.9 pair recall vs exact."""
+
+    def clustered(self, spark):
+        dim, n_clusters, per = 16, 8, 20
+
+        def lcg(s):
+            while True:
+                s = (s * 1103515245 + 12345) % (2**31)
+                yield s / 2**31
+
+        rnd = lcg(7)
+        centers = []
+        for c in range(n_clusters):
+            v = [0.0] * dim
+            v[2 * c] = 1.0
+            v[2 * c + 1] = 0.5
+            centers.append(v)
+        rows = []
+        vid = 0
+        # ids 0..7 all in cluster 0 — the seed-centroid worst case
+        memberships = [0] * n_clusters + [
+            c for c in range(n_clusters) for _ in range(per)
+        ]
+        for c in memberships:
+            vec = [x + 0.05 * (next(rnd) - 0.5) for x in centers[c]]
+            rows.append((vid, vec))
+            vid += 1
+        return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def pair_set(self, df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    def test_kmeans_beats_seed_centroids_on_recall(self, spark):
+        corpus = self.clustered(spark)
+        thr = 0.95
+        exact = self.pair_set(ann.cosine_neardup_pairs(corpus, threshold=thr, exact=True))
+        assert len(exact) > 100  # within-cluster pairs exist
+
+        seeds = ann.seed_centroids(corpus, 8)
+        seed_pairs = self.pair_set(
+            ann.cosine_neardup_pairs(corpus, threshold=thr, centroids=seeds)
+        )
+        km = ann.kmeans_centroids(corpus, 8, max_iter=3)
+        km_pairs = self.pair_set(
+            ann.cosine_neardup_pairs(corpus, threshold=thr, centroids=km)
+        )
+        seed_recall = len(seed_pairs & exact) / len(exact)
+        km_recall = len(km_pairs & exact) / len(exact)
+        assert km_pairs <= exact and seed_pairs <= exact  # IVF only MISSES
+        assert km_recall >= 0.9, (km_recall, seed_recall)
+        assert km_recall > seed_recall, (km_recall, seed_recall)
+        assert seed_recall < 0.9  # the fixture genuinely defeats seed mode
+
+    def test_default_centroids_are_data_aware_and_corpus_scaled(self, spark):
+        corpus = self.clustered(spark)
+        # default path: n_centroids derived from corpus size / target cell
+        pairs = ann.cosine_neardup_pairs(corpus, threshold=0.95, target_cell_size=21)
+        got = self.pair_set(pairs)
+        exact = self.pair_set(ann.cosine_neardup_pairs(corpus, threshold=0.95, exact=True))
+        assert len(got & exact) / len(exact) >= 0.9
+        assert ann.n_centroids_for(168, 21) == 8
+        assert ann.n_centroids_for(100_000_000, 1024) == 97657
+
+    def test_kmeans_is_deterministic(self, spark):
+        corpus = self.clustered(spark)
+        a = ann.kmeans_centroids(corpus, 4, max_iter=2).collect()
+        b = ann.kmeans_centroids(corpus, 4, max_iter=2).collect()
+        assert sorted(map(str, a)) == sorted(map(str, b))
