@@ -217,6 +217,38 @@ def q_codelist_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF sink (S6): fully-formatted N-Triples terms for the codelist
+    fixture — pins CURIE expansion, the CSVW null rule (broader/narrower/
+    topConceptOf conditional per row), literal escaping (descriptions with
+    embedded quotes), language tags and xsd:integer-typed sort priorities
+    under the driver's hash check."""
+    from table2qb_spark.pipelines.rdf import table_level_triples, triples_df
+
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("Label"),
+        F.lit("").alias("Parent Notation"),
+        F.concat(F.lit('The "'), F.col("r_name"), F.lit('" region')).alias("Description"),
+        F.col("r_regionkey").cast("string").alias("Sort Priority"),
+    )
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(_t(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n_name").alias("Label"),
+            T.slugize("r_name").alias("Parent Notation"),
+            F.lit(None).cast("string").alias("Description"),
+            F.col("n_nationkey").cast("string").alias("Sort Priority"),
+        )
+    )
+    df = codelist_pipe.code_records_df(spark, region.unionByName(nation))
+    uris = codelist_pipe.get_uris("http://ex.org", "geo")
+    schema = codelist_pipe.codelist_schema("codelist.csv", "Geography", uris)
+    rows = triples_df(df, schema)
+    head = spark.createDataFrame(table_level_triples(schema), rows.schema)
+    return head.unionByName(rows)
+
+
 def q_components_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Components pipeline over distinct part containers; Component Type
     assigned deterministically."""
@@ -522,6 +554,47 @@ ORACLES: dict[str, str] = {
                CASE WHEN trim(parent) = '' THEN 'yes' ELSE '' END AS has_top_concept,
                label AS pref_label
         FROM src
+    """,
+    "rdf_triples": f"""
+        WITH src AS (
+          SELECT r_name AS label, '' AS parent,
+                 'The "' || r_name || '" region' AS description,
+                 CAST(r_regionkey AS VARCHAR) AS sp
+          FROM region
+          UNION ALL
+          SELECT n_name, {slug_sql('r_name')}, NULL, CAST(n_nationkey AS VARCHAR)
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+        ),
+        ann AS (
+          SELECT label, {slug_sql('label')} AS notation, parent,
+                 replace(replace(description, '\\', '\\\\'), '"', '\\"') AS description,
+                 sp,
+                 CASE WHEN trim(parent) = '' THEN 'yes' ELSE '' END AS tc
+          FROM src
+        ),
+        t AS (
+          SELECT *,
+                 '<http://ex.org/def/concept/geo/' || notation || '>' AS code,
+                 '<http://ex.org/def/concept/geo/' || parent || '>' AS parent_code,
+                 '<http://ex.org/def/concept-scheme/geo>' AS scheme
+          FROM ann
+        )
+        SELECT '<http://ex.org/def/concept-scheme/geo>' AS subject,
+               '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS predicate,
+               '<http://www.w3.org/2004/02/skos/core#ConceptScheme>' AS object
+        UNION ALL SELECT scheme, '<http://www.w3.org/2000/01/rdf-schema#label>', '"Geography"@en' FROM (SELECT DISTINCT scheme FROM t)
+        UNION ALL SELECT scheme, '<http://purl.org/dc/terms/title>', '"Geography"@en' FROM (SELECT DISTINCT scheme FROM t)
+        UNION ALL SELECT code, '<http://www.w3.org/2000/01/rdf-schema#label>', '"' || label || '"@en' FROM t
+        UNION ALL SELECT code, '<http://www.w3.org/2004/02/skos/core#notation>', '"' || notation || '"@en' FROM t
+        UNION ALL SELECT code, '<http://www.w3.org/2004/02/skos/core#broader>', parent_code FROM t WHERE trim(parent) <> ''
+        UNION ALL SELECT parent_code, '<http://www.w3.org/2004/02/skos/core#narrower>', code FROM t WHERE trim(parent) <> ''
+        UNION ALL SELECT code, '<http://www.w3.org/ns/ui#sortPriority>', '"' || sp || '"^^<http://www.w3.org/2001/XMLSchema#integer>' FROM t WHERE sp IS NOT NULL AND trim(sp) <> ''
+        UNION ALL SELECT code, '<http://www.w3.org/2000/01/rdf-schema#comment>', '"' || description || '"@en' FROM t WHERE description IS NOT NULL AND trim(description) <> ''
+        UNION ALL SELECT code, '<http://www.w3.org/2004/02/skos/core#topConceptOf>', scheme FROM t WHERE tc = 'yes'
+        UNION ALL SELECT scheme, '<http://www.w3.org/2004/02/skos/core#hasTopConcept>', code FROM t WHERE tc = 'yes'
+        UNION ALL SELECT code, '<http://www.w3.org/2004/02/skos/core#prefLabel>', '"' || label || '"@en' FROM t
+        UNION ALL SELECT code, '<http://www.w3.org/2004/02/skos/core#inScheme>', scheme FROM t
+        UNION ALL SELECT code, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', '<http://www.w3.org/2004/02/skos/core#Concept>' FROM t
     """,
     "components_annotate": f"""
         WITH src AS (
@@ -829,6 +902,7 @@ QUERIES = {
     "resolve_measures": q_resolve_measures,
     "slug_transforms": q_slug_transforms,
     "codelist_annotate": q_codelist_annotate,
+    "rdf_triples": q_rdf_triples,
     "components_annotate": q_components_annotate,
     "codelist_resolution": q_codelist_resolution,
     "cdc_latest_state": q_cdc_latest_state,

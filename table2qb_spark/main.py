@@ -81,9 +81,10 @@ def cmd_exec(args) -> int:
         "implemented in this engine: it produces and verifies final TABLE "
         "state. Run 'codelist-pipeline', 'components-pipeline' or "
         "'cube-pipeline' to generate the tables (CSV + CSVW metadata.json) "
-        "that csv2rdf would serialize; codelist/components support "
-        "--rdf-output for a distributed N-Triples serialization of the "
-        "minimal csv2rdf subset.",
+        "that csv2rdf would serialize; all three support --rdf-output for a "
+        "distributed N-Triples serialization (observations, used-codes "
+        "collections/members, DSD, dataset and component-spec nodes). Not "
+        "emitted: TriG named graphs (--graph).",
         file=sys.stderr,
     )
     return 2

@@ -296,6 +296,66 @@ def dataset_schema(csv_url: str, dataset_name: str | None, uri_config: dict) -> 
     }
 
 
+def cube_rdf_triples(
+    spark: SparkSession,
+    obs: DataFrame,
+    cube_config: CubeConfig,
+    uris: dict,
+    domain_data: str,
+    dataset_slug: str,
+    dataset_name: str | None,
+    observations_csv: str,
+    comp_spec_csv: str,
+) -> DataFrame:
+    """All six CSVW tables of the cube metadata as one (s, p, o) DataFrame —
+    the csv2rdf minimal-mode output (cube.clj:30-178), distributed.
+
+    Skolemization: the reference's CSVW schemas already name every node —
+    component specifications at component-specification-uri, the DSD at
+    dsd-uri — so no blank nodes arise; we emit exactly those IRIs.
+
+    - observations: qb:Observation type + qb:dataSet link + one triple per
+      component per row (row-count x components — the bulk).
+    - used-codes members: skos:member triples emitted per observation row
+      then ``distinct()``-ed (RDF set semantics; one shuffle of short triple
+      strings, same cost class as the used_codes_df distinct).
+    - dataset/DSD/component-spec/used-codes-collection triples ride on the
+      tiny comp-spec table (driver-derived, a few rows)."""
+    from table2qb_spark.pipelines.rdf import table_level_triples, triples_df
+
+    obs_schema = observations_schema(
+        observations_csv, domain_data, dataset_slug, cube_config, uris
+    )
+    member_schema = used_codes_codes_schema(observations_csv, cube_config, uris)
+    ds_schema = dataset_schema(comp_spec_csv, dataset_name, uris)
+    dsd_schema = data_structure_definition_schema(comp_spec_csv, dataset_name, uris)
+    cs_schema = component_specification_schema(comp_spec_csv, dataset_name, uris)
+    ucl_schema = used_codes_codelists_schema(comp_spec_csv, uris)
+
+    comp_df = component_specifications_df(spark, cube_config)
+
+    parts = [
+        triples_df(obs, obs_schema),
+        triples_df(obs, member_schema).distinct(),
+        # dataset/DSD virtual triples repeat per comp-spec row: dedupe
+        triples_df(comp_df, ds_schema).distinct(),
+        triples_df(comp_df, dsd_schema),
+        triples_df(comp_df, cs_schema),
+        triples_df(comp_df, ucl_schema),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    head = (
+        table_level_triples(ds_schema)
+        + table_level_triples(dsd_schema)
+        + table_level_triples(cs_schema)
+    )
+    if head:
+        out = spark.createDataFrame(head, out.schema).unionByName(out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Full pipeline
 # ---------------------------------------------------------------------------
@@ -395,14 +455,23 @@ def cube_pipeline(
         "observations_df": obs,
     }
     if rdf_output:
-        # distributed N-Triples for the observation rows (qb:Observation
-        # type + dataSet link + one triple per component); the blank-node
-        # DSD stays csv2rdf territory — see pipelines/rdf.py
-        from table2qb_spark.pipelines.rdf import write_ntriples
-
-        obs_schema = observations_schema(
-            observations_csv, domain_data, dataset_slug, cube_config, uris
+        # distributed N-Triples for the full cube: observation rows,
+        # used-codes skos:member collections, dataset/DSD/component-spec
+        # nodes (skolemized as the reference's own CSVW schemas name them —
+        # no blank nodes; see cube_rdf_triples)
+        triples = cube_rdf_triples(
+            spark, obs, cube_config, uris, domain_data, dataset_slug,
+            dataset_name, observations_csv, comp_spec_csv,
         )
-        write_ntriples(obs, obs_schema, rdf_output)
+        (
+            triples.select(
+                F.concat_ws(
+                    " ",
+                    F.col("subject"), F.col("predicate"), F.col("object"), F.lit("."),
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(rdf_output)
+        )
         out["rdf_output"] = rdf_output
     return out

@@ -75,8 +75,12 @@ def _expand_prefix_expr(c: Column) -> Column:
     return c
 
 
-def _template_expr(template: str, df_cols: list[str]) -> Column:
-    cols = {v: F.col(v) for v in template_variables(template) if v in df_cols}
+def _template_expr(template: str, df_cols: list[str], self_name: str | None = None) -> Column:
+    # CSVW built-in {_name}: the current column's own name (used by the
+    # used-codes member collections' aboutUrl — cube.clj:29-39)
+    if self_name is not None:
+        template = template.replace("{_name}", self_name).replace("{+_name}", self_name)
+    cols = {v: F.col(f"`{v}`") for v in template_variables(template) if v in df_cols}
     return _expand_prefix_expr(uri_template_expr(expand_term(template), cols))
 
 
@@ -95,13 +99,15 @@ def triples_df(df: DataFrame, schema: dict, language: str = "en") -> DataFrame:
             continue
         name = col.get("name")
         virtual = col.get("virtual", False)
-        s = _template_expr(col.get("aboutUrl", about_default), df_cols)
+        s = _template_expr(col.get("aboutUrl", about_default), df_cols, name)
         # propertyUrl may itself be a template (the cube's value column uses
         # .../measure/{measure_type} so each row's predicate follows its
         # measure-type dimension)
-        p = _template_expr(col["propertyUrl"], df_cols)
+        p = _template_expr(col["propertyUrl"], df_cols, name)
         if "valueUrl" in col:
-            obj = F.concat(F.lit("<"), _template_expr(col["valueUrl"], df_cols), F.lit(">"))
+            obj = F.concat(
+                F.lit("<"), _template_expr(col["valueUrl"], df_cols, name), F.lit(">")
+            )
         else:
             lex = _escape_literal(F.col(name).cast("string"))
             dt = XSD_DATATYPES.get(col.get("datatype", "string"))

@@ -491,3 +491,165 @@ class TestRdfSink:
             "<http://gss-data.org.uk/def/concept/flow-directions/export>" in t
             for t in got
         )
+
+
+class TestCubeRdfFullGraph:
+    """Round-3 RDF additions (reference cube.clj:30-178): used-codes
+    skos:Collection + skos:member triples, DSD + dataset + component-spec
+    nodes — all skolemized to the IRIs the reference's own CSVW schemas
+    assign (no blank nodes)."""
+
+    def _triples(self, path):
+        import glob
+
+        out = set()
+        for f in glob.glob(os.path.join(path, "part-*")):
+            with open(f) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        out.add(line[:-2].strip())
+        return out
+
+    @pytest.fixture(scope="class")
+    def graph(self, spark, default_config, reference_available, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("cube_rdf")
+        res = cube.cube_pipeline(
+            spark,
+            str(tmp / "out"),
+            example_csv("regional-trade", "input.csv"),
+            "Regional Trade",
+            "regional-trade",
+            default_config,
+            TEST_DOMAIN,
+            rdf_output=str(tmp / "nt"),
+        )
+        return res, self._triples(res["rdf_output"])
+
+    def test_used_codes_member_triples_match_used_codes_df(self, spark, graph):
+        res, got = graph
+        obs = res["observations_df"]
+        skos = "http://www.w3.org/2004/02/skos/core#"
+        flow_codes = {r["flow"] for r in obs.select("flow").distinct().collect()}
+        prefix = f"{TEST_DOMAIN}data/regional-trade/codes-used/flow"
+        members = {
+            t.split(" ", 2)[2]
+            for t in got
+            if t.startswith(f"<{prefix}>") and f"<{skos}member>" in t
+        }
+        want = {
+            f"<{TEST_DOMAIN}def/concept/flow-directions/{c}>" for c in flow_codes
+        }
+        assert members == want
+
+    def test_used_codes_collections_are_typed(self, graph):
+        _, got = graph
+        skos = "http://www.w3.org/2004/02/skos/core#"
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        collections = {
+            t.split(" ", 1)[0]
+            for t in got
+            if t.endswith(f"<{rdf}type> <{skos}Collection>")
+        }
+        # one collection per dimension/attribute/measure component
+        assert f"<{TEST_DOMAIN}data/regional-trade/codes-used/flow>" in collections
+        assert len(collections) >= 5
+
+    def test_dsd_and_dataset_nodes(self, graph):
+        res, got = graph
+        qb = "http://purl.org/linked-data/cube#"
+        ds = f"{TEST_DOMAIN}data/regional-trade"
+        dsd = f"{ds}/structure"
+        assert f'<{ds}> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{qb}DataSet>' in got
+        assert f'<{ds}> <{qb}structure> <{dsd}>' in got
+        assert f'<{ds}> <http://www.w3.org/2000/01/rdf-schema#label> "Regional Trade"@en' in got
+        assert (
+            f'<{dsd}> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> '
+            f'<{qb}DataStructureDefinition>' in got
+        )
+        assert (
+            f'<{dsd}> <http://www.w3.org/2000/01/rdf-schema#label> '
+            f'"Regional Trade (Data Structure Definition)"@en' in got
+        )
+        # one qb:component arc per component specification
+        n_specs = len(read_csv_dicts(res["component_specifications_csv"]))
+        comps = [t for t in got if t.startswith(f"<{dsd}> <{qb}component>")]
+        assert len(comps) == n_specs
+
+    def test_component_spec_nodes(self, graph):
+        res, got = graph
+        qb = "http://purl.org/linked-data/cube#"
+        cs_flow = f"{TEST_DOMAIN}data/regional-trade/component/flow"
+        # {+component_attachment} CURIE cell qb:dimension -> expanded predicate
+        assert any(
+            t.startswith(f"<{cs_flow}> <{qb}dimension>") for t in got
+        )
+        assert (
+            f'<{cs_flow}> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> '
+            f'<{qb}ComponentSpecification>' in got
+        )
+        assert (
+            f'<{cs_flow}> <http://publishmydata.com/def/qb/codesUsed> '
+            f'<{TEST_DOMAIN}data/regional-trade/codes-used/flow>' in got
+        )
+
+
+class TestSparqlProbeParity:
+    """integration_test.clj:59-74 re-encoded over N-Triples: sort priority
+    surfaces as an xsd:integer literal on codes in-scheme (provided for
+    sitc-sections, absent for flow-directions); descriptions surface as
+    language-tagged rdfs:comment literals with the same optionality."""
+
+    def _scheme_codes(self, path, pred_fragment):
+        import glob
+
+        hits, inscheme = set(), {}
+        for f in glob.glob(os.path.join(path, "part-*")):
+            with open(f) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    s, p, o = line[:-2].strip().split(" ", 2)
+                    if p == "<http://www.w3.org/2004/02/skos/core#inScheme>":
+                        inscheme[s] = o
+                    elif pred_fragment in p:
+                        hits.add((s, o))
+        return hits, inscheme
+
+    @pytest.fixture(scope="class")
+    def graphs(self, spark, reference_available, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("probes")
+        out = {}
+        for name, slug in (("sitc-sections", "sitc-sections"), ("flow-directions", "flow-directions")):
+            res = codelist.codelist_pipeline(
+                spark,
+                str(tmp / f"{slug}-out"),
+                example_csv("regional-trade", f"{name}.csv"),
+                name.replace("-", " ").title(),
+                slug,
+                TEST_DOMAIN,
+                rdf_output=str(tmp / f"{slug}-nt"),
+            )
+            out[slug] = res["rdf_output"]
+        return out
+
+    def test_sort_priority_probe(self, graphs):
+        hits, inscheme = self._scheme_codes(graphs["sitc-sections"], "sortPriority")
+        assert hits, "sitc-sections provides sort priorities"
+        for code, lit in hits:
+            assert lit.endswith('^^<http://www.w3.org/2001/XMLSchema#integer>'), lit
+            assert inscheme[code] == f"<{TEST_DOMAIN}def/concept-scheme/sitc-sections>"
+        none_hits, _ = self._scheme_codes(graphs["flow-directions"], "sortPriority")
+        assert none_hits == set()  # sort priority is optional
+
+    def test_description_probe(self, graphs):
+        hits, inscheme = self._scheme_codes(
+            graphs["sitc-sections"], "rdf-schema#comment"
+        )
+        assert hits, "sitc-sections provides descriptions"
+        for code, lit in hits:
+            assert lit.endswith('"@en'), lit
+            assert inscheme[code] == f"<{TEST_DOMAIN}def/concept-scheme/sitc-sections>"
+        none_hits, _ = self._scheme_codes(graphs["flow-directions"], "rdf-schema#comment")
+        assert none_hits == set()  # description is optional
