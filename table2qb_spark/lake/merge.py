@@ -108,6 +108,84 @@ def merge_upsert(
         and batch_size_hint < PRUNE_THRESHOLD * table_rows
     )
 
+    # Backfill/initial-replay fast path (empty table, plain batch): LATE
+    # MATERIALIZATION. The wide exchange is the DRAM-bandwidth bottleneck at
+    # high core counts, and most of its bytes are payload columns (content)
+    # for rows that LOSE the merge. Phase 1 shuffles only (keys, seq, op) —
+    # an order-of-magnitude narrower row — to pick each key's winning seq;
+    # phase 2 broadcast-joins the winning seqs back against the batch scan,
+    # so only winner rows (1/dup-factor of the batch) carry their payload
+    # through the bucket exchange. Duplicate deliveries of a winning seq
+    # both pass the join; the bucket window below keeps exactly one.
+    # seq values need only be unique PER KEY (the merge contract): a foreign
+    # key's event sharing a winning seq value passes the join too, but the
+    # bucket window re-picks the max per key among fetched rows and the
+    # op filter below drops keys whose true winner was a delete — so the
+    # path stays correct under cross-key seq collisions.
+    late_mat = (
+        not force_stats_pass
+        and table_rows == 0
+        and not seq_guard
+        and not tombstones
+        and not two_phase_dedup
+    )
+    if late_mat:
+        t_obs = Observation(f"merge-lm-{commit_id}")
+        narrow = batch_sel.select(*keys, "__seq", "__op").observe(
+            t_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("__op") == delete_op, 1).otherwise(0)).alias("dels"),
+            F.max("__seq").alias("max_seq"),
+        )
+        win = (
+            narrow.groupBy(*keys)
+            .agg(F.max(F.struct(F.col("__seq"), F.col("__op"))).alias("__w"))
+            .select(F.col("__w.__seq").alias("__wseq"), F.col("__w.__op").alias("__wop"))
+        )
+        live_seqs = win.where(F.col("__wop") != delete_op).select("__wseq")
+        fetched = batch_sel.join(
+            F.broadcast(live_seqs), batch_sel["__seq"] == F.col("__wseq"), "inner"
+        ).drop("__wseq")
+
+        from pyspark.sql.window import Window
+
+        bucketed = fetched.withColumn(
+            "__bucket", key_bucket_expr(keys, snap.n_buckets)
+        ).repartition(snap.n_buckets, F.col("__bucket"))
+        w = Window.partitionBy("__bucket").orderBy(
+            *[F.col(k) for k in keys], F.col("__seq"), F.col("__pri")
+        )
+        last = F.lead(F.lit(1)).over(w).isNull()
+        for k in keys:
+            last = last | ~F.lead(F.col(k)).over(w).eqNullSafe(F.col(k))
+        winners = bucketed.withColumn("__last", last).where(
+            F.col("__last") & (F.col("__op") != delete_op)
+        )
+        merged = winners.select(*(list(keys) + value_cols), "__bucket")
+        new_files = table.write_data_files(
+            merged, snapshot_hint=f"{snap.snapshot_id + 1:08d}", repartition=False
+        )
+        got = t_obs.get
+        n_total = int(got["n"] or 0)
+        n_dels = int(got["dels"] or 0)
+        affected = sorted(set(new_files) | {int(b) for b in snap.files})
+        for b in affected:
+            new_files.setdefault(b, [])
+        su = dict(summary_update or {})
+        su.setdefault("max_seq", got["max_seq"])
+        table.commit_files(
+            commit_id, affected, new_files, su, base_snapshot_id=snap.snapshot_id
+        )
+        return {
+            "skipped": False,
+            "commit_id": commit_id,
+            "affected_buckets": len(affected),
+            "upserts": n_total - n_dels,
+            "deletes": n_dels,
+            "strategy": "late-materialization",
+            "seconds": time.time() - t0,
+        }
+
     observation = None
     if use_pruning:
         # pre-pass: touched buckets + batch stats in one tiny aggregate

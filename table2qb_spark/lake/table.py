@@ -48,7 +48,8 @@ import json
 import os
 import time
 import uuid
-from dataclasses import dataclass
+from collections.abc import Mapping
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,6 +78,40 @@ def key_bucket_expr(key_cols: list[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(F.concat(*parts)), F.lit(n_buckets)).cast("int")
 
 
+class _BucketFiles(Mapping):
+    """Lazy bucket -> file-entries map backed by per-bucket manifest files.
+
+    Iterating KEYS is free (the pointer map is in memory); a bucket's entry
+    list is loaded from its own manifest file on first access. This is what
+    makes pruned reads/merges O(touched buckets) in metadata I/O too."""
+
+    def __init__(self, root: str, pointers: dict[str, dict]):
+        self._root = root
+        self._ptr = pointers
+        self._cache: dict[str, list[dict]] = {}
+
+    def __getitem__(self, b) -> list[dict]:
+        b = str(b)
+        if b not in self._cache:
+            ptr = self._ptr[b]  # KeyError for unknown buckets, like a dict
+            with open(os.path.join(self._root, ptr["path"])) as f:
+                self._cache[b] = json.load(f)["files"]
+        return self._cache[b]
+
+    def __iter__(self):
+        return iter(self._ptr)
+
+    def __len__(self):
+        return len(self._ptr)
+
+    def __eq__(self, other):
+        if isinstance(other, Mapping):
+            return dict(self.items()) == dict(other.items())
+        return NotImplemented
+
+    __hash__ = None
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -86,12 +121,18 @@ class Snapshot:
     schemas: dict[str, list[dict]]  # version(str) -> [{id,name,type}]
     key_columns: list[str]
     n_buckets: int
-    # bucket(str) -> [{path, schema_version, rows}] — hydrated from the
-    # manifest file on load; NOT stored in the snapshot header.
-    files: dict[str, list[dict]]
+    # bucket(str) -> [{path, schema_version, rows}] — hydrated (lazily, via
+    # _BucketFiles) from per-bucket manifest files on load; NOT stored in the
+    # snapshot header.
+    files: Mapping
     n_commits: int
     summary: dict
     timestamp_ms: int
+    # bucket(str) -> {"path": bucket-manifest relpath, "rows": n} — the
+    # manifest LIST this snapshot was loaded from (None for legacy formats).
+    # Commits reuse untouched buckets' pointers verbatim (Iceberg-style
+    # manifest reuse), so commit metadata I/O is O(touched buckets).
+    manifest_pointers: dict[str, dict] | None = field(default=None, compare=False)
 
     def current_schema(self) -> list[dict]:
         return self.schemas[str(self.schema_version)]
@@ -112,7 +153,7 @@ class Snapshot:
         }
 
     @staticmethod
-    def from_json(d: dict, files: dict[str, list[dict]]) -> "Snapshot":
+    def from_json(d: dict, files: Mapping) -> "Snapshot":
         return Snapshot(
             snapshot_id=d["snapshot_id"],
             parent_id=d.get("parent_id"),
@@ -188,7 +229,7 @@ class LakeTable:
             summary={"row_count": 0, "max_seq": None},
             timestamp_ms=int(time.time() * 1000),
         )
-        t._write_snapshot(snap)
+        t._write_snapshot(snap, {})
         return t
 
     @staticmethod
@@ -204,20 +245,54 @@ class LakeTable:
     def _marker_path(self, commit_id: str) -> str:
         return os.path.join(self.path, META_DIR, COMMITS_DIR, commit_id)
 
-    def _write_snapshot(self, snap: Snapshot) -> None:
-        """Commit order: manifest -> header (EXCLUSIVE create) -> VERSION swap
-        -> commit marker. The header link is the commit point between racing
-        writers: os.link gives true O_EXCL semantics, so two writers that both
-        passed the base-snapshot check cannot both create v{N}.json — the
-        loser gets ConcurrentCommitError instead of silently clobbering the
-        winner's files. A crash leaves either an invisible orphan (header
-        written, VERSION unswapped — reclaimed on retry ONLY when it carries
-        our own commit_id, i.e. it is provably our predecessor's attempt at
-        this same idempotent commit) or a visible snapshot missing only its
-        marker (healed lazily from the header's commit_id)."""
+    def _bucket_manifest_rel(self, snapshot_id: int, bucket: str) -> str:
+        return f"{META_DIR}/mb-{snapshot_id:08d}-{bucket}.json"
+
+    def _write_bucket_manifests(
+        self, snapshot_id: int, new_files: dict
+    ) -> dict[str, dict]:
+        """One immutable manifest file per bucket (written BEFORE the
+        exclusive header — crash orphans are invisible). Returns the pointer
+        entries for the snapshot's manifest list."""
+        out: dict[str, dict] = {}
+        for b, entries in new_files.items():
+            rel = self._bucket_manifest_rel(snapshot_id, str(b))
+            _atomic_write(
+                os.path.join(self.path, rel), json.dumps({"files": entries})
+            )
+            out[str(b)] = {
+                "path": rel,
+                "rows": sum(int(e.get("rows", 0) or 0) for e in entries),
+            }
+        return out
+
+    def _pointers_of(self, snap: Snapshot, next_snapshot_id: int) -> dict[str, dict]:
+        """The parent's manifest pointers, upgrading a legacy (monolithic /
+        inline) snapshot by splitting it into per-bucket manifests once."""
+        if snap.manifest_pointers is not None:
+            return dict(snap.manifest_pointers)
+        return self._write_bucket_manifests(next_snapshot_id, dict(snap.files))
+
+    def _write_snapshot(self, snap: Snapshot, pointers: dict[str, dict]) -> None:
+        """Commit order: manifest list -> header (EXCLUSIVE create) -> VERSION
+        swap -> commit marker. The manifest list is O(buckets) pointers; the
+        per-bucket file lists live in immutable mb-*.json manifests written
+        by the caller (only touched buckets get new ones — Iceberg's
+        manifest-list/manifest split). The header link is the commit point
+        between racing writers: os.link gives true O_EXCL semantics, so two
+        writers that both passed the base-snapshot check cannot both create
+        v{N}.json — the loser gets ConcurrentCommitError instead of silently
+        clobbering the winner's files. A crash leaves either an invisible
+        orphan (header written, VERSION unswapped — reclaimed on retry ONLY
+        when it carries our own commit_id, i.e. it is provably our
+        predecessor's attempt at this same idempotent commit) or a visible
+        snapshot missing only its marker (healed lazily from the header's
+        commit_id)."""
         header_path = self._snapshot_path(snap.snapshot_id)
         header_json = json.dumps(snap.header_json())
-        _atomic_write(self._manifest_path(snap.snapshot_id), json.dumps({"files": snap.files}))
+        _atomic_write(
+            self._manifest_path(snap.snapshot_id), json.dumps({"buckets": pointers})
+        )
         try:
             _exclusive_write(header_path, header_json)
         except FileExistsError:
@@ -255,12 +330,20 @@ class LakeTable:
     def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         d = self._read_header(sid)
+        pointers = None
         if "files" in d:  # legacy header with inline file lists
-            files = d["files"]
+            files: Mapping = d["files"]
         else:
             with open(os.path.join(self.path, d["manifest"])) as f:
-                files = json.load(f)["files"]
-        return Snapshot.from_json(d, files)
+                m = json.load(f)
+            if "buckets" in m:  # per-bucket manifest pointers (round 3)
+                pointers = m["buckets"]
+                files = _BucketFiles(self.path, pointers)
+            else:  # round-2 monolithic manifest
+                files = m["files"]
+        snap = Snapshot.from_json(d, files)
+        snap.manifest_pointers = pointers
+        return snap
 
     def history(self) -> list[Snapshot]:
         out = []
@@ -326,7 +409,8 @@ class LakeTable:
             summary=snap.summary,
             timestamp_ms=int(time.time() * 1000),
         )
-        self._write_snapshot(new_snap)
+        # metadata-only commit: every bucket's manifest is reused verbatim
+        self._write_snapshot(new_snap, self._pointers_of(snap, new_snap.snapshot_id))
         return new_snap
 
     # ----- reads -------------------------------------------------------------
@@ -348,10 +432,11 @@ class LakeTable:
 
         wanted = set(buckets) if buckets is not None else None
         by_version: dict[str, list[str]] = {}
-        for b, entries in snap.files.items():
+        for b in snap.files:  # key iteration is free (pointer map)
             if wanted is not None and int(b) not in wanted:
                 continue
-            for e in entries:
+            # only wanted buckets' manifests are actually opened
+            for e in snap.files[b]:
                 by_version.setdefault(str(e["schema_version"]), []).append(e["path"])
 
         parts: list[DataFrame] = []
@@ -432,30 +517,33 @@ class LakeTable:
             )
         if self.has_commit(commit_id):
             raise RuntimeError(f"Commit {commit_id} already applied")
-        files = {b: list(entries) for b, entries in snap.files.items()}
+        # O(touched buckets) metadata I/O: untouched buckets' manifest
+        # pointers carry forward verbatim; only new_files' buckets get a
+        # fresh per-bucket manifest. Row count comes from the pointer rows
+        # (no file-list reads for untouched buckets).
+        next_id = snap.snapshot_id + 1
+        pointers = self._pointers_of(snap, next_id)
         for b in replaced_buckets:
-            files.pop(str(b), None)
-        for b, entries in new_files.items():
-            files[str(b)] = entries
+            pointers.pop(str(b), None)
+        pointers.update(self._write_bucket_manifests(next_id, new_files))
         summary = dict(snap.summary)
         summary.update(summary_update or {})
-        summary["row_count"] = sum(
-            e.get("rows", 0) for entries in files.values() for e in entries
-        )
+        summary["row_count"] = sum(p["rows"] for p in pointers.values())
         new_snap = Snapshot(
-            snapshot_id=snap.snapshot_id + 1,
+            snapshot_id=next_id,
             parent_id=snap.snapshot_id,
             commit_id=commit_id,
             schema_version=snap.schema_version,
             schemas=snap.schemas,
             key_columns=snap.key_columns,
             n_buckets=snap.n_buckets,
-            files=files,
+            files=_BucketFiles(self.path, pointers),
             n_commits=snap.n_commits + 1,
             summary=summary,
             timestamp_ms=int(time.time() * 1000),
         )
-        self._write_snapshot(new_snap)
+        new_snap.manifest_pointers = pointers
+        self._write_snapshot(new_snap, pointers)
         return new_snap
 
     def write_data_files(

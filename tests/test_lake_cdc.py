@@ -303,13 +303,30 @@ class TestRound2Semantics:
                 (4, "I", "r2", None, "c4", "py", "y"),
             ],
         )
-        stats = merge_upsert(t, b, "b1")  # empty table -> single-pass path
-        assert stats["strategy"] == "single-pass"
+        stats = merge_upsert(t, b, "b1")  # empty table -> late-materialization
+        assert stats["strategy"] == "late-materialization"
         state = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
         assert state == {
             ("r1", None): "v2",
             ("r1", "a.py"): "x",
             ("r2", None): "y",
+        }
+        # non-empty table without a size hint -> the general single-pass
+        # window path must handle NULL keys identically
+        b2 = batch_df(
+            spark,
+            [
+                (5, "U", "r1", None, "c5", "py", "v3"),
+                (6, "U", "r2", None, "c6", "py", "y2"),
+            ],
+        )
+        stats2 = merge_upsert(t, b2, "b2")
+        assert stats2["strategy"] == "single-pass"
+        state = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+        assert state == {
+            ("r1", None): "v3",
+            ("r1", "a.py"): "x",
+            ("r2", None): "y2",
         }
 
     def test_null_key_rows_pruned_path(self, spark, tmp_path):
@@ -388,3 +405,74 @@ class TestRound2Semantics:
         )
         with pytest.raises(ValueError, match="missing columns.*op.*seq"):
             merge_upsert(t, bad, "bad")
+
+
+class TestPerBucketManifests:
+    def test_commit_writes_only_touched_buckets_manifests(self, spark, tmp_path):
+        """Metadata I/O is O(touched buckets): a commit touching one bucket
+        writes exactly one new per-bucket manifest; every untouched bucket's
+        pointer (path AND row count) carries forward verbatim."""
+        import glob
+
+        t = make_table(spark, tmp_path, n_buckets=16)
+        rows = [(i, "I", f"r{i % 7}", f"f{i}.py", "c", "py", "v") for i in range(1, 60)]
+        merge_upsert(t, batch_df(spark, rows), "seed")
+        before_ptr = dict(t.snapshot().manifest_pointers)
+        mb_before = set(glob.glob(os.path.join(t.path, "_meta", "mb-*.json")))
+
+        # one-key update -> one touched bucket
+        merge_upsert(
+            t,
+            batch_df(spark, [(100, "U", "r1", "f1.py", "c", "py", "v2")]),
+            "one",
+            batch_size_hint=1,
+        )
+        after_ptr = dict(t.snapshot().manifest_pointers)
+        mb_after = set(glob.glob(os.path.join(t.path, "_meta", "mb-*.json")))
+        changed = [b for b in after_ptr if before_ptr.get(b) != after_ptr.get(b)]
+        assert len(changed) == 1
+        for b in before_ptr:
+            if b not in changed:
+                assert after_ptr[b] == before_ptr[b]  # pointer reuse, no rewrite
+        assert len(mb_after - mb_before) == 1  # exactly one new bucket manifest
+        # row counts in the manifest list stay consistent with the data
+        assert t.snapshot().summary["row_count"] == t.read().count() == 59
+
+    def test_schema_evolution_reuses_all_bucket_manifests(self, spark, tmp_path):
+        import glob
+
+        t = make_table(spark, tmp_path)
+        merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "b1")
+        mb_before = set(glob.glob(os.path.join(t.path, "_meta", "mb-*.json")))
+        ptr_before = dict(t.snapshot().manifest_pointers)
+        t.evolve_schema(add_columns=[("license", "string")])
+        assert set(glob.glob(os.path.join(t.path, "_meta", "mb-*.json"))) == mb_before
+        assert dict(t.snapshot().manifest_pointers) == ptr_before
+
+    def test_legacy_monolithic_manifest_still_reads_and_upgrades(self, spark, tmp_path):
+        """A round-2 table (one m{N}.json holding every bucket's file list)
+        must load as-is and be split into per-bucket manifests on its first
+        new commit."""
+        import json as _json
+        from table2qb_spark.lake.table import _atomic_write
+
+        t = make_table(spark, tmp_path, n_buckets=4)
+        merge_upsert(
+            t,
+            batch_df(spark, [(i, "I", f"r{i}", f"f{i}.py", "c", "py", "v") for i in range(1, 9)]),
+            "b1",
+        )
+        # rewrite the current manifest in the legacy monolithic format
+        snap = t.snapshot()
+        files = {b: list(es) for b, es in snap.files.items()}
+        _atomic_write(
+            t._manifest_path(snap.snapshot_id), _json.dumps({"files": files})
+        )
+        legacy = t.snapshot()
+        assert legacy.manifest_pointers is None
+        assert {b: list(es) for b, es in legacy.files.items()} == files
+        assert t.read().count() == 8
+        # next commit upgrades: per-bucket pointers exist afterwards
+        merge_upsert(t, batch_df(spark, [(20, "U", "r1", "f1.py", "c", "py", "v2")]), "b2")
+        assert t.snapshot().manifest_pointers is not None
+        assert t.read().count() == 8
