@@ -59,6 +59,7 @@ class ChangeLogReplayer:
     ):
         self.spark = spark
         self.table = table
+        self._events_path = events if isinstance(events, str) else None
         self.events = (
             spark.read.parquet(events) if isinstance(events, str) else events
         )
@@ -75,10 +76,45 @@ class ChangeLogReplayer:
         return int(self.table.snapshot().summary.get("last_batch", -1))
 
     def seq_bounds(self) -> tuple[int, int]:
+        """Global [min, max] of the seq column. For a directory input this is
+        a driver-side parquet-FOOTER read (metadata only — at 100 TB a data
+        scan just to find the range is wrong; a production log keeps this in
+        its manifest). Falls back to a Spark aggregate for DataFrame inputs
+        or stat-less files."""
+        fb = self._footer_bounds()
+        if fb is not None:
+            return fb
         r = self.events.agg(
             F.min(self.seq_col).alias("lo"), F.max(self.seq_col).alias("hi")
         ).collect()[0]
         return int(r["lo"]), int(r["hi"])
+
+    def _footer_bounds(self) -> tuple[int, int] | None:
+        if self._events_path is None or not os.path.isdir(self._events_path):
+            return None
+        import pyarrow.parquet as pq
+
+        lo = hi = None
+        for root, _dirs, files in os.walk(self._events_path):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, fn)).metadata
+                try:
+                    ci = md.schema.to_arrow_schema().get_field_index(self.seq_col)
+                except KeyError:
+                    ci = -1
+                if ci < 0:
+                    return None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        return None  # any stat-less file -> exact Spark agg
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None
+        return int(lo), int(hi)
 
     def batch_range(self, batch_index: int, lo: int) -> tuple[int, int]:
         start = lo + batch_index * self.batch_events

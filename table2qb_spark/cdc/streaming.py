@@ -110,6 +110,18 @@ def start_stream(
         commit_id = f"stream-{app_id}-{batch_id:08d}"
         if table.has_commit(commit_id):
             return  # redelivered micro-batch: exactly-once skip
+        # per-row invariant parity with ChangeLogReplayer (BASELINE
+        # input_hint): content sha256 computed at ingest when the table
+        # declares the column and the stream doesn't carry it
+        schema_names = {c["name"] for c in table.snapshot().current_schema()}
+        if (
+            "content_sha" in schema_names
+            and "content_sha" not in batch_df.columns
+            and "content" in batch_df.columns
+        ):
+            batch_df = batch_df.withColumn(
+                "content_sha", F.sha2(F.col("content"), 256)
+            )
         flat = reconcile_and_flatten(table, batch_df, commit_id, payload_col)
         merge_upsert(
             table,

@@ -34,6 +34,7 @@ Strategies:
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, Observation
@@ -119,11 +120,16 @@ def merge_upsert(
     # both pass the join; the bucket window below keeps exactly one.
     # seq values need only be unique PER KEY (the merge contract): a foreign
     # key's event sharing a winning seq value passes the join too, but the
-    # bucket window re-picks the max per key among fetched rows and the
-    # op filter below drops keys whose true winner was a delete — so the
-    # path stays correct under cross-key seq collisions.
+    # bucket window re-picks the max per key among fetched rows. Delete
+    # winners MUST be fetched too (not pre-filtered out of the broadcast):
+    # a key's winning seq is its MAX seq, so with every winner seq present
+    # the window's per-key max is always the true winner, and the op filter
+    # below drops the delete-winner keys. Excluding delete winners instead
+    # would resurrect a deleted key whose lower-seq update collides with
+    # another key's winning seq.
     late_mat = (
-        not force_stats_pass
+        os.environ.get("SPARK_GRAFT_LATE_MAT", "1") != "0"  # bench A/B lever
+        and not force_stats_pass
         and table_rows == 0
         and not seq_guard
         and not tombstones
@@ -137,14 +143,17 @@ def merge_upsert(
             F.sum(F.when(F.col("__op") == delete_op, 1).otherwise(0)).alias("dels"),
             F.max("__seq").alias("max_seq"),
         )
-        win = (
-            narrow.groupBy(*keys)
-            .agg(F.max(F.struct(F.col("__seq"), F.col("__op"))).alias("__w"))
-            .select(F.col("__w.__seq").alias("__wseq"), F.col("__w.__op").alias("__wop"))
+        # NO distinct on the build side: two keys sharing a winning seq value
+        # put two wseq=s rows in the build relation, so probe rows with that
+        # seq match twice — but the duplicates are IDENTICAL rows and the
+        # bucket window's last-row detection keeps exactly one (same as
+        # duplicate deliveries). Cross-key collisions are rare, while a
+        # distinct costs a whole extra shuffle + stage on the critical path.
+        win_seqs = narrow.groupBy(*keys).agg(F.max("__seq").alias("__wseq")).select(
+            "__wseq"
         )
-        live_seqs = win.where(F.col("__wop") != delete_op).select("__wseq")
         fetched = batch_sel.join(
-            F.broadcast(live_seqs), batch_sel["__seq"] == F.col("__wseq"), "inner"
+            F.broadcast(win_seqs), batch_sel["__seq"] == F.col("__wseq"), "inner"
         ).drop("__wseq")
 
         from pyspark.sql.window import Window

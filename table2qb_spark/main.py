@@ -83,8 +83,8 @@ def cmd_exec(args) -> int:
         "'cube-pipeline' to generate the tables (CSV + CSVW metadata.json) "
         "that csv2rdf would serialize; all three support --rdf-output for a "
         "distributed N-Triples serialization (observations, used-codes "
-        "collections/members, DSD, dataset and component-spec nodes). Not "
-        "emitted: TriG named graphs (--graph).",
+        "collections/members, DSD, dataset and component-spec nodes); "
+        "--graph adds the named graph (N-Quads).",
         file=sys.stderr,
     )
     return 2
@@ -126,6 +126,7 @@ def cmd_codelist(args) -> int:
     res = codelist_pipeline(
         spark, args.output_directory, args.codelist_csv, args.codelist_name,
         args.codelist_slug, args.base_uri, rdf_output=args.rdf_output,
+        rdf_graph=args.graph,
     )
     print(res["metadata_file"])
     return 0
@@ -138,7 +139,7 @@ def cmd_components(args) -> int:
     spark = get_spark("components-pipeline")
     res = components_pipeline(
         spark, args.output_directory, args.input_csv, args.base_uri,
-        rdf_output=args.rdf_output,
+        rdf_output=args.rdf_output, rdf_graph=args.graph,
     )
     print(res["metadata_file"])
     return 0
@@ -155,6 +156,7 @@ def cmd_cube(args) -> int:
     res = cube_pipeline(
         spark, args.output_directory, args.input_csv, args.dataset_name,
         args.dataset_slug, cols, args.base_uri, rdf_output=args.rdf_output,
+        rdf_graph=args.graph,
     )
     print(res["metadata_file"])
     return 0
@@ -268,6 +270,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output-directory", required=True)
     c.add_argument("--rdf-output", default=None,
                    help="also write the table as N-Triples (distributed part files)")
+    c.add_argument("--graph", default=None,
+                   help="named-graph URI: emit N-Quads in this graph "
+                        "(the reference's TriG --graph, as the line-oriented "
+                        "distributed serialization)")
     c.set_defaults(fn=cmd_codelist)
 
     c = sub.add_parser("components-pipeline")
@@ -276,6 +282,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output-directory", required=True)
     c.add_argument("--rdf-output", default=None,
                    help="also write the table as N-Triples (distributed part files)")
+    c.add_argument("--graph", default=None,
+                   help="named-graph URI: emit N-Quads in this graph "
+                        "(the reference's TriG --graph, as the line-oriented "
+                        "distributed serialization)")
     c.set_defaults(fn=cmd_components)
 
     c = sub.add_parser("cube-pipeline")
@@ -287,6 +297,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output-directory", required=True)
     c.add_argument("--rdf-output", default=None,
                    help="also write observation triples as N-Triples part files")
+    c.add_argument("--graph", default=None,
+                   help="named-graph URI: emit N-Quads in this graph "
+                        "(the reference's TriG --graph, as the line-oriented "
+                        "distributed serialization)")
     c.set_defaults(fn=cmd_cube)
 
     c = sub.add_parser("cdc-init")

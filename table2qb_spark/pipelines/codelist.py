@@ -182,11 +182,13 @@ def codelist_pipeline(
     base_uri: str,
     uri_templates: dict | None = None,
     rdf_output: str | None = None,
+    rdf_graph: str | None = None,
 ) -> dict:
     """Full pipeline (codelist.clj:134-148): annotated CSV + metadata.json.
     ``rdf_output``: optional directory for a distributed N-Triples
     serialization of the annotated table (the minimal csv2rdf subset —
-    pipelines/rdf.py)."""
+    pipelines/rdf.py). ``rdf_graph``: emit N-Quads in that named graph
+    instead (the reference's --graph, cli/tasks.clj:243-251)."""
     uri_defs = uri_fns.merge_uris(CODELIST_PIPELINE_URIS, uri_templates)
     uris = resolve_uris(uri_defs, base_uri, codelist_slug)
     os.makedirs(output_directory, exist_ok=True)
@@ -204,6 +206,6 @@ def codelist_pipeline(
     if rdf_output:
         from table2qb_spark.pipelines.rdf import write_ntriples
 
-        write_ntriples(df, metadata, rdf_output)
+        write_ntriples(df, metadata, rdf_output, graph=rdf_graph)
         out["rdf_output"] = rdf_output
     return out

@@ -180,6 +180,7 @@ def components_pipeline(
     base_uri: str,
     uri_templates: dict | None = None,
     rdf_output: str | None = None,
+    rdf_graph: str | None = None,
 ) -> dict:
     """Full pipeline (components.clj:123-137): annotated CSV + metadata.json.
     ``rdf_output``: optional directory for a distributed N-Triples
@@ -205,6 +206,6 @@ def components_pipeline(
     if rdf_output:
         from table2qb_spark.pipelines.rdf import write_ntriples
 
-        write_ntriples(df, metadata, rdf_output)
+        write_ntriples(df, metadata, rdf_output, graph=rdf_graph)
         out["rdf_output"] = rdf_output
     return out

@@ -391,6 +391,7 @@ def cube_pipeline(
     uri_templates: dict | None = None,
     distributed_csv: bool | None = None,
     rdf_output: str | None = None,
+    rdf_graph: str | None = None,
 ) -> dict:
     """cube.clj:195-227 end-to-end: component-specifications.csv,
     observations.csv, metadata.json.
@@ -463,15 +464,8 @@ def cube_pipeline(
             spark, obs, cube_config, uris, domain_data, dataset_slug,
             dataset_name, observations_csv, comp_spec_csv,
         )
-        (
-            triples.select(
-                F.concat_ws(
-                    " ",
-                    F.col("subject"), F.col("predicate"), F.col("object"), F.lit("."),
-                ).alias("value")
-            )
-            .write.mode("overwrite")
-            .text(rdf_output)
-        )
+        from table2qb_spark.pipelines.rdf import serialize_lines
+
+        serialize_lines(triples, rdf_graph).write.mode("overwrite").text(rdf_output)
         out["rdf_output"] = rdf_output
     return out

@@ -157,24 +157,32 @@ def table_level_triples(schema: dict, language: str = "en") -> list[tuple[str, s
     return out
 
 
+def serialize_lines(triples: DataFrame, graph: str | None = None) -> DataFrame:
+    """One formatted statement line per triple. With ``graph``: N-Quads —
+    the line-oriented named-graph serialization (same RDF dataset model the
+    reference's TriG output carries via csv2rdf's --graph,
+    src/table2qb/cli/tasks.clj:243-251; N-Quads is chosen over TriG blocks
+    because every executor-written part file stays independently valid and
+    concatenation order is irrelevant)."""
+    terms = [F.col("subject"), F.col("predicate"), F.col("object")]
+    if graph:
+        terms.append(F.lit(f"<{graph}>"))
+    return triples.select(F.concat_ws(" ", *terms, F.lit(".")).alias("value"))
+
+
 def write_ntriples(
-    df: DataFrame, schema: dict, path: str, language: str = "en"
+    df: DataFrame, schema: dict, path: str, language: str = "en",
+    graph: str | None = None,
 ) -> DataFrame:
     """Distributed N-Triples write: row triples from executors, table-level
     triples unioned in. Returns the triples DataFrame (terms pre-formatted).
-    ``path`` becomes a directory of .nt part files (valid N-Triples is
-    line-oriented, so concatenation order is irrelevant)."""
+    ``path`` becomes a directory of part files (valid N-Triples/N-Quads is
+    line-oriented, so concatenation order is irrelevant). ``graph`` switches
+    the serialization to N-Quads in that named graph."""
     rows = triples_df(df, schema, language)
     head = df.sparkSession.createDataFrame(
         table_level_triples(schema, language), rows.schema
     )
     all_triples = head.unionByName(rows)
-    (
-        all_triples.select(
-            F.concat_ws(" ", F.col("subject"), F.col("predicate"), F.col("object"), F.lit("."))
-            .alias("value")
-        )
-        .write.mode("overwrite")
-        .text(path)
-    )
+    serialize_lines(all_triples, graph).write.mode("overwrite").text(path)
     return all_triples

@@ -64,6 +64,15 @@ def get_spark(
         .config("spark.io.compression.codec", "zstd")
         .config("spark.io.compression.zstd.level", "1")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # split scans on 32 MB of COMPRESSED bytes (default 128 MB): with
+        # zstd's ~4:1 ratio on this data a default split is ~512 MB of
+        # logical work, so scans of a few-GB table plan only ~1.3 waves of
+        # tasks and the ragged last wave idles most cores (measured: the
+        # 48M-event narrow scan ran as 43 tasks = 2 waves at 32 cores, 28%
+        # idle). 32 MB compressed ~ one default-sized logical split; more,
+        # smaller tasks = even waves at any core count — exactly how a real
+        # cluster sizes file splits
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # window buffers sized so per-bucket merge windows (10^5-10^6 rows)
         # never hit the 4096-row in-memory default mid-merge; 1M rows
         # (~300MB worst case per concurrent task) stays within executor

@@ -189,6 +189,31 @@ class TestReplayVsOracle:
         assert len(ms) == len(results)
         assert all(m["events_per_sec"] > 0 for m in ms)
 
+    def test_seq_bounds_footer_path_matches_spark_agg(self, spark, tmp_path, fixtures):
+        """seq_bounds for a directory input is a driver-side parquet-footer
+        read; it must equal the exact Spark aggregate, and a DataFrame input
+        (no path) must fall back to the aggregate."""
+        _, events_path = fixtures
+        t = LakeTable.create(
+            spark, str(tmp_path / "lake_sb"), BASE_SCHEMA, KEYS, n_buckets=8
+        )
+        r = ChangeLogReplayer(spark, t, events_path, batch_events=500)
+        fb = r._footer_bounds()
+        assert fb is not None  # datagen parquet carries min/max stats
+        from pyspark.sql import functions as F
+
+        agg = (
+            spark.read.parquet(events_path)
+            .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"))
+            .collect()[0]
+        )
+        assert fb == (int(agg["lo"]), int(agg["hi"])) == r.seq_bounds()
+        r_df = ChangeLogReplayer(
+            spark, t, spark.read.parquet(events_path), batch_events=500
+        )
+        assert r_df._footer_bounds() is None
+        assert r_df.seq_bounds() == fb
+
     def test_resume_from_any_checkpoint_converges(self, spark, tmp_path, fixtures):
         _, events_path = fixtures
         # full replay reference state
@@ -328,6 +353,27 @@ class TestRound2Semantics:
             ("r1", "a.py"): "x",
             ("r2", None): "y2",
         }
+
+    def test_late_mat_cross_key_seq_collision_with_delete(self, spark, tmp_path):
+        """Seqs are only unique PER KEY. Key rB's true winner is a DELETE at
+        seq 12, but rB also has a lower-seq update whose seq collides with
+        rA's winning seq — the late-materialization fetch must still fetch
+        rB's delete winner so the key stays dead (not resurrected by the
+        collided update)."""
+        t = make_table(spark, tmp_path, n_buckets=2)
+        b = batch_df(
+            spark,
+            [
+                (10, "U", "rA", "a.py", "c", "py", "va"),
+                (10, "U", "rB", "b.py", "c", "py", "vb-old"),
+                (12, "D", "rB", "b.py", "c", "py", None),
+            ],
+        )
+        stats = merge_upsert(t, b, "b1")
+        assert stats["strategy"] == "late-materialization"
+        assert stats["upserts"] == 2 and stats["deletes"] == 1
+        state = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+        assert state == {("rA", "a.py"): "va"}
 
     def test_null_key_rows_pruned_path(self, spark, tmp_path):
         t = make_table(spark, tmp_path, n_buckets=1)

@@ -444,6 +444,35 @@ class TestRdfSink:
         props = [t for t in got if t.endswith(f"<{rdf}type> <{rdf}Property>")]
         assert len(props) >= 4
 
+    def test_named_graph_emits_nquads(self, spark, reference_available, tmp_path):
+        """--graph parity (reference cli/tasks.clj:243-251, TriG): with a
+        named graph every statement line carries the graph IRI as the 4th
+        term (N-Quads — line-oriented so executor part files stay valid)."""
+        g = "http://gss-data.org.uk/graph/flow-directions"
+        res = codelist.codelist_pipeline(
+            spark,
+            str(tmp_path / "out"),
+            example_csv("regional-trade", "flow-directions.csv"),
+            "Flow Directions",
+            "flow-directions",
+            TEST_DOMAIN,
+            rdf_output=str(tmp_path / "nq"),
+            rdf_graph=g,
+        )
+        import glob
+
+        lines = []
+        for f in glob.glob(os.path.join(res["rdf_output"], "part-*")):
+            with open(f) as fh:
+                lines += [ln.strip() for ln in fh if ln.strip()]
+        assert lines
+        assert all(ln.endswith(f"<{g}> .") for ln in lines)
+        # quad content = triple content + graph term
+        got = {ln[: -len(f" <{g}> .")] for ln in lines}
+        code = "http://gss-data.org.uk/def/concept/flow-directions/export"
+        skos = "http://www.w3.org/2004/02/skos/core#"
+        assert f'<{code}> <{skos}notation> "export"@en' in got
+
     def test_rdf_write_is_distributed(self, spark, reference_available, tmp_path):
         """The sink is executor part files, not a driver-written artifact."""
         res = codelist.codelist_pipeline(
