@@ -522,3 +522,79 @@ class TestPerBucketManifests:
         merge_upsert(t, batch_df(spark, [(20, "U", "r1", "f1.py", "c", "py", "v2")]), "b2")
         assert t.snapshot().manifest_pointers is not None
         assert t.read().count() == 8
+
+
+class TestMergeStrategyEquivalence:
+    """Fuzz: every merge strategy (late-materialization, single-pass window,
+    pruned copy-on-write, and a seq-split two-batch replay) must converge to
+    the IDENTICAL table state, which must equal the single-threaded Python
+    oracle. Events honor the merge contract (seq unique per key; exact
+    duplicates allowed) but are adversarial otherwise: NULL-able keys,
+    deletes, heavy cross-key seq collisions, random arrival order."""
+
+    def _events(self, seed: int):
+        import random
+
+        rng = random.Random(seed)
+        keys = [
+            (f"r{i % 5}", None if i % 7 == 0 else f"f{i % 11}.py")
+            for i in range(20)
+        ]
+        next_seq = {k: 0 for k in keys}
+        events = []
+        for i in range(150):
+            k = rng.choice(keys)
+            # seqs advance per key by 1..3 from a SHARED small range so the
+            # same seq value is almost always some other key's winner too
+            next_seq[k] += rng.randint(1, 3)
+            op = "D" if rng.random() < 0.25 else ("I" if rng.random() < 0.5 else "U")
+            events.append(
+                (next_seq[k], op, k[0], k[1], f"c{i}", "py", f"v{i}-{k[0]}")
+            )
+        # exact duplicate deliveries (contract-legal): re-deliver ~10% verbatim
+        events += [events[rng.randrange(len(events))] for _ in range(15)]
+        rng.shuffle(events)  # arrival order is irrelevant; seq is authoritative
+        return events
+
+    def _oracle_sha(self, events, cols):
+        uniq, seen = [], set()
+        for e in sorted(events, key=lambda x: x[0]):
+            if (x := (e[2], e[3], e[0])) in seen:
+                continue
+            seen.add(x)
+            uniq.append(
+                dict(zip(["seq", "op", "repo", "path", "commit", "lang", "content"], e))
+            )
+        return oracle_sha(list(replay_oracle([], uniq).values()), cols)
+
+    @pytest.mark.parametrize("seed", [3, 11])
+    def test_all_strategies_converge(self, spark, tmp_path, monkeypatch, seed):
+        events = self._events(seed)
+        cols = [c for c, _ in BASE_SCHEMA]
+        expected = self._oracle_sha(events, cols)
+        mid = sorted({e[0] for e in events})[len({e[0] for e in events}) // 2]
+        shas = {}
+
+        t = LakeTable.create(spark, str(tmp_path / "lm"), BASE_SCHEMA, KEYS, n_buckets=4)
+        s = merge_upsert(t, batch_df(spark, events), "b")
+        assert s["strategy"] == "late-materialization"
+        shas["late-mat"] = table_sha256(t.read(), cols)
+
+        monkeypatch.setenv("SPARK_GRAFT_LATE_MAT", "0")
+        t = LakeTable.create(spark, str(tmp_path / "sp"), BASE_SCHEMA, KEYS, n_buckets=4)
+        s = merge_upsert(t, batch_df(spark, events), "b")
+        assert s["strategy"] == "single-pass"
+        shas["single-pass"] = table_sha256(t.read(), cols)
+        monkeypatch.delenv("SPARK_GRAFT_LATE_MAT")
+
+        # split replay: batch 1 (late-mat, empty table) then batch 2 into the
+        # non-empty table — forced down the PRUNED path via a tiny size hint
+        first = [e for e in events if e[0] <= mid]
+        second = [e for e in events if e[0] > mid]
+        t = LakeTable.create(spark, str(tmp_path / "2b"), BASE_SCHEMA, KEYS, n_buckets=4)
+        merge_upsert(t, batch_df(spark, first), "b1")
+        s = merge_upsert(t, batch_df(spark, second), "b2", batch_size_hint=1)
+        assert s["strategy"] == "pruned"
+        shas["split+pruned"] = table_sha256(t.read(), cols)
+
+        assert shas["late-mat"] == shas["single-pass"] == shas["split+pruned"] == expected
