@@ -1,0 +1,132 @@
+"""Snapshot expiry + orphan-file cleanup — Iceberg's ``expire_snapshots``
+re-expressed for this lake format (reference has no lake layer; the shape
+follows the public Iceberg maintenance contract: retained snapshots stay
+fully readable, expired ones lose time travel, and a data/manifest file is
+deleted only when NO retained snapshot references it).
+
+Copy-on-write merges never delete files at commit time, so storage grows
+with every rewritten bucket generation — unbounded at 100 TB without this.
+
+Safety properties:
+- The CURRENT snapshot (plus ``keep_last-1`` ancestors, plus anything newer
+  than ``older_than_ms``) is always retained; deletion touches only
+  artifacts referenced EXCLUSIVELY by expired snapshots.
+- Commit markers (``_meta/commits/``) are never deleted: they are the
+  exactly-once ledger — a redelivered historic commit id must keep skipping
+  even after its snapshot's files are gone. Markers are O(bytes) each.
+- Per-bucket manifests (``mb-*.json``) are shared across snapshots by
+  pointer reuse, so retention is computed on the union of retained
+  snapshots' pointer lists, not on file age.
+- Concurrent writers are safe: a new commit only ever references the
+  current snapshot's manifests (retained here by construction), and the
+  expiry itself writes nothing — a crash mid-delete leaves harmless
+  orphans that the next expiry removes.
+
+Driver-side metadata + file deletes: at cluster scale the deletes fan out
+through the executors (one partition per file batch); the retention
+computation is identical — it reads only manifest lists, never data.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from table2qb_spark.lake.table import DATA_DIR, META_DIR, LakeTable
+
+
+def _existing_snapshot_ids(table: LakeTable) -> list[int]:
+    out = []
+    for p in glob.glob(os.path.join(table.path, META_DIR, "v*.json")):
+        name = os.path.basename(p)
+        try:
+            out.append(int(name[1:-5]))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def _referenced_paths(table: LakeTable, snapshot_id: int) -> tuple[set, set]:
+    """(data file relpaths, bucket-manifest relpaths) referenced by one
+    snapshot — metadata reads only."""
+    data: set = set()
+    manifests: set = set()
+    snap = table.snapshot(snapshot_id)
+    if snap.manifest_pointers is not None:
+        for ptr in snap.manifest_pointers.values():
+            manifests.add(ptr["path"])
+    for b in snap.files:
+        for e in snap.files[b]:
+            data.add(e["path"])
+    return data, manifests
+
+
+def expire_snapshots(
+    table: LakeTable,
+    keep_last: int = 2,
+    older_than_ms: int | None = None,
+) -> dict:
+    """Expire all snapshots except the most recent ``keep_last`` (always
+    including the current one) and any newer than ``older_than_ms``; delete
+    every data file and per-bucket manifest no retained snapshot references.
+    Returns counts. Time travel to an expired snapshot id raises
+    FileNotFoundError afterwards; ``history()`` stops at the oldest retained
+    snapshot."""
+    current = table.current_snapshot_id()
+    ids = _existing_snapshot_ids(table)
+    retained = {sid for sid in ids[-max(1, keep_last):]}
+    retained.add(current)
+    if older_than_ms is not None:
+        for sid in ids:
+            try:
+                if table.snapshot(sid).timestamp_ms >= older_than_ms:
+                    retained.add(sid)
+            except FileNotFoundError:
+                continue
+    expired = [sid for sid in ids if sid not in retained]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_data_files": 0,
+                "deleted_manifests": 0, "retained": sorted(retained)}
+
+    keep_data: set = set()
+    keep_manifests: set = set()
+    for sid in retained:
+        d, m = _referenced_paths(table, sid)
+        keep_data |= d
+        keep_manifests |= m
+
+    deleted_data = deleted_manifests = 0
+    for sid in expired:
+        try:
+            d, m = _referenced_paths(table, sid)
+        except FileNotFoundError:
+            d, m = set(), set()
+        for rel in d - keep_data:
+            full = os.path.join(table.path, rel)
+            if os.path.exists(full):
+                os.remove(full)
+                deleted_data += 1
+            keep_data.add(rel)  # count each orphan once across expired snaps
+        for rel in m - keep_manifests:
+            full = os.path.join(table.path, rel)
+            if os.path.exists(full):
+                os.remove(full)
+                deleted_manifests += 1
+            keep_manifests.add(rel)
+        for p in (table._snapshot_path(sid), table._manifest_path(sid)):
+            if os.path.exists(p):
+                os.remove(p)
+
+    # drop directories emptied by data-file deletion (snap-*/b=*)
+    data_root = os.path.join(table.path, DATA_DIR)
+    for root, dirs, files in os.walk(data_root, topdown=False):
+        if root != data_root and not dirs and not files:
+            os.rmdir(root)
+
+    return {
+        "expired_snapshots": len(expired),
+        "deleted_data_files": deleted_data,
+        "deleted_manifests": deleted_manifests,
+        "retained": sorted(retained),
+    }

@@ -346,13 +346,19 @@ class LakeTable:
         return snap
 
     def history(self) -> list[Snapshot]:
+        """Current snapshot's ancestry, oldest first — truncated at the
+        oldest RETAINED snapshot when older ones were expired
+        (lake/expire.py)."""
         out = []
         snap = self.snapshot()
         while True:
             out.append(snap)
             if snap.parent_id is None:
                 break
-            snap = self.snapshot(snap.parent_id)
+            try:
+                snap = self.snapshot(snap.parent_id)
+            except FileNotFoundError:
+                break  # parent expired: history stops here
         return list(reversed(out))
 
     # ----- schema ------------------------------------------------------------

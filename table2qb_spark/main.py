@@ -118,6 +118,39 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_expire(args) -> int:
+    from table2qb_spark.lake.expire import expire_snapshots
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-expire")
+    table = LakeTable(spark, args.table)
+    res = expire_snapshots(
+        table, keep_last=args.keep_last, older_than_ms=args.older_than_ms
+    )
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_diff(args) -> int:
+    from table2qb_spark.lake.diff import snapshot_diff
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-diff")
+    table = LakeTable(spark, args.table)
+    d = snapshot_diff(table, args.from_snapshot, args.to_snapshot)
+    if args.out:
+        d.write.mode("overwrite").parquet(args.out)
+        print(args.out)
+    else:
+        counts = {r["change_type"]: r["count"] for r in d.groupBy("change_type").count().collect()}
+        print(json.dumps({"from": args.from_snapshot,
+                          "to": args.to_snapshot or table.current_snapshot_id(),
+                          "changes": counts}))
+    return 0
+
+
 def cmd_codelist(args) -> int:
     from table2qb_spark.pipelines.codelist import codelist_pipeline
 
@@ -261,6 +294,20 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--table", required=True)
     c.add_argument("--purge-below-seq", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    c = sub.add_parser("cdc-expire")
+    c.add_argument("--table", required=True)
+    c.add_argument("--keep-last", type=int, default=2)
+    c.add_argument("--older-than-ms", type=int, default=None)
+    c.set_defaults(fn=cmd_expire)
+
+    c = sub.add_parser("cdc-diff")
+    c.add_argument("--table", required=True)
+    c.add_argument("--from-snapshot", type=int, required=True)
+    c.add_argument("--to-snapshot", type=int, default=None)
+    c.add_argument("--out", default=None,
+                   help="write the change rows as parquet instead of printing counts")
+    c.set_defaults(fn=cmd_diff)
 
     c = sub.add_parser("codelist-pipeline")
     c.add_argument("--codelist-csv", required=True)

@@ -59,3 +59,121 @@ def test_compact_purges_tombstones_below_watermark(spark, tmp_path):
     # above-watermark late events still behave (seq 4 < b.py's 9: stays dead)
     merge_upsert(t, batch(spark, [(4, "U", "r1", "b.py", "late")]), "b3")
     assert t.read_live().count() == 0
+
+
+class TestExpireSnapshots:
+    def _commits(self, spark, tmp_path, n=4):
+        from tests.test_lake_cdc import BASE_SCHEMA, KEYS, batch_df
+        from table2qb_spark.lake.merge import merge_upsert
+        from table2qb_spark.lake.table import LakeTable
+
+        t = LakeTable.create(spark, str(tmp_path / "exp"), BASE_SCHEMA, KEYS, n_buckets=2)
+        for i in range(1, n + 1):
+            merge_upsert(
+                t, batch_df(spark, [(i, "U", "r1", "a.py", f"c{i}", "py", f"v{i}")]), f"b{i}"
+            )
+        return t
+
+    def test_expire_deletes_only_unreferenced(self, spark, tmp_path):
+        import glob, os
+        from table2qb_spark.lake.expire import expire_snapshots
+
+        t = self._commits(spark, tmp_path, n=4)
+        files_before = set(glob.glob(os.path.join(t.path, "data", "**", "*.parquet"), recursive=True))
+        cur = t.current_snapshot_id()
+        res = expire_snapshots(t, keep_last=2)
+        assert res["expired_snapshots"] > 0 and res["deleted_data_files"] > 0
+        files_after = set(glob.glob(os.path.join(t.path, "data", "**", "*.parquet"), recursive=True))
+        assert files_after < files_before
+        # current state fully readable and correct
+        assert {r["content"] for r in t.read().collect()} == {"v4"}
+        # retained ancestor still time-travels; expired one raises
+        retained = sorted(res["retained"])
+        assert t.read(snapshot_id=retained[0]).count() == 1
+        expired_id = 1
+        assert expired_id not in retained
+        import pytest as _pytest
+        with _pytest.raises(FileNotFoundError):
+            t.snapshot(expired_id)
+        # history stops at the oldest retained snapshot instead of crashing
+        hist = t.history()
+        assert [s.snapshot_id for s in hist][-1] == cur
+        assert all(s.snapshot_id in retained for s in hist)
+
+    def test_exactly_once_survives_expiry(self, spark, tmp_path):
+        from tests.test_lake_cdc import batch_df
+        from table2qb_spark.lake.expire import expire_snapshots
+        from table2qb_spark.lake.merge import merge_upsert
+
+        t = self._commits(spark, tmp_path, n=4)
+        expire_snapshots(t, keep_last=1)
+        # markers survive: redelivering a historic commit id still skips
+        s = merge_upsert(
+            t, batch_df(spark, [(1, "U", "r1", "a.py", "c1", "py", "STALE")]), "b1"
+        )
+        assert s.get("skipped")
+        assert {r["content"] for r in t.read().collect()} == {"v4"}
+
+    def test_expire_is_noop_when_everything_retained(self, spark, tmp_path):
+        from table2qb_spark.lake.expire import expire_snapshots
+
+        t = self._commits(spark, tmp_path, n=2)
+        res = expire_snapshots(t, keep_last=10)
+        assert res["expired_snapshots"] == 0 and res["deleted_data_files"] == 0
+
+
+class TestSnapshotDiff:
+    def test_diff_classifies_insert_update_delete(self, spark, tmp_path):
+        from tests.test_lake_cdc import BASE_SCHEMA, KEYS, batch_df
+        from table2qb_spark.lake.diff import changed_buckets, snapshot_diff
+        from table2qb_spark.lake.merge import merge_upsert
+        from table2qb_spark.lake.table import LakeTable
+
+        t = LakeTable.create(spark, str(tmp_path / "d"), BASE_SCHEMA, KEYS, n_buckets=8)
+        merge_upsert(
+            t,
+            batch_df(spark, [
+                (1, "I", "r1", "a.py", "c", "py", "v1"),
+                (2, "I", "r1", None, "c", "py", "nullkey-v1"),  # NULL key component
+                (3, "I", "r2", "keep.py", "c", "py", "same"),
+                (4, "I", "r3", "gone.py", "c", "py", "bye"),
+            ]),
+            "b1",
+        )
+        s1 = t.current_snapshot_id()
+        merge_upsert(
+            t,
+            batch_df(spark, [
+                (5, "U", "r1", "a.py", "c", "py", "v2"),          # update
+                (6, "U", "r1", None, "c", "py", "nullkey-v2"),    # update on NULL key
+                (7, "D", "r3", "gone.py", None, None, None),       # delete
+                (8, "I", "r9", "new.py", "c", "py", "hello"),      # insert
+            ]),
+            "b2",
+        )
+        d = snapshot_diff(t, s1)
+        got = {(r["change_type"], r["repo"], r["path"]): r["content"] for r in d.collect()}
+        assert got == {
+            ("update", "r1", "a.py"): "v2",
+            ("update", "r1", None): "nullkey-v2",
+            ("delete", "r3", "gone.py"): "bye",   # pre-image for deletes
+            ("insert", "r9", "new.py"): "hello",
+        }
+        # unchanged keys never appear, and unchanged buckets are pruned by
+        # metadata: the changed-bucket set excludes at least r2/keep.py's
+        # bucket when it collides with no changed key
+        cb = changed_buckets(t, s1, t.current_snapshot_id())
+        assert 0 < len(cb) <= 8
+
+    def test_diff_empty_between_identical_snapshots(self, spark, tmp_path):
+        from tests.test_lake_cdc import BASE_SCHEMA, KEYS, batch_df
+        from table2qb_spark.lake.diff import changed_buckets, snapshot_diff
+        from table2qb_spark.lake.merge import merge_upsert
+        from table2qb_spark.lake.table import LakeTable
+
+        t = LakeTable.create(spark, str(tmp_path / "d2"), BASE_SCHEMA, KEYS, n_buckets=4)
+        merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "b1")
+        sid = t.current_snapshot_id()
+        t.evolve_schema(add_columns=[("license", "string")])  # metadata-only commit
+        assert changed_buckets(t, sid, t.current_snapshot_id()) == []
+        assert snapshot_diff(t, sid).count() == 0
