@@ -344,6 +344,79 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.where(F.col("op") != "D").select("user_id", "seq", "op", "value")
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over documents for a fixed bag-of-words query
+    (ops/retrieval.py) — query-term-pruned on-the-fly inverted index."""
+    from table2qb_spark.ops.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["data", "model", "training"],
+        k=15,
+    )
+
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data mixing): per-lang
+    keep fractions via an engine-independent md5 draw — the oracle selects
+    the EXACT same rows (a Bernoulli sample never could)."""
+    from table2qb_spark.ops.sampling import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_stratified(
+        docs,
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 0.25, "fr": 0.1},
+        key_col="doc_id",
+        seed=7,
+        default_fraction=0.05,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change reader (lake/diff.py) driven end-to-end: replay the
+    event stream into a REAL lake table in two seq-ranged batches, then
+    snapshot_diff between the mid-replay snapshot and the final one. The
+    oracle recomputes the same insert/update/delete classification from the
+    raw events in SQL (state@mid vs state@end, full outer join)."""
+    import tempfile
+
+    from table2qb_spark.lake.diff import snapshot_diff
+    from table2qb_spark.lake.merge import merge_upsert
+    from table2qb_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round("value", 4).alias("value"),
+    )
+    b = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    mid = (int(b["lo"]) + int(b["hi"])) // 2
+
+    # the table stores the winner's (seq, op, value) per user_id — op/seq are
+    # plain value columns here; the merge takes its op/seq from the batch
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="q_diff_"),
+        [("user_id", "long"), ("seq", "long"), ("op", "string"), ("value", "double")],
+        ["user_id"],
+        n_buckets=8,
+    )
+    merge_upsert(t, ev.where(F.col("seq") <= mid), "c1")
+    mid_snapshot = t.current_snapshot_id()
+    merge_upsert(t, ev.where(F.col("seq") > mid), "c2")
+    return snapshot_diff(t, mid_snapshot).select(
+        "change_type", "user_id", "seq", "op", "value"
+    )
+
+
 def q_cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) per user — lag window + running sum."""
     from pyspark.sql.window import Window
@@ -645,6 +718,73 @@ ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1 AND op <> 'D'
     """,
+    "bm25_topk": """
+        WITH terms AS (
+          SELECT doc_id, t AS term
+          FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+          WHERE t <> ''
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM terms
+          WHERE term IN ('data', 'model', 'training')
+          GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT doc_id, round(sum(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 4) AS score
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 15
+    """,
+    "sample_stratified": """
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT *,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 15))::BIGINT
+                   % 1000000 AS u
+          FROM documents
+        )
+        WHERE u < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                            WHEN 'fr' THEN 100000 ELSE 50000 END
+    """,
+    "cdc_snapshot_diff": """
+        WITH ev AS (
+          SELECT user_id, event_id AS seq,
+                 CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+                 round(value, 4) AS value
+          FROM events
+        ),
+        mid AS (SELECT CAST(floor((min(seq) + max(seq)) / 2.0) AS BIGINT) AS m FROM ev),
+        s1 AS (
+          SELECT user_id, seq, op, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) rn
+            FROM ev WHERE seq <= (SELECT m FROM mid)
+          ) WHERE rn = 1 AND op <> 'D'
+        ),
+        s2 AS (
+          SELECT user_id, seq, op, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) rn
+            FROM ev
+          ) WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT change_type, user_id, seq, op, value FROM (
+          SELECT CASE
+                   WHEN s1.user_id IS NULL THEN 'insert'
+                   WHEN s2.user_id IS NULL THEN 'delete'
+                   WHEN s1.seq <> s2.seq OR s1.op <> s2.op
+                        OR (s1.value IS DISTINCT FROM s2.value) THEN 'update'
+                 END AS change_type,
+                 COALESCE(s2.user_id, s1.user_id) AS user_id,
+                 CASE WHEN s2.user_id IS NOT NULL THEN s2.seq ELSE s1.seq END AS seq,
+                 CASE WHEN s2.user_id IS NOT NULL THEN s2.op ELSE s1.op END AS op,
+                 CASE WHEN s2.user_id IS NOT NULL THEN s2.value ELSE s1.value END AS value
+          FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+        ) WHERE change_type IS NOT NULL
+    """,
     "cdc_sessionize": """
         WITH marked AS (
           SELECT user_id,
@@ -908,6 +1048,9 @@ QUERIES = {
     "cdc_latest_state": q_cdc_latest_state,
     "cdc_latest_state_salted": q_cdc_latest_state_salted,
     "cdc_merge_upsert": q_cdc_merge_upsert,
+    "bm25_topk": q_bm25_topk,
+    "sample_stratified": q_sample_stratified,
+    "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_sessionize": q_cdc_sessionize,
     "cdc_metrics": q_cdc_metrics,
     "text_analysis": q_text_analysis,

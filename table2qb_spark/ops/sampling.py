@@ -1,0 +1,56 @@
+"""Deterministic stratified sampling — the training-data *mixing* primitive.
+
+A large-scale pipeline rarely trains on the raw corpus distribution: it
+up/down-weights strata (language, source, quality band) to hit target mixing
+ratios. At 100 TB that selection must be:
+
+- **a pure per-row predicate** (one scan, no shuffle, no state),
+- **deterministic and engine-independent** (the same row set on every run,
+  every executor count, every engine — reproducible training data), and
+- **stable under resampling**: raising a stratum's fraction only ADDS rows
+  (the kept set at 0.2 is a subset of the kept set at 0.5), because the
+  per-row uniform draw is a fixed function of (key, seed), not of the
+  fraction.
+
+So: u(row) = first 15 hex digits of md5(key || '|' || seed) as an integer,
+scaled to [0, 1); keep iff u < fraction(stratum). md5 (not xxhash64) because
+every engine computes it identically — the DuckDB oracle reproduces the
+exact row set, which a Bernoulli rand() sample never could.
+
+Spark-first shape: the whole thing compiles to one Catalyst projection +
+filter (whole-stage codegen, zero Python), and the md5/conv predicate pushes
+below any later joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def uniform_hash(key: Column, seed: int) -> Column:
+    """Deterministic uniform [0, SCALE) draw from a key column: 60 bits of
+    md5 (15 hex digits — signed-int64-safe) reduced mod SCALE."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f"|{seed}")))
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(SCALE))
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff its deterministic draw falls under its stratum's
+    fraction. Strata absent from ``fractions`` get ``default_fraction``
+    (0.0 = drop — explicit mixing lists are the norm)."""
+    expr = F.lit(int(round(default_fraction * SCALE)))
+    for stratum, f in sorted(fractions.items()):
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(f * SCALE)))
+        ).otherwise(expr)
+    return df.where(uniform_hash(F.col(key_col), seed) < expr)

@@ -263,3 +263,82 @@ class TestKmeansCentroids:
         a = ann.kmeans_centroids(corpus, 4, max_iter=2).collect()
         b = ann.kmeans_centroids(corpus, 4, max_iter=2).collect()
         assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+class TestStratifiedSampling:
+    def _docs(self, spark):
+        rows = [(i, f"t{i}", ["en", "de", "fr", "xx"][i % 4], "s", 10) for i in range(400)]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    def test_raising_fraction_only_adds_rows(self, spark):
+        """Selection is monotone in the fraction (fixed per-row draw): the
+        0.2 sample is a strict subset of the 0.5 sample — resampling a
+        stratum up never churns previously selected training data."""
+        from table2qb_spark.ops.sampling import sample_stratified
+
+        docs = self._docs(spark)
+        small = {r["doc_id"] for r in sample_stratified(
+            docs, "lang", {"en": 0.2}, "doc_id", seed=3).collect()}
+        big = {r["doc_id"] for r in sample_stratified(
+            docs, "lang", {"en": 0.5}, "doc_id", seed=3).collect()}
+        assert small and small < big
+
+    def test_deterministic_and_stratum_scoped(self, spark):
+        from table2qb_spark.ops.sampling import sample_stratified
+
+        docs = self._docs(spark)
+        kwargs = dict(strata_col="lang", fractions={"en": 0.5, "de": 0.1},
+                      key_col="doc_id", seed=9)
+        a = {r["doc_id"] for r in sample_stratified(docs, **kwargs).collect()}
+        b = {r["doc_id"] for r in sample_stratified(docs, **kwargs).collect()}
+        assert a == b
+        langs = {r["lang"] for r in sample_stratified(docs, **kwargs).collect()}
+        assert langs <= {"en", "de"}  # default_fraction=0 drops other strata
+
+    def test_plan_is_scan_plus_filter_only(self, spark):
+        """One whole-stage-codegen'd scan+filter: no Exchange, no Python."""
+        from table2qb_spark.ops.sampling import sample_stratified
+
+        plan = sample_stratified(
+            self._docs(spark), "lang", {"en": 0.5}, "doc_id"
+        )._jdf.queryExecution().executedPlan().toString()
+        for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "SortAggregate"):
+            assert bad not in plan, plan
+
+
+class TestBm25Retrieval:
+    def test_ranking_and_determinism(self, spark):
+        from table2qb_spark.ops.retrieval import bm25_topk
+
+        rows = [
+            (1, "model training data for the data model", "en", "s", 1),
+            (2, "training only", "en", "s", 1),
+            (3, "nothing relevant here at all", "en", "s", 1),
+            (4, "data data data data data data data data", "en", "s", 1),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = bm25_topk(docs, ["data", "model", "training"], k=3).collect()
+        ids = [r["doc_id"] for r in out]
+        assert ids[0] == 1            # covers all three query terms
+        assert 3 not in ids           # no query term -> never retrieved
+        out2 = bm25_topk(docs, ["data", "model", "training"], k=3).collect()
+        assert [(r["doc_id"], r["score"]) for r in out] == [
+            (r["doc_id"], r["score"]) for r in out2
+        ]
+
+    def test_term_pruning_reaches_the_scan_side(self, spark):
+        """The query-term isin filter must sit below the per-term aggregate
+        (postings pruned before the shuffle), not above it."""
+        from table2qb_spark.ops.retrieval import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        plan = bm25_topk(docs, ["a"], k=1)._jdf.queryExecution().optimizedPlan().toString()
+        # the literal query term appears in a Filter in the optimized plan
+        assert "Filter" in plan and " a" in plan or "(a)" in plan
