@@ -344,6 +344,18 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.where(F.col("op") != "D").select("user_id", "seq", "op", "value")
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ops/decontam.py): flag corpus docs sharing
+    any word 4-gram with the 'benchmark' slice (doc_id % 50 == 0), counting
+    distinct shared shingles. Broadcast containment join — no self-join."""
+    from table2qb_spark.ops.decontam import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return ngram_contamination(docs, bench, n=4)
+
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval over documents for a fixed bag-of-words query
     (ops/retrieval.py) — query-term-pruned on-the-fly inverted index."""
@@ -718,6 +730,28 @@ ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1 AND op <> 'D'
     """,
+    "decontamination": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 3, 0)),
+                   i -> array_to_string(list_slice(toks, i, i + 3), ' ')
+                 )) AS shingle
+          FROM toks
+        ),
+        doc_shingles AS (SELECT DISTINCT doc_id, shingle FROM grams),
+        bench AS (SELECT DISTINCT shingle FROM doc_shingles WHERE doc_id % 50 = 0)
+        SELECT doc_id, count(*) AS n_hits
+        FROM doc_shingles JOIN bench USING (shingle)
+        WHERE doc_id % 50 <> 0
+        GROUP BY doc_id
+    """,
     "bm25_topk": """
         WITH terms AS (
           SELECT doc_id, t AS term
@@ -1048,6 +1082,7 @@ QUERIES = {
     "cdc_latest_state": q_cdc_latest_state,
     "cdc_latest_state_salted": q_cdc_latest_state_salted,
     "cdc_merge_upsert": q_cdc_merge_upsert,
+    "decontamination": q_decontamination,
     "bm25_topk": q_bm25_topk,
     "sample_stratified": q_sample_stratified,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,

@@ -342,3 +342,37 @@ class TestBm25Retrieval:
         plan = bm25_topk(docs, ["a"], k=1)._jdf.queryExecution().optimizedPlan().toString()
         # the literal query term appears in a Filter in the optimized plan
         assert "Filter" in plan and " a" in plan or "(a)" in plan
+
+
+class TestDecontamination:
+    def test_planted_contamination_and_guards(self, spark):
+        from table2qb_spark.ops.decontam import ngram_contamination
+
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog", "en", "b", 1)], schema
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "intro text then the quick brown fox jumps away", "en", "s", 1),  # 4-gram hit
+                (2, "completely unrelated content with other words", "en", "s", 1),
+                (3, "tiny doc", "en", "s", 1),  # shorter than n: no grams, no crash
+                (100, "the quick brown fox jumps over the lazy dog", "en", "b", 1),  # benchmark itself
+            ],
+            schema,
+        )
+        out = {r["doc_id"]: r["n_hits"] for r in ngram_contamination(docs, bench, n=4).collect()}
+        assert 1 in out and out[1] >= 1   # planted overlap flagged
+        assert 2 not in out               # clean doc not flagged
+        assert 3 not in out               # short doc guarded
+        assert 100 not in out             # benchmark member excluded
+
+    def test_join_is_broadcast_no_self_join(self, spark):
+        from table2qb_spark.ops.decontam import ngram_contamination
+
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        docs = spark.createDataFrame([(1, "a b c d e f", "en", "s", 1)], schema)
+        bench = spark.createDataFrame([(9, "c d e f g h", "en", "b", 1)], schema)
+        plan = ngram_contamination(docs, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
