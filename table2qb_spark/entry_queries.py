@@ -344,6 +344,21 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.where(F.col("op") != "D").select("user_id", "seq", "op", "value")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (ops/packing.py) per source shard,
+    1024-token sequences, n_chars as the token-count column; emits each
+    doc's span in every sequence it overlaps."""
+    from table2qb_spark.ops.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        seq_len=1024,
+        n_tokens_col="n_chars",
+        shard_col="source",
+    )
+
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (ops/decontam.py): flag corpus docs sharing
     any word 4-gram with the 'benchmark' slice (doc_id % 50 == 0), counting
@@ -730,6 +745,23 @@ ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1 AND op <> 'D'
     """,
+    "pack_sequences": """
+        WITH spans AS (
+          SELECT source AS shard, doc_id, n_chars,
+                 sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS e
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT shard, seq_id, doc_id,
+               greatest(0, (e - n_chars) - seq_id * 1024) AS begin,
+               least(1024, e - seq_id * 1024) AS "end"
+        FROM (
+          SELECT *, unnest(generate_series(
+                   CAST(floor((e - n_chars) / 1024.0) AS BIGINT),
+                   CAST(floor((e - 1) / 1024.0) AS BIGINT))) AS seq_id
+          FROM spans
+        )
+    """,
     "decontamination": """
         WITH toks AS (
           SELECT doc_id,
@@ -1082,6 +1114,7 @@ QUERIES = {
     "cdc_latest_state": q_cdc_latest_state,
     "cdc_latest_state_salted": q_cdc_latest_state_salted,
     "cdc_merge_upsert": q_cdc_merge_upsert,
+    "pack_sequences": q_pack_sequences,
     "decontamination": q_decontamination,
     "bm25_topk": q_bm25_topk,
     "sample_stratified": q_sample_stratified,

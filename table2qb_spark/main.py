@@ -151,6 +151,27 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_prep_data(args) -> int:
+    from table2qb_spark.ops.prep import run_prep
+
+    _require_file(args.documents, "documents parquet")
+    spark = get_spark("prep-data")
+    fractions = None
+    if args.sample:
+        fractions = {}
+        for part in args.sample.split(","):
+            lang, frac = part.split("=", 1)
+            fractions[lang.strip()] = float(frac)
+    report = run_prep(
+        spark, args.documents, args.out,
+        benchmark_path=args.benchmark,
+        min_quality=args.min_quality, min_tokens=args.min_tokens,
+        fractions=fractions, seq_len=args.seq_len, seed=args.seed,
+    )
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_codelist(args) -> int:
     from table2qb_spark.pipelines.codelist import codelist_pipeline
 
@@ -308,6 +329,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--out", default=None,
                    help="write the change rows as parquet instead of printing counts")
     c.set_defaults(fn=cmd_diff)
+
+    c = sub.add_parser("prep-data")
+    c.add_argument("--documents", required=True, help="input documents parquet")
+    c.add_argument("--out", required=True)
+    c.add_argument("--benchmark", default=None,
+                   help="benchmark corpus parquet for n-gram decontamination")
+    c.add_argument("--min-quality", type=float, default=0.0)
+    c.add_argument("--min-tokens", type=int, default=5)
+    c.add_argument("--sample", default=None,
+                   help="per-language keep fractions, e.g. en=0.5,de=0.25")
+    c.add_argument("--seq-len", type=int, default=1024)
+    c.add_argument("--seed", type=int, default=42)
+    c.set_defaults(fn=cmd_prep_data)
 
     c = sub.add_parser("codelist-pipeline")
     c.add_argument("--codelist-csv", required=True)

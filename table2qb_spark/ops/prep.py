@@ -1,0 +1,104 @@
+"""End-to-end training-data preparation — the ops composed into ONE lazy
+DataFrame chain (dedup → decontaminate → quality/lang annotate → filter →
+stratified sample → sequence packing), so Catalyst sees the whole pipeline
+and the parquet scan happens once per output.
+
+Each stage is the already-oracle-gated primitive from ops/*; this module
+only wires them, in the order a real pipeline runs them:
+
+1. exact dedup keeps the lowest doc_id per content hash (hash groupBy,
+   map-side combined);
+2. benchmark decontamination drops any doc sharing a word n-gram with the
+   benchmark corpus (broadcast containment — ops/decontam.py);
+3. text annotation adds token counts / language / quality as one pure
+   Catalyst projection (ops/text.py);
+4. quality + length gates filter;
+5. deterministic stratified sampling applies per-language mixing ratios
+   (ops/sampling.py — md5 draw, reproducible row set);
+6. sequence packing maps survivors to fixed-length training sequences per
+   source shard (ops/packing.py).
+
+Returns (clean_docs, packed) DataFrames; ``run_prep`` writes both as
+parquet plus a one-line JSON report of per-stage counts (counts are the
+only actions — everything else is one fused plan per sink).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from table2qb_spark.ops.decontam import ngram_contamination
+from table2qb_spark.ops.dedup import exact_dedup
+from table2qb_spark.ops.packing import pack_sequences
+from table2qb_spark.ops.sampling import sample_stratified
+from table2qb_spark.ops.text import analyze_documents
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    min_quality: float = 0.0,
+    min_tokens: int = 5,
+    fractions: dict[str, float] | None = None,
+    seq_len: int = 1024,
+    decontam_n: int = 4,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """(clean_docs, packed): the filtered+sampled corpus with annotations,
+    and its sequence-packing index."""
+    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    clean = docs.join(F.broadcast(keepers), "doc_id", "left_semi")
+
+    if benchmark is not None:
+        contaminated = ngram_contamination(clean, benchmark, n=decontam_n).select(
+            "doc_id"
+        )
+        clean = clean.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    ann = analyze_documents(clean).drop("fingerprint")
+    clean = clean.join(ann, "doc_id")
+    clean = clean.where(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+
+    if fractions:
+        clean = sample_stratified(
+            clean, strata_col="lang", fractions=fractions, key_col="doc_id",
+            seed=seed, default_fraction=0.0,
+        )
+
+    packed = pack_sequences(
+        clean, seq_len=seq_len, n_tokens_col="n_tokens", shard_col="source"
+    )
+    return clean, packed
+
+
+def run_prep(
+    spark,
+    documents_path: str,
+    out_dir: str,
+    benchmark_path: str | None = None,
+    **kwargs,
+) -> dict:
+    docs = spark.read.parquet(documents_path)
+    bench = spark.read.parquet(benchmark_path) if benchmark_path else None
+    clean, packed = prepare_training_data(docs, benchmark=bench, **kwargs)
+    os.makedirs(out_dir, exist_ok=True)
+    clean_path = os.path.join(out_dir, "clean_docs")
+    packed_path = os.path.join(out_dir, "packed_index")
+    clean.write.mode("overwrite").parquet(clean_path)
+    packed.write.mode("overwrite").parquet(packed_path)
+    report = {
+        "input_docs": docs.count(),
+        "clean_docs": spark.read.parquet(clean_path).count(),
+        "packed_rows": spark.read.parquet(packed_path).count(),
+        "clean_path": clean_path,
+        "packed_path": packed_path,
+    }
+    with open(os.path.join(out_dir, "report.json"), "w", encoding="utf-8") as f:
+        json.dump(report, f)
+    return report

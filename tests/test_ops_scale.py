@@ -376,3 +376,72 @@ class TestDecontamination:
         plan = ngram_contamination(docs, bench, n=4)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+class TestSequencePacking:
+    def test_packing_invariants(self, spark):
+        """Every token lands in exactly one (seq, offset): per-doc span sums
+        equal the doc's token count, each sequence's spans tile it without
+        gaps or overlap, and only a shard's LAST sequence may be short."""
+        from table2qb_spark.ops.packing import pack_sequences
+
+        rows = [(i, f"t{i}", "en", f"sh{i % 3}", 10 + (i * 37) % 300) for i in range(60)]
+        rows.append((99, "empty", "en", "sh0", 0))  # dropped: nothing to pack
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        L = 256
+        out = pack_sequences(docs, L, "n_chars", "source").collect()
+        assert all(r["doc_id"] != 99 for r in out)
+
+        by_doc = {}
+        by_seq = {}
+        for r in out:
+            assert 0 <= r["begin"] < r["end"] <= L
+            by_doc.setdefault(r["doc_id"], 0)
+            by_doc[r["doc_id"]] += r["end"] - r["begin"]
+            by_seq.setdefault((r["shard"], r["seq_id"]), []).append((r["begin"], r["end"]))
+        want = {i: 10 + (i * 37) % 300 for i in range(60)}
+        assert by_doc == want  # full coverage, nothing duplicated or lost
+
+        last_seq = {}
+        for (shard, sid) in by_seq:
+            last_seq[shard] = max(last_seq.get(shard, -1), sid)
+        for (shard, sid), spans in by_seq.items():
+            spans.sort()
+            assert spans[0][0] == 0
+            for (b1, e1), (b2, e2) in zip(spans, spans[1:]):
+                assert e1 == b2  # contiguous tiling, no overlap
+            if sid != last_seq[shard]:
+                assert spans[-1][1] == L  # every non-final sequence is full
+
+
+class TestPrepPipeline:
+    def test_prep_composes_and_reports(self, spark, tmp_path):
+        from table2qb_spark.ops.prep import prepare_training_data, run_prep
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        n_in = docs.count()
+        clean, packed = prepare_training_data(docs, fractions={"en": 1.0, "de": 1.0})
+        n_clean = clean.count()
+        assert 0 < n_clean <= n_in
+        assert set(r["lang"] for r in clean.select("lang").distinct().collect()) <= {"en", "de"}
+        assert {"n_tokens", "quality", "pred_lang"} <= set(clean.columns)
+        # packing covers exactly the clean docs with positive token counts
+        packed_docs = {r["doc_id"] for r in packed.select("doc_id").distinct().collect()}
+        clean_ids = {r["doc_id"] for r in clean.where("n_tokens > 0").collect()}
+        assert packed_docs == clean_ids
+
+        # decontamination: after the prep, no surviving NON-benchmark doc
+        # shares a 4-gram with the benchmark corpus (benchmark members are
+        # excluded from flags by design — they'd trivially self-flag)
+        from table2qb_spark.ops.decontam import ngram_contamination
+
+        bench = docs.limit(5)
+        clean2, _ = prepare_training_data(docs, benchmark=bench)
+        assert ngram_contamination(clean2, bench, n=4).count() == 0
+
+        report = run_prep(
+            spark, "/root/testdata/sf0.001/documents.parquet", str(tmp_path / "o")
+        )
+        assert report["clean_docs"] > 0 and report["packed_rows"] > 0
