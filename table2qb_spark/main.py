@@ -93,9 +93,9 @@ def cmd_exec(args) -> int:
 def cmd_describe(args) -> int:
     # reference parity: tasks.clj `describe` prints a pipeline's parameters
     params = {
-        "codelist-pipeline": ["codelist-csv", "codelist-name", "codelist-slug", "base-uri", "output-directory"],
-        "components-pipeline": ["input-csv", "base-uri", "output-directory"],
-        "cube-pipeline": ["input-csv", "dataset-name", "dataset-slug", "column-config", "base-uri", "output-directory"],
+        "codelist-pipeline": ["codelist-csv", "codelist-name", "codelist-slug", "base-uri", "output-directory", "rdf-output", "graph"],
+        "components-pipeline": ["input-csv", "base-uri", "output-directory", "rdf-output", "graph"],
+        "cube-pipeline": ["input-csv", "dataset-name", "dataset-slug", "column-config", "base-uri", "output-directory", "rdf-output", "graph"],
     }
     if args.pipeline not in PIPELINES:
         print(f"error: unknown pipeline {args.pipeline}", file=sys.stderr)

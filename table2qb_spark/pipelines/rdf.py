@@ -15,12 +15,18 @@ distributed for free:
     drives skos:broader / topConceptOf conditionality), and the N-Triples
     text writes straight out of executors.
 
-Supported (everything the codelist/components schemas use): per-column
-propertyUrl (prefixed or absolute), valueUrl templates (object IRIs),
-aboutUrl overrides per column, virtual columns, language-tagged string
-literals, xsd-typed numeric literals, table-level (@id, rdf:type, label)
-triples. Not supported: blank nodes, list values, rdf:Collection — the
-reference's schemas don't emit them in minimal mode.
+Supported (everything the reference's own CSVW schemas use): per-column
+propertyUrl (prefixed or absolute, including templated predicates like the
+cube's ``{measure_type}`` measure URIs), valueUrl templates (object IRIs),
+aboutUrl overrides per column, virtual columns, the ``{_name}`` built-in,
+language-tagged string literals, xsd-typed numeric literals, table-level
+(@id, rdf:type, label) triples, and named-graph output (N-Quads via
+``serialize_lines(graph=...)`` — the line-oriented TriG equivalent). The
+full cube graph (observations, used-codes collections/members, DSD,
+dataset + component-spec nodes) is emitted by pipelines/cube.py::
+cube_rdf_triples on this machinery. Not supported: blank nodes, list
+values, rdf:Collection — the reference's schemas don't emit them in
+minimal mode (DSD nodes are skolemized to the IRIs the schemas assign).
 """
 
 from __future__ import annotations
