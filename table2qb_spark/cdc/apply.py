@@ -56,13 +56,26 @@ class ChangeLogReplayer:
         batch_events: int = 1_000_000,
         two_phase_dedup: bool = False,
         payload_col: str = "payload_json",
+        events_format: str = "parquet",
     ):
         self.spark = spark
         self.table = table
         self._events_path = events if isinstance(events, str) else None
-        self.events = (
-            spark.read.parquet(events) if isinstance(events, str) else events
-        )
+        if isinstance(events, str):
+            # parquet is the production layout; json/csv cover hand-rolled or
+            # exported logs (csv needs header+inferSchema for seq as a number)
+            if events_format == "parquet":
+                self.events = spark.read.parquet(events)
+            elif events_format == "json":
+                self.events = spark.read.json(events)
+            elif events_format == "csv":
+                self.events = spark.read.option("header", True).option(
+                    "inferSchema", True
+                ).csv(events)
+            else:
+                raise ValueError(f"Unknown events_format {events_format!r}")
+        else:
+            self.events = events
         self.seq_col = seq_col
         self.op_col = op_col
         self.batch_events = batch_events

@@ -234,7 +234,7 @@ def cmd_cdc_replay(args) -> int:
     table = LakeTable(spark, args.table)
     replayer = ChangeLogReplayer(
         spark, table, args.events, batch_events=args.batch_events,
-        two_phase_dedup=args.salted_dedup,
+        two_phase_dedup=args.salted_dedup, events_format=args.events_format,
     )
     results = replayer.run(max_batches=args.max_batches)
     applied = [r for r in results if not r.skipped]
@@ -392,6 +392,8 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("cdc-replay")
     c.add_argument("--table", required=True)
     c.add_argument("--events", required=True)
+    c.add_argument("--events-format", default="parquet",
+                   choices=["parquet", "json", "csv"])
     c.add_argument("--batch-events", type=int, default=1_000_000)
     c.add_argument("--max-batches", type=int, default=None)
     c.add_argument("--salted-dedup", action="store_true")

@@ -598,3 +598,22 @@ class TestMergeStrategyEquivalence:
         shas["split+pruned"] = table_sha256(t.read(), cols)
 
         assert shas["late-mat"] == shas["single-pass"] == shas["split+pruned"] == expected
+
+
+class TestEventsFormats:
+    def test_json_change_log_replays_identically(self, spark, tmp_path):
+        """A JSON-exported change log replays to the same table state as the
+        parquet layout (footer bounds fall back to the Spark aggregate)."""
+        ev = gen.gen_change_log(spark, 600, 6, 20, seed=11, dup_rate=0.0)
+        pq_path, js_path = str(tmp_path / "pq"), str(tmp_path / "js")
+        gen.write_change_log(ev, pq_path, n_files=4)
+        spark.read.parquet(pq_path).write.mode("overwrite").json(js_path)
+
+        t1 = LakeTable.create(spark, str(tmp_path / "t1"), BASE_SCHEMA, KEYS, n_buckets=4)
+        ChangeLogReplayer(spark, t1, pq_path, batch_events=300).run()
+        t2 = LakeTable.create(spark, str(tmp_path / "t2"), BASE_SCHEMA, KEYS, n_buckets=4)
+        r2 = ChangeLogReplayer(spark, t2, js_path, batch_events=300, events_format="json")
+        assert r2._footer_bounds() is None  # json: no parquet footers
+        r2.run()
+        cols = [c["name"] for c in t1.snapshot().current_schema()]
+        assert table_sha256(t1.read(), cols) == table_sha256(t2.read(), cols)
