@@ -127,22 +127,30 @@ def merge_upsert(
     # below drops the delete-winner keys. Excluding delete winners instead
     # would resurrect a deleted key whose lower-seq update collides with
     # another key's winning seq.
+    # Seq-guarded/tombstone tables qualify too when EMPTY: with no current
+    # rows the guard reduces to in-batch max-seq-wins, and delete winners
+    # become tombstone rows instead of being dropped — so the streaming
+    # path's initial backfill (force_stats_pass, empty table) also takes
+    # this path, with an explicit narrow stats pre-pass standing in for the
+    # Observation (which never fires inside foreachBatch).
     late_mat = (
         os.environ.get("SPARK_GRAFT_LATE_MAT", "1") != "0"  # bench A/B lever
-        and not force_stats_pass
         and table_rows == 0
-        and not seq_guard
-        and not tombstones
         and not two_phase_dedup
     )
     if late_mat:
-        t_obs = Observation(f"merge-lm-{commit_id}")
-        narrow = batch_sel.select(*keys, "__seq", "__op").observe(
-            t_obs,
+        t_obs = None
+        narrow = batch_sel.select(*keys, "__seq", "__op")
+        stats_aggs = [
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("__op") == delete_op, 1).otherwise(0)).alias("dels"),
             F.max("__seq").alias("max_seq"),
-        )
+        ]
+        if force_stats_pass:
+            got = narrow.agg(*stats_aggs).collect()[0]
+        else:
+            t_obs = Observation(f"merge-lm-{commit_id}")
+            narrow = narrow.observe(t_obs, *stats_aggs)
         # NO distinct on the build side: two keys sharing a winning seq value
         # put two wseq=s rows in the build relation, so probe rows with that
         # seq match twice — but the duplicates are IDENTICAL rows and the
@@ -167,14 +175,22 @@ def merge_upsert(
         last = F.lead(F.lit(1)).over(w).isNull()
         for k in keys:
             last = last | ~F.lead(F.col(k)).over(w).eqNullSafe(F.col(k))
-        winners = bucketed.withColumn("__last", last).where(
-            F.col("__last") & (F.col("__op") != delete_op)
-        )
-        merged = winners.select(*(list(keys) + value_cols), "__bucket")
+        winners = bucketed.withColumn("__last", last).where(F.col("__last"))
+        lm_cols = list(keys) + value_cols
+        if seq_guard:
+            winners = winners.withColumn("_seq", F.col("__seq"))
+            lm_cols.append("_seq")
+        if tombstones:
+            winners = winners.withColumn("_deleted", F.col("__op") == delete_op)
+            lm_cols.append("_deleted")
+        else:
+            winners = winners.where(F.col("__op") != delete_op)
+        merged = winners.select(*lm_cols, "__bucket")
         new_files = table.write_data_files(
             merged, snapshot_hint=f"{snap.snapshot_id + 1:08d}", repartition=False
         )
-        got = t_obs.get
+        if t_obs is not None:
+            got = t_obs.get
         n_total = int(got["n"] or 0)
         n_dels = int(got["dels"] or 0)
         affected = sorted(set(new_files) | {int(b) for b in snap.files})

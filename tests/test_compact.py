@@ -177,3 +177,21 @@ class TestSnapshotDiff:
         t.evolve_schema(add_columns=[("license", "string")])  # metadata-only commit
         assert changed_buckets(t, sid, t.current_snapshot_id()) == []
         assert snapshot_diff(t, sid).count() == 0
+
+
+def test_diff_across_compaction_is_empty(spark, tmp_path):
+    """Compaction rewrites files (pointers change) without changing content:
+    snapshot_diff must classify nothing."""
+    from tests.test_lake_cdc import BASE_SCHEMA, KEYS, batch_df
+    from table2qb_spark.lake.compact import compact
+    from table2qb_spark.lake.diff import snapshot_diff
+    from table2qb_spark.lake.merge import merge_upsert
+    from table2qb_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "dc"), BASE_SCHEMA, KEYS, n_buckets=2)
+    merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "b1")
+    merge_upsert(t, batch_df(spark, [(2, "I", "r2", "b.py", "c", "py", "v2")]), "b2")
+    sid = t.current_snapshot_id()
+    res = compact(t, min_files=1)
+    assert not res.get("skipped")
+    assert snapshot_diff(t, sid).count() == 0

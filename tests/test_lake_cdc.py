@@ -617,3 +617,36 @@ class TestEventsFormats:
         r2.run()
         cols = [c["name"] for c in t1.snapshot().current_schema()]
         assert table_sha256(t1.read(), cols) == table_sha256(t2.read(), cols)
+
+
+def test_late_mat_on_empty_seq_guarded_tombstone_table(spark, tmp_path):
+    """The streaming path's initial backfill (empty table, force_stats_pass,
+    _seq guard + tombstones) takes late-materialization: winners carry their
+    _seq, delete winners become tombstone rows, and a later lower-seq update
+    cannot resurrect the key."""
+    from table2qb_spark.cdc.streaming import create_stream_table
+
+    t = create_stream_table(
+        spark, str(tmp_path / "st"), BASE_SCHEMA, KEYS, n_buckets=4
+    )
+    b = batch_df(
+        spark,
+        [
+            (5, "U", "r1", "a.py", "c", "py", "v5"),
+            (3, "U", "r1", "a.py", "c", "py", "v3"),
+            (7, "D", "r2", "b.py", None, None, None),
+            (6, "I", "r2", "b.py", "c", "py", "v6"),
+        ],
+    )
+    stats = merge_upsert(t, b, "s0", force_stats_pass=True)
+    assert stats["strategy"] == "late-materialization"
+    rows = {(r["repo"], r["path"]): r for r in t.read().collect()}
+    assert rows[("r1", "a.py")]["content"] == "v5"
+    assert rows[("r1", "a.py")]["_seq"] == 5
+    assert rows[("r2", "b.py")]["_deleted"] is True  # tombstone, not dropped
+    live = {(r["repo"], r["path"]) for r in t.read_live().collect()}
+    assert live == {("r1", "a.py")}
+    # late lower-seq update arrives after the tombstone: key stays dead
+    late = batch_df(spark, [(4, "U", "r2", "b.py", "c", "py", "zombie")])
+    merge_upsert(t, late, "s1", force_stats_pass=True)
+    assert {(r["repo"], r["path"]) for r in t.read_live().collect()} == {("r1", "a.py")}
