@@ -36,6 +36,16 @@ from table2qb_spark.lake.merge import merge_upsert
 from table2qb_spark.lake.table import LakeTable
 
 
+def _leaf_column_index(md, name: str) -> int:
+    """Index of a TOP-LEVEL column among the parquet file's FLATTENED leaf
+    columns (row-group statistics are leaf-indexed: an Arrow field index is
+    wrong as soon as any struct column precedes the target)."""
+    for i in range(md.num_columns):
+        if md.schema.column(i).path == name:
+            return i
+    return -1
+
+
 @dataclass
 class BatchResult:
     batch_index: int
@@ -113,10 +123,7 @@ class ChangeLogReplayer:
                 if not fn.endswith(".parquet"):
                     continue
                 md = pq.ParquetFile(os.path.join(root, fn)).metadata
-                try:
-                    ci = md.schema.to_arrow_schema().get_field_index(self.seq_col)
-                except KeyError:
-                    ci = -1
+                ci = _leaf_column_index(md, self.seq_col)
                 if ci < 0:
                     return None
                 for rg in range(md.num_row_groups):

@@ -85,10 +85,9 @@ def _bucket_seq_index(
             if not fn.endswith(".parquet"):
                 continue
             md = pq.ParquetFile(os.path.join(b_dir, fn)).metadata
-            try:
-                ci = md.schema.to_arrow_schema().get_field_index(seq_col)
-            except KeyError:
-                ci = -1
+            from table2qb_spark.cdc.apply import _leaf_column_index
+
+            ci = _leaf_column_index(md, seq_col)
             if ci < 0:
                 continue
             for rg in range(md.num_row_groups):
@@ -245,8 +244,13 @@ class BucketedReplayer:
             else:
                 value_exprs.append(F.col(c))
 
+        import uuid as _uuid
+
+        # attempt-unique directory (see lake/table.py): racing attempts at
+        # the same snapshot id must never overwrite each other's files
         out_dir = os.path.join(
-            self.table.path, "data", f"snap-{snap.snapshot_id + 1:08d}"
+            self.table.path, "data",
+            f"snap-{snap.snapshot_id + 1:08d}-{_uuid.uuid4().hex[:8]}",
         )
 
         # Column objects are unresolved expressions — plan-independent — so

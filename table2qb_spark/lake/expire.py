@@ -89,31 +89,45 @@ def expire_snapshots(
         return {"expired_snapshots": 0, "deleted_data_files": 0,
                 "deleted_manifests": 0, "retained": sorted(retained)}
 
+    # TWO-PHASE: resolve every snapshot's referenced paths BEFORE deleting
+    # anything — expired snapshots share per-bucket manifests through
+    # pointer reuse, so deleting one snapshot's manifests first would make a
+    # later sibling unreadable and silently leak its exclusive files.
     keep_data: set = set()
     keep_manifests: set = set()
     for sid in retained:
         d, m = _referenced_paths(table, sid)
         keep_data |= d
         keep_manifests |= m
+    drop_data: set = set()
+    drop_manifests: set = set()
+    manifest_lists: list[str] = []
+    for sid in expired:
+        d, m = _referenced_paths(table, sid)
+        drop_data |= d
+        drop_manifests |= m
+        # the manifest LIST file is named in the header (attempt-unique
+        # since round 3; fixed m{N}.json before that)
+        rel = table._read_header(sid).get("manifest")
+        if rel:
+            manifest_lists.append(rel)
 
     deleted_data = deleted_manifests = 0
+    for rel in drop_data - keep_data:
+        full = os.path.join(table.path, rel)
+        if os.path.exists(full):
+            os.remove(full)
+            deleted_data += 1
+    for rel in drop_manifests - keep_manifests:
+        full = os.path.join(table.path, rel)
+        if os.path.exists(full):
+            os.remove(full)
+            deleted_manifests += 1
+    for rel in manifest_lists:
+        full = os.path.join(table.path, rel)
+        if os.path.exists(full):
+            os.remove(full)
     for sid in expired:
-        try:
-            d, m = _referenced_paths(table, sid)
-        except FileNotFoundError:
-            d, m = set(), set()
-        for rel in d - keep_data:
-            full = os.path.join(table.path, rel)
-            if os.path.exists(full):
-                os.remove(full)
-                deleted_data += 1
-            keep_data.add(rel)  # count each orphan once across expired snaps
-        for rel in m - keep_manifests:
-            full = os.path.join(table.path, rel)
-            if os.path.exists(full):
-                os.remove(full)
-                deleted_manifests += 1
-            keep_manifests.add(rel)
         for p in (table._snapshot_path(sid), table._manifest_path(sid)):
             if os.path.exists(p):
                 os.remove(p)

@@ -133,10 +133,17 @@ def merge_upsert(
     # path's initial backfill (force_stats_pass, empty table) also takes
     # this path, with an explicit narrow stats pre-pass standing in for the
     # Observation (which never fires inside foreachBatch).
+    # The broadcast build side is one winning seq per distinct key — at an
+    # initial load of HUNDREDS of millions of keys that exceeds Spark's
+    # broadcast limits (512M rows / 8 GB) and the driver's memory, so very
+    # large hinted batches fall back to the single-pass shuffle (or,
+    # better, the bucketed zero-broadcast layout in cdc/bucketed.py).
+    max_events = int(os.environ.get("SPARK_GRAFT_LATE_MAT_MAX_EVENTS", 100_000_000))
     late_mat = (
         os.environ.get("SPARK_GRAFT_LATE_MAT", "1") != "0"  # bench A/B lever
         and table_rows == 0
         and not two_phase_dedup
+        and (batch_size_hint is None or batch_size_hint <= max_events)
     )
     if late_mat:
         t_obs = None

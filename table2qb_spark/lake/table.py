@@ -36,10 +36,13 @@ narrow so a real Iceberg catalog can be dropped in behind it on a cluster):
 
 Scale notes (100 TB / 1000 executors): n_buckets is the unit of merge
 parallelism and file pruning — size it so one bucket's data fits an executor
-(e.g. 4096+ at 100 TB). Snapshot headers are O(1); each manifest is O(live
-files), rewritten per commit — at millions of files the manifest would split
-per-bucket so only touched buckets' manifests rewrite (the bucket->files
-structure here is already shaped for that).
+(e.g. 4096+ at 100 TB). Snapshot headers are O(1); file lists live in one
+immutable manifest PER BUCKET referenced from a per-snapshot pointer list,
+and commits reuse untouched buckets' manifests verbatim, so commit metadata
+I/O is O(touched buckets). Every file a commit attempt writes except the
+exclusive header carries an attempt token in its name; concurrent attempts
+therefore touch disjoint paths and a losing racer leaves only unreferenced
+orphans (cleaned by lake/expire.py), never corruption.
 """
 
 from __future__ import annotations
@@ -245,18 +248,21 @@ class LakeTable:
     def _marker_path(self, commit_id: str) -> str:
         return os.path.join(self.path, META_DIR, COMMITS_DIR, commit_id)
 
-    def _bucket_manifest_rel(self, snapshot_id: int, bucket: str) -> str:
-        return f"{META_DIR}/mb-{snapshot_id:08d}-{bucket}.json"
+    def _bucket_manifest_rel(self, snapshot_id: int, token: str, bucket: str) -> str:
+        return f"{META_DIR}/mb-{snapshot_id:08d}-{token}-{bucket}.json"
 
     def _write_bucket_manifests(
-        self, snapshot_id: int, new_files: dict
+        self, snapshot_id: int, new_files: dict, token: str
     ) -> dict[str, dict]:
         """One immutable manifest file per bucket (written BEFORE the
-        exclusive header — crash orphans are invisible). Returns the pointer
-        entries for the snapshot's manifest list."""
+        exclusive header — crash orphans are invisible). Names carry a
+        per-ATTEMPT token so two writers racing toward the same snapshot id
+        can never overwrite each other's files: only the exclusive header
+        decides whose get referenced; the loser's become unreferenced
+        orphans. Returns the pointer entries for the manifest list."""
         out: dict[str, dict] = {}
         for b, entries in new_files.items():
-            rel = self._bucket_manifest_rel(snapshot_id, str(b))
+            rel = self._bucket_manifest_rel(snapshot_id, token, str(b))
             _atomic_write(
                 os.path.join(self.path, rel), json.dumps({"files": entries})
             )
@@ -266,32 +272,50 @@ class LakeTable:
             }
         return out
 
-    def _pointers_of(self, snap: Snapshot, next_snapshot_id: int) -> dict[str, dict]:
+    def _pointers_of(
+        self, snap: Snapshot, next_snapshot_id: int, token: str
+    ) -> dict[str, dict]:
         """The parent's manifest pointers, upgrading a legacy (monolithic /
         inline) snapshot by splitting it into per-bucket manifests once."""
         if snap.manifest_pointers is not None:
             return dict(snap.manifest_pointers)
-        return self._write_bucket_manifests(next_snapshot_id, dict(snap.files))
+        return self._write_bucket_manifests(next_snapshot_id, dict(snap.files), token)
+
+    # How long a header that never became current must sit before a DIFFERENT
+    # commit stream may reclaim its snapshot id. The window between a
+    # writer's exclusive header link and its VERSION swap is microseconds;
+    # the grace bounds a crashed writer's wedge without letting a merely
+    # STALLED writer be usurped mid-commit. On a real deployment this CAS
+    # lives in a catalog service; a lease-style grace is the file-system
+    # equivalent.
+    ORPHAN_GRACE_SEC = 300
 
     def _write_snapshot(self, snap: Snapshot, pointers: dict[str, dict]) -> None:
-        """Commit order: manifest list -> header (EXCLUSIVE create) -> VERSION
-        swap -> commit marker. The manifest list is O(buckets) pointers; the
-        per-bucket file lists live in immutable mb-*.json manifests written
-        by the caller (only touched buckets get new ones — Iceberg's
-        manifest-list/manifest split). The header link is the commit point
-        between racing writers: os.link gives true O_EXCL semantics, so two
-        writers that both passed the base-snapshot check cannot both create
-        v{N}.json — the loser gets ConcurrentCommitError instead of silently
-        clobbering the winner's files. A crash leaves either an invisible
-        orphan (header written, VERSION unswapped — reclaimed on retry ONLY
-        when it carries our own commit_id, i.e. it is provably our
-        predecessor's attempt at this same idempotent commit) or a visible
-        snapshot missing only its marker (healed lazily from the header's
-        commit_id)."""
+        """Commit order: manifest list (attempt-unique name) -> header
+        (EXCLUSIVE create) -> VERSION swap -> commit marker. Every file a
+        commit attempt writes EXCEPT the header carries an attempt token in
+        its name (manifest list, per-bucket manifests, data directories), so
+        concurrent attempts at the same snapshot id touch disjoint paths;
+        v{N}.json is the single name-contended file and os.link gives true
+        O_EXCL semantics there — the loser gets ConcurrentCommitError and
+        its already-written files are unreferenced orphans (reclaimed by
+        expire_snapshots), never corruption of the winner's.
+
+        A crash leaves either (a) an invisible orphan header (VERSION
+        unswapped): a retry of the SAME commit_id reclaims it immediately;
+        any OTHER writer reclaims it only after ORPHAN_GRACE_SEC (env
+        SPARK_GRAFT_ORPHAN_GRACE_SEC) so a live writer mid-swap is never
+        usurped — before that it gets ConcurrentCommitError (retryable); or
+        (b) a visible snapshot missing only its marker (healed lazily from
+        the header's commit_id)."""
         header_path = self._snapshot_path(snap.snapshot_id)
-        header_json = json.dumps(snap.header_json())
+        token = uuid.uuid4().hex[:8]
+        manifest_rel = f"{META_DIR}/m{snap.snapshot_id:08d}-{token}.json"
+        header = snap.header_json()
+        header["manifest"] = manifest_rel
+        header_json = json.dumps(header)
         _atomic_write(
-            self._manifest_path(snap.snapshot_id), json.dumps({"buckets": pointers})
+            os.path.join(self.path, manifest_rel), json.dumps({"buckets": pointers})
         )
         try:
             _exclusive_write(header_path, header_json)
@@ -301,13 +325,19 @@ class LakeTable:
                     f"Snapshot {snap.snapshot_id} already committed by another writer"
                 ) from None
             existing = self._read_header(snap.snapshot_id)
-            if existing.get("commit_id") != snap.commit_id:
+            grace = float(
+                os.environ.get("SPARK_GRAFT_ORPHAN_GRACE_SEC", self.ORPHAN_GRACE_SEC)
+            )
+            age = time.time() - os.path.getmtime(header_path)
+            if existing.get("commit_id") != snap.commit_id and age < grace:
                 raise ConcurrentCommitError(
-                    f"Snapshot {snap.snapshot_id} header already created by a "
-                    f"concurrent writer (commit {existing.get('commit_id')!r})"
+                    f"Snapshot {snap.snapshot_id} header created by a concurrent "
+                    f"writer (commit {existing.get('commit_id')!r}) {age:.0f}s ago; "
+                    f"retry after its {grace:.0f}s orphan grace expires"
                 ) from None
-            # our own crashed predecessor's orphan (same commit_id, never
-            # became current): replacing it is a retry of the same commit
+            # our own crashed predecessor's orphan (same commit_id — a retry
+            # of the same idempotent commit), or a foreign orphan past the
+            # grace period (provably dead: VERSION never pointed at it)
             os.unlink(header_path)
             _exclusive_write(header_path, header_json)
         _atomic_write(os.path.join(self.path, META_DIR, "VERSION"), str(snap.snapshot_id))
@@ -416,7 +446,10 @@ class LakeTable:
             timestamp_ms=int(time.time() * 1000),
         )
         # metadata-only commit: every bucket's manifest is reused verbatim
-        self._write_snapshot(new_snap, self._pointers_of(snap, new_snap.snapshot_id))
+        self._write_snapshot(
+            new_snap,
+            self._pointers_of(snap, new_snap.snapshot_id, uuid.uuid4().hex[:8]),
+        )
         return new_snap
 
     # ----- reads -------------------------------------------------------------
@@ -528,10 +561,11 @@ class LakeTable:
         # fresh per-bucket manifest. Row count comes from the pointer rows
         # (no file-list reads for untouched buckets).
         next_id = snap.snapshot_id + 1
-        pointers = self._pointers_of(snap, next_id)
+        token = uuid.uuid4().hex[:8]
+        pointers = self._pointers_of(snap, next_id, token)
         for b in replaced_buckets:
             pointers.pop(str(b), None)
-        pointers.update(self._write_bucket_manifests(next_id, new_files))
+        pointers.update(self._write_bucket_manifests(next_id, new_files, token))
         summary = dict(snap.summary)
         summary.update(summary_update or {})
         summary["row_count"] = sum(p["rows"] for p in pointers.values())
@@ -562,7 +596,12 @@ class LakeTable:
         the input partitions already align 1:1 with buckets (bucketed
         shuffle-free apply) — each task then writes its own directory."""
         snap = self.snapshot()
-        out_dir = os.path.join(self.path, DATA_DIR, f"snap-{snapshot_hint}")
+        # attempt-unique directory: two writers racing toward the same
+        # snapshot id never overwrite each other's parquet files — only the
+        # exclusive header decides whose files get referenced
+        out_dir = os.path.join(
+            self.path, DATA_DIR, f"snap-{snapshot_hint}-{uuid.uuid4().hex[:8]}"
+        )
         out = df
         if repartition:
             out = df.repartition(max(1, min(snap.n_buckets, 256)), F.col("__bucket"))

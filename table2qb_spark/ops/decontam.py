@@ -24,13 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT = "[^a-z0-9]+"
+from table2qb_spark.ops.text import alnum_tokens_expr
 
 
 def _ngrams(text: Column, n: int) -> Column:
     """Array of space-joined word n-grams of ``text`` (empty when the doc
     has fewer than n tokens)."""
-    toks = F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != "")
+    toks = alnum_tokens_expr(text)
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
@@ -56,9 +56,14 @@ def ngram_contamination(
     )
     doc_shingles = docs.select(
         F.col(id_col), F.explode(_ngrams(F.col(text_col), n)).alias("shingle")
-    ).distinct()
+    )
+    # distinct AFTER the broadcast join: distincting the raw corpus shingles
+    # first would shuffle every exploded n-gram of the corpus; post-join only
+    # benchmark-colliding postings shuffle (identical n_hits — the count is
+    # over distinct shared (doc, shingle) either way)
     hits = (
         doc_shingles.join(F.broadcast(bench_shingles), "shingle")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

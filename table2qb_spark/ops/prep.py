@@ -50,18 +50,22 @@ def prepare_training_data(
 ) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, packed): the filtered+sampled corpus with annotations,
     and its sequence-packing index."""
+    # keeper set is CORPUS-sized (one id per distinct document): a plain
+    # semi-join (AQE picks the strategy) — forcing a broadcast here would
+    # collect the whole corpus's ids to the driver
     keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
-    clean = docs.join(F.broadcast(keepers), "doc_id", "left_semi")
+    clean = docs.join(keepers, "doc_id", "left_semi")
 
     if benchmark is not None:
         contaminated = ngram_contamination(clean, benchmark, n=decontam_n).select(
             "doc_id"
         )
-        clean = clean.join(F.broadcast(contaminated), "doc_id", "left_anti")
+        clean = clean.join(contaminated, "doc_id", "left_anti")
 
-    ann = analyze_documents(clean).drop("fingerprint")
-    clean = clean.join(ann, "doc_id")
-    clean = clean.where(
+    # annotations are a pure per-row projection — add them as columns on the
+    # SAME scan (a join back on doc_id would re-scan and shuffle the corpus)
+    ann = analyze_documents(clean, keep_input=True).drop("fingerprint")
+    clean = ann.where(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
 

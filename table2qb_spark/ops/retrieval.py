@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT = "[^a-z0-9]+"
+from table2qb_spark.ops.text import ALNUM_TOKEN_SPLIT as TOKEN_SPLIT
 
 
 def bm25_topk(

@@ -27,6 +27,16 @@ def tokens_expr(c: Column) -> Column:
     return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
 
 
+# shared alphanumeric tokenization — retrieval (BM25) and decontamination
+# must agree exactly (and with the DuckDB oracles) on what a word is
+ALNUM_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def alnum_tokens_expr(c: Column) -> Column:
+    """Alphanumeric-word tokenization of lowercased text (empty dropped)."""
+    return F.filter(F.split(F.lower(c), ALNUM_TOKEN_SPLIT), lambda t: t != "")
+
+
 def token_count(c: Column) -> Column:
     return F.size(tokens_expr(c))
 
@@ -80,13 +90,20 @@ def fingerprint_expr(c: Column) -> Column:
     return F.md5(canon)
 
 
-def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+def analyze_documents(
+    df: DataFrame, text_col: str = "text", keep_input: bool = False
+) -> DataFrame:
+    """Per-document metrics as ONE Catalyst projection. ``keep_input`` keeps
+    the input columns alongside (same single scan — callers must not join
+    the metrics back on doc_id, which would re-scan and shuffle)."""
     c = F.col(text_col)
-    return df.select(
-        "doc_id",
+    metrics = [
         token_count(c).alias("n_tokens"),
         bpe_ish_token_count(c).alias("n_subtokens"),
         lang_id_expr(c).alias("pred_lang"),
         quality_score_expr(c).alias("quality"),
         fingerprint_expr(c).alias("fingerprint"),
-    )
+    ]
+    if keep_input:
+        return df.select("*", *metrics)
+    return df.select("doc_id", *metrics)

@@ -195,3 +195,46 @@ def test_diff_across_compaction_is_empty(spark, tmp_path):
     res = compact(t, min_files=1)
     assert not res.get("skipped")
     assert snapshot_diff(t, sid).count() == 0
+
+
+def test_expire_leaves_no_unreferenced_files(spark, tmp_path):
+    """After expiry, every parquet file on disk is referenced by a retained
+    snapshot and every retained snapshot is fully readable — even though the
+    expired snapshots shared per-bucket manifests through pointer reuse
+    (two-phase delete: resolve all references before removing anything)."""
+    import glob, os
+    from tests.test_lake_cdc import BASE_SCHEMA, KEYS, batch_df
+    from table2qb_spark.lake.expire import expire_snapshots
+    from table2qb_spark.lake.merge import merge_upsert
+    from table2qb_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "nl"), BASE_SCHEMA, KEYS, n_buckets=4)
+    # seed both buckets, then repeatedly touch ONE key so snapshots share
+    # the untouched buckets' manifests
+    merge_upsert(t, batch_df(spark, [
+        (i, "I", f"r{i}", f"f{i}.py", "c", "py", "v") for i in range(1, 9)
+    ]), "seed")
+    for i in range(2, 6):
+        merge_upsert(
+            t, batch_df(spark, [(10 * i, "U", "r1", "f1.py", "c", "py", f"v{i}")]),
+            f"b{i}", batch_size_hint=1,
+        )
+    res = expire_snapshots(t, keep_last=2)
+    assert res["expired_snapshots"] >= 3
+
+    referenced = set()
+    for sid in res["retained"]:
+        try:
+            snap = t.snapshot(sid)
+        except FileNotFoundError:
+            continue
+        for b in snap.files:
+            for e in snap.files[b]:  # every retained manifest must be readable
+                referenced.add(os.path.normpath(os.path.join(t.path, e["path"])))
+    on_disk = {
+        os.path.normpath(f)
+        for f in glob.glob(os.path.join(t.path, "data", "**", "*.parquet"), recursive=True)
+    }
+    assert referenced <= on_disk          # nothing referenced was deleted
+    assert on_disk - referenced == set()  # nothing unreferenced leaked
+    assert t.read().count() == 8

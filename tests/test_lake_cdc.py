@@ -508,11 +508,13 @@ class TestPerBucketManifests:
             batch_df(spark, [(i, "I", f"r{i}", f"f{i}.py", "c", "py", "v") for i in range(1, 9)]),
             "b1",
         )
-        # rewrite the current manifest in the legacy monolithic format
+        # rewrite the current manifest in the legacy monolithic format (at
+        # the path the HEADER references — attempt-unique since round 3)
         snap = t.snapshot()
         files = {b: list(es) for b, es in snap.files.items()}
+        manifest_rel = t._read_header(snap.snapshot_id)["manifest"]
         _atomic_write(
-            t._manifest_path(snap.snapshot_id), _json.dumps({"files": files})
+            os.path.join(t.path, manifest_rel), _json.dumps({"files": files})
         )
         legacy = t.snapshot()
         assert legacy.manifest_pointers is None
@@ -650,3 +652,17 @@ def test_late_mat_on_empty_seq_guarded_tombstone_table(spark, tmp_path):
     late = batch_df(spark, [(4, "U", "r2", "b.py", "c", "py", "zombie")])
     merge_upsert(t, late, "s1", force_stats_pass=True)
     assert {(r["repo"], r["path"]) for r in t.read_live().collect()} == {("r1", "a.py")}
+
+
+def test_footer_bounds_with_struct_column_before_seq(spark, tmp_path):
+    """Row-group statistics are LEAF-indexed: a struct column preceding seq
+    must not make _footer_bounds read another column's min/max."""
+    df = spark.createDataFrame(
+        [((f"s{i}", i * 1000), i + 50, "U") for i in range(10)],
+        "meta struct<src:string, ts:long>, seq long, op string",
+    )
+    path = str(tmp_path / "nested_ev")
+    df.coalesce(1).write.parquet(path)
+    t = make_table(spark, tmp_path)
+    r = ChangeLogReplayer(spark, t, path, batch_events=100)
+    assert r._footer_bounds() == (50, 59)  # NOT meta.ts's (0, 9000)
