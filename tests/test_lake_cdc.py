@@ -666,3 +666,59 @@ def test_footer_bounds_with_struct_column_before_seq(spark, tmp_path):
     t = make_table(spark, tmp_path)
     r = ChangeLogReplayer(spark, t, path, batch_events=100)
     assert r._footer_bounds() == (50, 59)  # NOT meta.ts's (0, 9000)
+
+
+class TestConcurrentCommitSafety:
+    def test_losing_writer_cannot_corrupt_winners_files(self, spark, tmp_path):
+        """Two writers race from the same base snapshot: the loser raises
+        ConcurrentCommitError and the winner's committed state stays fully
+        readable — the loser's already-written files are disjoint orphans."""
+        from table2qb_spark.lake.table import ConcurrentCommitError
+
+        t = make_table(spark, tmp_path, n_buckets=2)
+        merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "seed")
+        base = t.snapshot()
+
+        # writer A (wins): full write + commit
+        dfa = batch_df(spark, [(2, "U", "r1", "a.py", "c", "py", "A")]).selectExpr(
+            "repo", "path", "commit", "lang", "content"
+        )
+        from table2qb_spark.lake.table import key_bucket_expr
+
+        dfa = dfa.withColumn("__bucket", key_bucket_expr(KEYS, base.n_buckets))
+        files_a = t.write_data_files(dfa, snapshot_hint="race")
+        # writer B prepares its files BEFORE A commits (the race window)
+        dfb = batch_df(spark, [(3, "U", "r1", "a.py", "c", "py", "B")]).selectExpr(
+            "repo", "path", "commit", "lang", "content"
+        ).withColumn("__bucket", key_bucket_expr(KEYS, base.n_buckets))
+        files_b = t.write_data_files(dfb, snapshot_hint="race")
+        t.commit_files("wa", sorted(files_a), files_a, {}, base_snapshot_id=base.snapshot_id)
+        with pytest.raises(ConcurrentCommitError):
+            t.commit_files("wb", sorted(files_b), files_b, {}, base_snapshot_id=base.snapshot_id)
+        # winner's data intact and readable
+        assert {r["content"] for r in t.read().collect()} == {"A"}
+        assert not t.has_commit("wb")  # loser never marked applied
+
+    def test_foreign_orphan_reclaimed_after_grace(self, spark, tmp_path, monkeypatch):
+        """A crashed foreign writer's orphan header (written, VERSION never
+        swapped) blocks other writers only within the grace period; after it
+        the id is reclaimed and the table makes progress."""
+        import json as _json
+        from table2qb_spark.lake.table import ConcurrentCommitError, _exclusive_write
+
+        t = make_table(spark, tmp_path, n_buckets=2)
+        merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "b1")
+        nxt = t.current_snapshot_id() + 1
+        hdr = t._read_header(t.current_snapshot_id())
+        orphan = dict(hdr)
+        orphan["snapshot_id"] = nxt
+        orphan["commit_id"] = "crashed-foreign-commit"
+        _exclusive_write(t._snapshot_path(nxt), _json.dumps(orphan))
+
+        b = batch_df(spark, [(2, "U", "r1", "a.py", "c", "py", "v2")])
+        monkeypatch.setenv("SPARK_GRAFT_ORPHAN_GRACE_SEC", "3600")
+        with pytest.raises(ConcurrentCommitError, match="grace"):
+            merge_upsert(t, b, "b2")
+        monkeypatch.setenv("SPARK_GRAFT_ORPHAN_GRACE_SEC", "0")  # orphan is dead
+        merge_upsert(t, b, "b2")
+        assert {r["content"] for r in t.read().collect()} == {"v2"}
