@@ -344,6 +344,20 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.where(F.col("op") != "D").select("user_id", "seq", "op", "value")
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals over word 3-grams (ops/text.py):
+    per-doc duplicate-gram fraction and duplicate-gram character fraction —
+    a pure per-row projection, zero shuffle."""
+    from table2qb_spark.ops.text import repetition_metrics_exprs, word_ngrams_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *repetition_metrics_exprs(word_ngrams_expr(F.col("text"), 3), "gram3"),
+    )
+
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing (ops/packing.py) per source shard,
     1024-token sequences, n_chars as the token-count column; emits each
@@ -745,6 +759,33 @@ ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1 AND op <> 'D'
     """,
+    "text_repetition": """
+        WITH g AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                 ) AS grams
+          FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS toks
+            FROM documents
+          )
+        )
+        SELECT doc_id,
+               round(CASE WHEN len(grams) > 0
+                 THEN (len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE)
+                 ELSE 0.0 END, 4) AS gram3_dup_frac,
+               round(CASE WHEN len(grams) > 0 AND tc > 0
+                 THEN (tc - dc) / tc ELSE 0.0 END, 4) AS gram3_dup_char_frac
+        FROM (
+          SELECT doc_id, grams,
+                 CAST(list_sum(list_transform(grams, x -> length(x))) AS DOUBLE) AS tc,
+                 CAST(list_sum(list_transform(list_distinct(grams), x -> length(x))) AS DOUBLE) AS dc
+          FROM g
+        )
+    """,
     "pack_sequences": """
         WITH spans AS (
           SELECT source AS shard, doc_id, n_chars,
@@ -1114,6 +1155,7 @@ QUERIES = {
     "cdc_latest_state": q_cdc_latest_state,
     "cdc_latest_state_salted": q_cdc_latest_state_salted,
     "cdc_merge_upsert": q_cdc_merge_upsert,
+    "text_repetition": q_text_repetition,
     "pack_sequences": q_pack_sequences,
     "decontamination": q_decontamination,
     "bm25_topk": q_bm25_topk,

@@ -21,22 +21,10 @@ filtered before the window build).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from table2qb_spark.ops.text import alnum_tokens_expr
-
-
-def _ngrams(text: Column, n: int) -> Column:
-    """Array of space-joined word n-grams of ``text`` (empty when the doc
-    has fewer than n tokens)."""
-    toks = alnum_tokens_expr(text)
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
-    )
+from table2qb_spark.ops.text import word_ngrams_expr as _ngrams
 
 
 def ngram_contamination(

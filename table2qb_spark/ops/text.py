@@ -63,6 +63,57 @@ def lang_id_expr(c: Column) -> Column:
     return out
 
 
+def line_units_expr(c: Column) -> Column:
+    """Non-empty trimmed lines of a document."""
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+
+def word_ngrams_expr(c: Column, n: int) -> Column:
+    """Array of space-joined alphanumeric word n-grams (empty when the doc
+    has fewer than n tokens — guarded: Spark's sequence(0, negative) yields
+    a DESCENDING range)."""
+    toks = alnum_tokens_expr(c)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def repetition_metrics_exprs(units: Column, prefix: str) -> list[Column]:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1) over
+    an array of repetition units (lines via ``line_units_expr``, or word
+    n-grams via ``word_ngrams_expr``), each a pure per-row expression — NO
+    shuffle, the whole gate is a projection + filter over the corpus scan:
+
+    - {prefix}_dup_frac:      1 - distinct(units)/units
+    - {prefix}_dup_char_frac: share of CHARACTERS in duplicate unit
+                              occurrences (beyond each unit's first)
+
+    Fractions round to 4 decimals for cross-engine oracle stability."""
+    n = F.size(units).cast("double")
+    n_dist = F.size(F.array_distinct(units)).cast("double")
+    total_chars = F.aggregate(
+        units, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+    )
+    dist_chars = F.aggregate(
+        F.array_distinct(units), F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+    )
+    safe = n > 0
+    return [
+        F.round(F.when(safe, (n - n_dist) / n).otherwise(0.0), 4).alias(
+            f"{prefix}_dup_frac"
+        ),
+        F.round(
+            F.when(safe & (total_chars > 0), (total_chars - dist_chars) / total_chars)
+            .otherwise(0.0), 4,
+        ).alias(f"{prefix}_dup_char_frac"),
+    ]
+
+
 def quality_score_expr(c: Column) -> Column:
     """Composite quality heuristic in [0,1]:
     0.4·stopword-ratio-score + 0.3·length-score + 0.3·alpha-ratio.

@@ -445,3 +445,35 @@ class TestPrepPipeline:
             spark, "/root/testdata/sf0.001/documents.parquet", str(tmp_path / "o")
         )
         assert report["clean_docs"] > 0 and report["packed_rows"] > 0
+
+
+class TestRepetitionMetrics:
+    def test_line_and_gram_repetition(self, spark):
+        from pyspark.sql import functions as F
+        from table2qb_spark.ops.text import (
+            line_units_expr, repetition_metrics_exprs, word_ngrams_expr,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "aaa\nbbb\naaa\n\n  \nccc"),     # 4 non-empty lines, 1 dup
+                (2, "x y x y x y"),                   # heavy 2-gram repetition
+                (3, ""),                              # empty: all zeros, no crash
+                (4, "unique lines\nonly here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in docs.select(
+                "doc_id",
+                *repetition_metrics_exprs(line_units_expr(F.col("text")), "line"),
+                *repetition_metrics_exprs(word_ngrams_expr(F.col("text"), 2), "g2"),
+            ).collect()
+        }
+        assert out[1]["line_dup_frac"] == 0.25          # aaa repeats: 1 of 4
+        assert out[1]["line_dup_char_frac"] == 0.25     # 3 of 12 chars
+        assert out[4]["line_dup_frac"] == 0.0
+        assert out[3]["line_dup_frac"] == 0.0 and out[3]["g2_dup_frac"] == 0.0
+        # "x y x y x y": grams [x y, y x, x y, y x, x y] -> 3 dups of 5
+        assert out[2]["g2_dup_frac"] == 0.6
