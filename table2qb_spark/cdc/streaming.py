@@ -95,8 +95,15 @@ def start_stream(
     op_col: str = "op",
     max_files_per_trigger: int = 8,
     payload_col: str = "payload_json",
+    watermark_prefilter: bool = False,
 ):
-    """Start the streaming ingest. Returns the StreamingQuery."""
+    """Start the streaming ingest. Returns the StreamingQuery.
+
+    ``watermark_prefilter``: drop duplicate/stale events IN the stream with
+    the stateful per-key high-watermark operator (cdc/stateful.py) before
+    they reach the merge sink — worth its stateful shuffle on
+    redelivery-heavy sources; the seq-guarded merge stays correct either
+    way."""
     reader = spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
     if schema_ddl:
         reader = reader.schema(schema_ddl)
@@ -104,6 +111,12 @@ def start_stream(
         static = spark.read.parquet(events_dir)
         reader = reader.schema(static.schema)
     stream = reader.parquet(events_dir)
+    if watermark_prefilter:
+        from table2qb_spark.cdc.stateful import watermark_filter
+
+        stream = watermark_filter(
+            stream, table.snapshot().key_columns, seq_col=seq_col
+        )
     app_id = checkpoint_app_id(checkpoint_dir)
 
     def apply_micro_batch(batch_df: DataFrame, batch_id: int) -> None:
