@@ -84,9 +84,12 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign every corpus vector to its nearest centroid (broadcast join +
-    per-vector argmax — one corpus scan). centroids: (centroid_id, cv)."""
+    """Assign every vector to its ``nprobe`` nearest centroids (broadcast
+    join + per-vector top-n — one scan). Corpus vectors use nprobe=1 (each
+    lives in ONE cell); queries probe several cells to recover near-boundary
+    neighbors (the standard IVF recall knob). centroids: (centroid_id, cv)."""
     from pyspark.sql.window import Window
 
     scored = corpus.join(F.broadcast(centroids)).select(
@@ -98,7 +101,7 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
     return (
         scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
+        .where(F.col("r") <= nprobe)
         .select(id_col, vec_col, "centroid_id")
     )
 
@@ -216,13 +219,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF (single-probe): score only corpus vectors sharing the query's
-    nearest centroid. Approximate — recall depends on centroid quality."""
+    """IVF: score only corpus vectors in the query's ``nprobe`` nearest
+    cells. Approximate — recall rises with nprobe (and with centroid
+    quality); cost is nprobe cell scans per query instead of the corpus."""
     from pyspark.sql.window import Window
 
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    q_assigned = ivf_assign(queries, centroids, id_col, vec_col).select(
+    q_assigned = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col("centroid_id"),

@@ -477,3 +477,33 @@ class TestRepetitionMetrics:
         assert out[3]["line_dup_frac"] == 0.0 and out[3]["g2_dup_frac"] == 0.0
         # "x y x y x y": grams [x y, y x, x y, y x, x y] -> 3 dups of 5
         assert out[2]["g2_dup_frac"] == 0.6
+
+
+class TestIvfMultiProbe:
+    def test_nprobe_recall_is_monotone_and_exact_bounded(self, spark, emb):
+        """Probing more cells can only ADD candidates: recall vs the exact
+        top-k rises monotonically with nprobe, every reported cosine equals
+        the exact one, and at nprobe = n_centroids IVF equals exact."""
+        from table2qb_spark.ops import ann
+
+        corpus = emb
+        queries = emb.orderBy("vec_id").limit(3)
+        cents = ann.kmeans_centroids(corpus, n=6)
+
+        def result(df):
+            return {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in df.collect()}
+
+        exact = result(ann.cosine_topk(corpus, queries, k=5))
+        r1 = result(ann.ivf_topk(corpus, queries, cents, k=5, nprobe=1))
+        r2 = result(ann.ivf_topk(corpus, queries, cents, k=5, nprobe=2))
+        r_all = result(ann.ivf_topk(corpus, queries, cents, k=5, nprobe=6))
+
+        def recall(r):
+            return len(set(r) & set(exact)) / len(exact)
+
+        assert recall(r1) <= recall(r2) <= recall(r_all) == 1.0
+        assert r_all == exact
+        for r in (r1, r2):
+            for k_, v in r.items():
+                if k_ in exact:
+                    assert exact[k_] == v
