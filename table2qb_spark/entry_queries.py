@@ -344,6 +344,35 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.where(F.col("op") != "D").select("user_id", "seq", "op", "value")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (ops/scrub.py) over documents with deterministic
+    planted PII (the synthetic corpus has none): every 10th doc gains an
+    email + IP, every 7th a phone — both engines build the identical input,
+    then scrub with the identical RE2-safe patterns."""
+    from table2qb_spark.ops.scrub import scrub_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" contact: user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com at 10.0.0."),
+                    (F.col("doc_id") % 255).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" call +1-555-01"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_documents(docs)
+
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals over word 3-grams (ops/text.py):
     per-doc duplicate-gram fraction and duplicate-gram character fraction —
@@ -759,6 +788,30 @@ ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1 AND op <> 'D'
     """,
+    "pii_scrub": """
+        WITH d AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 10 = 0
+                      THEN ' contact: user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com at 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+                      ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                      THEN ' call +1-555-01' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                 '\\+\\d{1,3}[- ]?\\d{3,4}[- ]?\\d{3,6}', '<PHONE>', 'g') AS text,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+               len(regexp_extract_all(text, '\\+\\d{1,3}[- ]?\\d{3,4}[- ]?\\d{3,6}')) AS n_phone
+        FROM d
+    """,
     "text_repetition": """
         WITH g AS (
           SELECT doc_id,
@@ -1155,6 +1208,7 @@ QUERIES = {
     "cdc_latest_state": q_cdc_latest_state,
     "cdc_latest_state_salted": q_cdc_latest_state_salted,
     "cdc_merge_upsert": q_cdc_merge_upsert,
+    "pii_scrub": q_pii_scrub,
     "text_repetition": q_text_repetition,
     "pack_sequences": q_pack_sequences,
     "decontamination": q_decontamination,

@@ -507,3 +507,33 @@ class TestIvfMultiProbe:
             for k_, v in r.items():
                 if k_ in exact:
                     assert exact[k_] == v
+
+
+class TestPiiScrub:
+    def test_redaction_and_counts(self, spark):
+        from table2qb_spark.ops.scrub import scrub_documents
+
+        docs = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@example.co.uk and 192.168.0.1 call +44-7700-900123"),
+                (2, "nothing sensitive here"),
+                (3, "two mails x@y.io z@w.dev one ip 10.0.0.7"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in scrub_documents(docs).collect()}
+        assert out[1]["n_email"] == 1 and out[1]["n_ip"] == 1 and out[1]["n_phone"] == 1
+        assert "<EMAIL>" in out[1]["text"] and "<IP>" in out[1]["text"] and "<PHONE>" in out[1]["text"]
+        assert "example.co.uk" not in out[1]["text"] and "192.168" not in out[1]["text"]
+        assert out[2]["text"] == "nothing sensitive here"
+        assert out[2]["n_email"] == out[2]["n_ip"] == out[2]["n_phone"] == 0
+        assert out[3]["n_email"] == 2 and out[3]["n_ip"] == 1
+        assert out[3]["text"].count("<EMAIL>") == 2
+
+    def test_scrub_is_pure_projection(self, spark):
+        from table2qb_spark.ops.scrub import scrub_documents
+
+        docs = spark.createDataFrame([(1, "x@y.io")], "doc_id long, text string")
+        plan = scrub_documents(docs)._jdf.queryExecution().executedPlan().toString()
+        for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan
