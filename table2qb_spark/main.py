@@ -167,6 +167,7 @@ def cmd_prep_data(args) -> int:
         benchmark_path=args.benchmark,
         min_quality=args.min_quality, min_tokens=args.min_tokens,
         fractions=fractions, seq_len=args.seq_len, seed=args.seed,
+        scrub_pii=args.scrub_pii,
     )
     print(json.dumps(report))
     return 0
@@ -341,6 +342,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-language keep fractions, e.g. en=0.5,de=0.25")
     c.add_argument("--seq-len", type=int, default=1024)
     c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--scrub-pii", action="store_true",
+                   help="redact emails/IPs/phone numbers with typed tokens")
     c.set_defaults(fn=cmd_prep_data)
 
     c = sub.add_parser("codelist-pipeline")

@@ -47,6 +47,7 @@ def prepare_training_data(
     seq_len: int = 1024,
     decontam_n: int = 4,
     seed: int = 42,
+    scrub_pii: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, packed): the filtered+sampled corpus with annotations,
     and its sequence-packing index."""
@@ -68,6 +69,13 @@ def prepare_training_data(
     clean = ann.where(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
+
+    if scrub_pii:
+        from table2qb_spark.ops.scrub import scrub_exprs
+
+        red, counts = scrub_exprs(F.col("text"))
+        others = [c for c in clean.columns if c != "text"]
+        clean = clean.select(*others, red.alias("text"), *counts)
 
     if fractions:
         clean = sample_stratified(
