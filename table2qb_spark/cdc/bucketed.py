@@ -48,6 +48,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from table2qb_spark.cdc.apply import _leaf_column_index
 from table2qb_spark.lake.table import LakeTable, key_bucket_expr
 
 LAYOUT_FILE = "_layout.json"
@@ -85,8 +86,6 @@ def _bucket_seq_index(
             if not fn.endswith(".parquet"):
                 continue
             md = pq.ParquetFile(os.path.join(b_dir, fn)).metadata
-            from table2qb_spark.cdc.apply import _leaf_column_index
-
             ci = _leaf_column_index(md, seq_col)
             if ci < 0:
                 continue

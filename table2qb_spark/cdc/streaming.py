@@ -102,8 +102,13 @@ def start_stream(
     ``watermark_prefilter``: drop duplicate/stale events IN the stream with
     the stateful per-key high-watermark operator (cdc/stateful.py) before
     they reach the merge sink — worth its stateful shuffle on
-    redelivery-heavy sources; the seq-guarded merge stays correct either
-    way."""
+    redelivery-heavy sources. ROW state is identical either way (dropped
+    events were provably losing the seq-guarded merge); the one divergence
+    is SCHEMA metadata: an evolution payload carried ONLY by dropped
+    stale/duplicate events does not evolve the table on this path — the
+    column lands with the next winning event that carries it. Leave the
+    prefilter off when stale events may be the sole carriers of schema
+    changes."""
     reader = spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
     if schema_ddl:
         reader = reader.schema(schema_ddl)

@@ -30,8 +30,8 @@ computation is identical — it reads only manifest lists, never data.
 from __future__ import annotations
 
 import glob
-import json
 import os
+import time
 
 from table2qb_spark.lake.table import DATA_DIR, META_DIR, LakeTable
 
@@ -62,6 +62,46 @@ def _referenced_paths(table: LakeTable, snapshot_id: int) -> tuple[set, set]:
     return data, manifests
 
 
+def _sweep_orphans(table: LakeTable) -> int:
+    """Delete data files / manifests referenced by NO existing snapshot
+    header — a losing commit racer's attempt-unique output, a reclaimed
+    foreign orphan's files, or leftovers of a crashed prior expiry. Only
+    files older than the orphan grace age are touched, so an IN-FLIGHT
+    commit attempt (files written, header not yet linked) is never swept
+    mid-commit."""
+    grace = float(
+        os.environ.get("SPARK_GRAFT_ORPHAN_GRACE_SEC", LakeTable.ORPHAN_GRACE_SEC)
+    )
+    keep: set = set()
+    for sid in _existing_snapshot_ids(table):
+        try:
+            d, m = _referenced_paths(table, sid)
+        except FileNotFoundError:
+            continue
+        keep |= {os.path.normpath(os.path.join(table.path, rel)) for rel in d | m}
+        rel = table._read_header(sid).get("manifest")
+        if rel:
+            keep.add(os.path.normpath(os.path.join(table.path, rel)))
+    candidates: list[str] = []
+    for root, _dirs, files in os.walk(os.path.join(table.path, DATA_DIR)):
+        candidates += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    candidates += glob.glob(os.path.join(table.path, META_DIR, "mb-*.json"))
+    candidates += glob.glob(os.path.join(table.path, META_DIR, "m[0-9]*.json"))
+    swept = 0
+    now = time.time()
+    for full in candidates:
+        if os.path.normpath(full) in keep:
+            continue
+        try:
+            if now - os.path.getmtime(full) < grace:
+                continue
+            os.remove(full)
+            swept += 1
+        except FileNotFoundError:
+            continue
+    return swept
+
+
 def expire_snapshots(
     table: LakeTable,
     keep_last: int = 2,
@@ -87,7 +127,9 @@ def expire_snapshots(
     expired = [sid for sid in ids if sid not in retained]
     if not expired:
         return {"expired_snapshots": 0, "deleted_data_files": 0,
-                "deleted_manifests": 0, "retained": sorted(retained)}
+                "deleted_manifests": 0,
+                "swept_orphans": _sweep_orphans(table),
+                "retained": sorted(retained)}
 
     # TWO-PHASE: resolve every snapshot's referenced paths BEFORE deleting
     # anything — expired snapshots share per-bucket manifests through
@@ -103,7 +145,14 @@ def expire_snapshots(
     drop_manifests: set = set()
     manifest_lists: list[str] = []
     for sid in expired:
-        d, m = _referenced_paths(table, sid)
+        try:
+            d, m = _referenced_paths(table, sid)
+        except FileNotFoundError:
+            # a PRIOR expiry crashed after deleting this snapshot's
+            # manifests but before its header: nothing left to resolve —
+            # its exclusively-referenced files are unreferenced orphans now
+            # and the sweep below removes them; still drop the header
+            d, m = set(), set()
         drop_data |= d
         drop_manifests |= m
         # the manifest LIST file is named in the header (attempt-unique
@@ -132,6 +181,8 @@ def expire_snapshots(
             if os.path.exists(p):
                 os.remove(p)
 
+    swept = _sweep_orphans(table)
+
     # drop directories emptied by data-file deletion (snap-*/b=*)
     data_root = os.path.join(table.path, DATA_DIR)
     for root, dirs, files in os.walk(data_root, topdown=False):
@@ -142,5 +193,6 @@ def expire_snapshots(
         "expired_snapshots": len(expired),
         "deleted_data_files": deleted_data,
         "deleted_manifests": deleted_manifests,
+        "swept_orphans": swept,
         "retained": sorted(retained),
     }

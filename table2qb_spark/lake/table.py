@@ -149,7 +149,7 @@ class Snapshot:
             "schemas": self.schemas,
             "key_columns": self.key_columns,
             "n_buckets": self.n_buckets,
-            "manifest": f"{META_DIR}/m{self.snapshot_id:08d}.json",
+            # "manifest" is set by _write_snapshot (attempt-unique path)
             "n_commits": self.n_commits,
             "summary": self.summary,
             "timestamp_ms": self.timestamp_ms,
@@ -335,11 +335,48 @@ class LakeTable:
                     f"writer (commit {existing.get('commit_id')!r}) {age:.0f}s ago; "
                     f"retry after its {grace:.0f}s orphan grace expires"
                 ) from None
-            # our own crashed predecessor's orphan (same commit_id — a retry
-            # of the same idempotent commit), or a foreign orphan past the
-            # grace period (provably dead: VERSION never pointed at it)
-            os.unlink(header_path)
-            _exclusive_write(header_path, header_json)
+            # Orphan reclaim (our own crashed predecessor — same commit_id —
+            # or a foreign orphan past the grace period). The reclaim itself
+            # must be serialized: without a lock, two reclaimers could both
+            # pass the checks and the second would unlink the FIRST one's
+            # now-committed header. The lock is an exclusive marker file;
+            # a stale lock (holder crashed) expires by the same grace rule.
+            lock_path = f"{header_path}.reclaim"
+            try:
+                _exclusive_write(lock_path, snap.commit_id)
+            except FileExistsError:
+                if time.time() - os.path.getmtime(lock_path) < grace:
+                    raise ConcurrentCommitError(
+                        f"Snapshot {snap.snapshot_id} orphan is being reclaimed "
+                        "by another writer; retry"
+                    ) from None
+                os.unlink(lock_path)  # stale lock: its holder crashed
+                try:
+                    _exclusive_write(lock_path, snap.commit_id)
+                except FileExistsError:
+                    raise ConcurrentCommitError(
+                        f"Snapshot {snap.snapshot_id} reclaim lock contended; retry"
+                    ) from None
+            try:
+                # RE-CHECK under the lock: the orphan may have become the
+                # committed current snapshot while we raced for the lock
+                if self.current_snapshot_id() >= snap.snapshot_id:
+                    raise ConcurrentCommitError(
+                        f"Snapshot {snap.snapshot_id} committed while awaiting "
+                        "the reclaim lock"
+                    ) from None
+                if os.path.exists(header_path):
+                    os.unlink(header_path)
+                try:
+                    _exclusive_write(header_path, header_json)
+                except FileExistsError:
+                    raise ConcurrentCommitError(
+                        f"Snapshot {snap.snapshot_id} header re-created by a "
+                        "concurrent writer during reclaim; retry"
+                    ) from None
+            finally:
+                if os.path.exists(lock_path):
+                    os.unlink(lock_path)
         _atomic_write(os.path.join(self.path, META_DIR, "VERSION"), str(snap.snapshot_id))
         self._write_marker(snap.commit_id)
 

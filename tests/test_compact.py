@@ -238,3 +238,60 @@ def test_expire_leaves_no_unreferenced_files(spark, tmp_path):
     assert referenced <= on_disk          # nothing referenced was deleted
     assert on_disk - referenced == set()  # nothing unreferenced leaked
     assert t.read().count() == 8
+
+
+def test_expire_survives_crashed_prior_expiry(spark, tmp_path, monkeypatch):
+    """A prior expiry that crashed after deleting a snapshot's manifests but
+    before its header must not wedge future expiries: the header is dropped
+    and the leftovers are swept."""
+    import json as _json, os
+    from tests.test_lake_cdc import BASE_SCHEMA, KEYS, batch_df
+    from table2qb_spark.lake.expire import expire_snapshots
+    from table2qb_spark.lake.merge import merge_upsert
+    from table2qb_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "cw"), BASE_SCHEMA, KEYS, n_buckets=2)
+    for i in range(1, 5):
+        merge_upsert(t, batch_df(spark, [(i, "U", "r1", "a.py", "c", "py", f"v{i}")]), f"b{i}")
+    # simulate the crash: snapshot 2 (expired-to-be) loses its manifest list
+    victim = 2
+    rel = t._read_header(victim).get("manifest")
+    os.remove(os.path.join(t.path, rel))
+    monkeypatch.setenv("SPARK_GRAFT_ORPHAN_GRACE_SEC", "0")
+    res = expire_snapshots(t, keep_last=2)
+    assert res["expired_snapshots"] >= 2
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        t.snapshot(victim)  # header gone despite the missing manifest
+    assert {r["content"] for r in t.read().collect()} == {"v4"}
+
+
+def test_orphan_sweep_removes_losing_racers_files(spark, tmp_path, monkeypatch):
+    """A ConcurrentCommitError loser's attempt-unique files are referenced
+    by no header; the expiry sweep (grace=0) removes them even when no
+    snapshot expires."""
+    import glob, os
+    from tests.test_lake_cdc import BASE_SCHEMA, KEYS, batch_df
+    from table2qb_spark.lake.expire import expire_snapshots
+    from table2qb_spark.lake.merge import merge_upsert
+    from table2qb_spark.lake.table import ConcurrentCommitError, LakeTable, key_bucket_expr
+
+    t = LakeTable.create(spark, str(tmp_path / "os"), BASE_SCHEMA, KEYS, n_buckets=2)
+    merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "seed")
+    base = t.snapshot()
+    df = batch_df(spark, [(2, "U", "r1", "a.py", "c", "py", "X")]).selectExpr(
+        "repo", "path", "commit", "lang", "content"
+    ).withColumn("__bucket", key_bucket_expr(KEYS, base.n_buckets))
+    files_w = t.write_data_files(df, snapshot_hint="r")
+    files_l = t.write_data_files(df, snapshot_hint="r")  # loser's files
+    t.commit_files("w", sorted(files_w), files_w, {}, base_snapshot_id=base.snapshot_id)
+    import pytest as _pytest
+    with _pytest.raises(ConcurrentCommitError):
+        t.commit_files("l", sorted(files_l), files_l, {}, base_snapshot_id=base.snapshot_id)
+    n_before = len(glob.glob(os.path.join(t.path, "data", "**", "*.parquet"), recursive=True))
+    monkeypatch.setenv("SPARK_GRAFT_ORPHAN_GRACE_SEC", "0")
+    res = expire_snapshots(t, keep_last=100)  # nothing expires; sweep only
+    assert res["expired_snapshots"] == 0 and res["swept_orphans"] > 0
+    n_after = len(glob.glob(os.path.join(t.path, "data", "**", "*.parquet"), recursive=True))
+    assert n_after < n_before
+    assert {r["content"] for r in t.read().collect()} == {"X"}
