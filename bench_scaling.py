@@ -1,9 +1,13 @@
-"""Scaling-efficiency measurement (BASELINE.md protocol).
+"""Scaling-efficiency measurement (BASELINE.md ladder protocol).
 
 The north rule's two-cluster-size criterion (N vs 4N executors, efficiency
 >= 0.8) is evidenced in-sandbox by running the IDENTICAL replay job on the
-IDENTICAL input at local[8] vs local[32], each hard-pinned to its cores with
-taskset, in a fresh JVM per level. Two replay paths are measured:
+IDENTICAL input at a LADDER of pinned core counts (default 2/4/8/16/32,
+fresh taskset-pinned JVM per level), yielding every N-vs-4N pair from one
+sweep window — the pairs whose top level stays inside the single socket's
+DRAM envelope (2v8, 4v16) hold per-core bandwidth comparable across levels,
+which is what distinct executors on a real cluster provide at every size.
+Two replay paths are measured:
 
 - **shuffle merge** (flat log -> union-aggregate/sort merge): the
   arbitrary-layout path; one wide exchange per batch.
@@ -65,8 +69,8 @@ def replay_bucketed(tag):
     # fixed costs (plan build, scheduling — now ~one py4j call per GROUP),
     # small buckets keep one task's working set (scan+sort+write of a whole
     # bucket) inside the core's cache share instead of thrashing shared
-    # L3/DRAM. Production sizes buckets the same way; default keeps
-    # ~2-4M events/bucket, overridable for A/B via SCALING_BUCKETS.
+    # L3/DRAM. Production sizes buckets the same way; default ~187k
+    # events/bucket (measured optimum — BENCH.md), A/B via SCALING_BUCKETS.
     nb = int(os.environ.get("SCALING_BUCKETS", "0")) or max(
         64, min(1024, n_events // 187_500)
     )
@@ -101,7 +105,7 @@ sys.path.insert(0, {REPO!r})
 from table2qb_spark.session import get_spark
 from table2qb_spark.datagen import changelog as gen
 from table2qb_spark.cdc.bucketed import write_bucketed_change_log
-spark = get_spark(app_name="scaling-gen", master="local[32]", shuffle_partitions=64)
+spark = get_spark(app_name="scaling-gen", master="local[16]", shuffle_partitions=64)
 ev = gen.gen_change_log(spark, {n_events}, 4000, 800, seed=42, n_partitions=128,
                         schema_evolution_after=None)
 t0 = time.time()
@@ -117,8 +121,13 @@ t_layout = time.time() - t0
 print("GEN_RESULT " + json.dumps({{"flat_write_sec": round(t_flat, 1),
       "bucket_layout_sec": round(t_layout, 1)}}))
 """
+    env = dict(os.environ)
+    # the 48M gen JVM was OOM-killed once at default heap on a loaded box:
+    # cap its concurrency (local[16] above) and give it explicit headroom
+    env.setdefault("SPARK_DRIVER_MEMORY", "20g")
     proc = subprocess.run(
-        [sys.executable, "-c", code], check=True, capture_output=True, text=True
+        [sys.executable, "-c", code], check=True, capture_output=True, text=True,
+        env=env,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("GEN_RESULT "):

@@ -117,3 +117,53 @@ def test_validate_uri_template():
     assert validate_uri_template("http://x/{foo}/{+bar}")
     assert validate_uri_template("http://x/plain")
     assert not validate_uri_template("http://x/{unclosed")
+
+
+class TestTwinEquivalenceFuzz:
+    """Property test (hypothesis): for ARBITRARY text the three forms of
+    every transform — Catalyst expression, plain-Python, pandas UDF — agree
+    exactly. The Catalyst form is what pipelines run; the twins are the
+    UDF-surface contract, and divergence on weird unicode/punctuation would
+    silently fork pipeline output from the documented semantics."""
+
+    def test_all_three_forms_agree_on_fuzzed_text(self, spark):
+        from hypothesis import given, settings, HealthCheck, strategies as st
+        from pyspark.sql import functions as F
+        from table2qb_spark.functions import transforms as T
+
+        pairs = [
+            (T.slugize, T.slugize_py, T.slugize_pd),
+            (T.unitize, T.unitize_py, T.unitize_pd),
+            (T.classize, T.classize_py, T.classize_pd),
+            (T.propertize, T.propertize_py, T.propertize_pd),
+        ]
+
+        @settings(
+            max_examples=25, deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(
+            st.lists(
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs",),  # no lone surrogates
+                    ),
+                    max_size=40,
+                ),
+                min_size=1, max_size=8,
+            )
+        )
+        def check(texts):
+            df = spark.createDataFrame([(t,) for t in texts], "s string")
+            sel = []
+            for i, (expr_f, _, pd_f) in enumerate(pairs):
+                sel.append(expr_f(F.col("s")).alias(f"e{i}"))
+                sel.append(pd_f(F.col("s")).alias(f"p{i}"))
+            rows = df.select("s", *sel).collect()
+            for r in rows:
+                for i, (_, py_f, _) in enumerate(pairs):
+                    expect = py_f(r["s"])
+                    assert r[f"e{i}"] == expect, (r["s"], i, r[f"e{i}"], expect)
+                    assert r[f"p{i}"] == expect, (r["s"], i, r[f"p{i}"], expect)
+
+        check()
