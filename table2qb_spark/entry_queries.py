@@ -446,6 +446,43 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction invariance (lake/compact.py): replay the event
+    stream in two batches (two file generations per touched bucket), compact
+    every bucket, and return the final state — which must hash-equal the
+    plain replay oracle (compaction is semantically invisible)."""
+    import tempfile
+
+    from table2qb_spark.lake.compact import compact
+    from table2qb_spark.lake.merge import merge_upsert
+    from table2qb_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round("value", 4).alias("value"),
+    )
+    b = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    mid = (int(b["lo"]) + int(b["hi"])) // 2
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="q_compact_"),
+        [("user_id", "long"), ("seq", "long"), ("op", "string"), ("value", "double")],
+        ["user_id"],
+        n_buckets=8,
+    )
+    merge_upsert(t, ev.where(F.col("seq") <= mid), "c1")
+    merge_upsert(t, ev.where(F.col("seq") > mid), "c2", batch_size_hint=1)
+    res = compact(t, min_files=1)
+    assert not res.get("skipped")
+    return t.read().select("user_id", "seq", "op", "value")
+
+
+
 def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental change reader (lake/diff.py) driven end-to-end: replay the
     event stream into a REAL lake table in two seq-ranged batches, then
@@ -911,6 +948,15 @@ ORACLES: dict[str, str] = {
         WHERE u < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                             WHEN 'fr' THEN 100000 ELSE 50000 END
     """,
+    "cdc_compact": """
+        SELECT user_id, seq, op, value FROM (
+          SELECT user_id, event_id AS seq,
+                 CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+                 round(value, 4) AS value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1 AND op <> 'D'
+    """,
     "cdc_snapshot_diff": """
         WITH ev AS (
           SELECT user_id, event_id AS seq,
@@ -1214,6 +1260,7 @@ QUERIES = {
     "decontamination": q_decontamination,
     "bm25_topk": q_bm25_topk,
     "sample_stratified": q_sample_stratified,
+    "cdc_compact": q_cdc_compact,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_sessionize": q_cdc_sessionize,
     "cdc_metrics": q_cdc_metrics,
