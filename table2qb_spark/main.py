@@ -151,6 +151,24 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_cdc_verify(args) -> int:
+    """Order-insensitive sha256 of the table's (live) state — the replay /
+    resume convergence probe, as a CLI."""
+    from table2qb_spark.cdc.verify import table_sha256
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-verify")
+    table = LakeTable(spark, args.table)
+    df = table.read_live() if args.live else table.read()
+    print(json.dumps({
+        "sha256": table_sha256(df),
+        "rows": df.count(),
+        "snapshot": table.current_snapshot_id(),
+    }))
+    return 0
+
+
 def cmd_prep_data(args) -> int:
     from table2qb_spark.ops.prep import run_prep
 
@@ -330,6 +348,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--out", default=None,
                    help="write the change rows as parquet instead of printing counts")
     c.set_defaults(fn=cmd_diff)
+
+    c = sub.add_parser("cdc-verify")
+    c.add_argument("--table", required=True)
+    c.add_argument("--live", action="store_true",
+                   help="hash the live view (tombstones excluded)")
+    c.set_defaults(fn=cmd_cdc_verify)
 
     c = sub.add_parser("prep-data")
     c.add_argument("--documents", required=True, help="input documents parquet")
