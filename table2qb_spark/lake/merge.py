@@ -23,8 +23,15 @@ repartition -> write. Winners with op='D' are dropped (or tombstoned when
 the table has a ``_deleted`` column).
 
 Strategies:
-- **single-pass** (bursts/backfills): everything in ONE Spark action; batch
-  stats ride along via ``pyspark.sql.Observation`` (no extra pass).
+- **late-materialization** (initial load / backfill into an EMPTY table):
+  a narrow (keys, seq, op) phase picks each key's winning seq — content
+  bytes are never read — then the winning seqs broadcast back against the
+  full scan so only winner rows carry payload through the bucket exchange.
+  ~2x the single-pass throughput at every core count (BENCH.md); gated by
+  batch size (the broadcast is key-set-sized).
+- **single-pass** (bursts/backfills into non-empty tables): everything in
+  ONE Spark action; batch stats ride along via ``pyspark.sql.Observation``
+  (no extra pass).
 - **pruned** (steady-state CDC: batch small vs table): a cheap pre-pass over
   the deduped batch finds the touched buckets; only those buckets' files are
   read and rewritten (copy-on-write). At 100 TB this is the default — batch
