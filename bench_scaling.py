@@ -38,6 +38,7 @@ from table2qb_spark.session import get_spark
 from table2qb_spark.lake.table import LakeTable
 from table2qb_spark.cdc.apply import ChangeLogReplayer
 from table2qb_spark.cdc.bucketed import BucketedReplayer
+from table2qb_spark.cdc.verify import table_sha256
 
 cores = int(sys.argv[1])
 flat_path = sys.argv[2]
@@ -55,16 +56,17 @@ wd = tempfile.mkdtemp(prefix=f"scal{{cores}}_",
 SCHEMA = [("repo","string"),("path","string"),("commit","string"),
           ("lang","string"),("content","string"),("content_sha","string")]
 
-def replay_flat(tag):
+def replay_flat(tag, want_sha=False):
     t = LakeTable.create(spark, os.path.join(wd, tag), SCHEMA, ["repo","path"],
                          n_buckets=256)
     r = ChangeLogReplayer(spark, t, flat_path, batch_events=n_events)
     t0 = time.time(); r.run(); dt = time.time() - t0
     rows = t.row_count()
+    sha = table_sha256(t.read()) if want_sha else None  # untimed
     shutil.rmtree(t.path, ignore_errors=True)  # tmpfs IS RAM: never accumulate
-    return dt, rows
+    return dt, rows, sha
 
-def replay_bucketed(tag):
+def replay_bucketed(tag, want_sha=False):
     # bucket count balances two pressures: big buckets amortize per-bucket
     # fixed costs (plan build, scheduling — now ~one py4j call per GROUP),
     # small buckets keep one task's working set (scan+sort+write of a whole
@@ -79,20 +81,21 @@ def replay_bucketed(tag):
     r = BucketedReplayer(spark, t, bucketed_path, batch_events=n_events)
     t0 = time.time(); r.run(); dt = time.time() - t0
     rows = t.row_count()
+    sha = table_sha256(t.read()) if want_sha else None  # untimed
     shutil.rmtree(t.path, ignore_errors=True)
-    return dt, rows
+    return dt, rows, sha
 
 out = {{"cores": cores}}
 for name, fn in [(which, replay_flat if which == "shuffle" else replay_bucketed)]:
     fn(name + "w0"); fn(name + "w1")  # 2 warmups: codegen JIT needs several runs
-    times, rows = [], None
+    times, rows, sha = [], None, None
     for i in range(5):
-        dt, rows = fn(f"{{name}}m{{i}}")
+        dt, rows, sha = fn(f"{{name}}m{{i}}", want_sha=(i == 4))
         times.append(dt)
     best = min(times)
     out[name] = {{"seconds": round(best, 2),
                   "events_per_sec": round(n_events / best, 1), "rows": rows,
-                  "all_seconds": [round(x, 2) for x in times]}}
+                  "sha": sha, "all_seconds": [round(x, 2) for x in times]}}
 shutil.rmtree(wd, ignore_errors=True)
 print("CHILD_RESULT " + json.dumps(out))
 """
@@ -176,6 +179,10 @@ def main():
     buck = {c: run_level(c, flat, bucketed, n_events, "bucketed")["bucketed"] for c in (8, 32)}
     rows_seen = {r["rows"] for r in list(shuf.values()) + list(buck.values())}
     assert len(rows_seen) == 1, f"paths/levels diverged: {rows_seen}"
+    # byte-level convergence: every path at every level produced the
+    # IDENTICAL final table state, not just the same row count
+    shas = {r["sha"] for r in list(shuf.values()) + list(buck.values())}
+    assert len(shas) == 1, f"state shas diverged across paths/levels: {shas}"
     rows = next(iter(rows_seen))
 
     def tp(d, c):
