@@ -226,6 +226,10 @@ One-off bucketed layout cost at ingest: {gen_stats.get('bucket_layout_sec', '?')
 """
     with open(os.path.join(REPO, "BENCH.md"), "a", encoding="utf-8") as f:
         f.write(md + "\n")
+    # tmpfs IS RAM: leftover event dirs have strangled later measurements
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
