@@ -127,12 +127,17 @@ def unitize_pd(s: pd.Series) -> pd.Series:
 
 
 def _classize_series(s: pd.Series) -> pd.Series:
-    return (
-        s.str.replace(r"[^a-zA-Z0-9]+", " ", regex=True)
-        .str.strip()
-        .str.title()
-        .str.replace(" ", "", regex=False)
+    # NOT .str.title(): title() uppercases the first LETTER of a word even
+    # when digits precede it ("0a" -> "0A"), while initcap (and the Python
+    # twin) titlecase the first CHARACTER only ("0a" stays "0a") — found by
+    # the hypothesis twin-equivalence fuzz. Words are ASCII alnum here (the
+    # separator regex removed everything else), so upper == titlecase.
+    words = (
+        s.str.replace(r"[^a-zA-Z0-9]+", " ", regex=True).str.strip().str.lower()
     )
+    return words.str.replace(
+        r"(^| )([a-z])", lambda m: m.group(1) + m.group(2).upper(), regex=True
+    ).str.replace(" ", "", regex=False)
 
 
 @pandas_udf(StringType())

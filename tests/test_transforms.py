@@ -139,7 +139,7 @@ class TestTwinEquivalenceFuzz:
         ]
 
         @settings(
-            max_examples=25, deadline=None,
+            max_examples=25, deadline=None, derandomize=True,
             suppress_health_check=[HealthCheck.too_slow],
         )
         @given(
