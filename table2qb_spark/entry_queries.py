@@ -580,6 +580,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group mapping: every doc -> its group's keeper (min id per
+    content hash) — the row-level companion to dedup_exact that a pipeline
+    joins on to DROP duplicates. One window over the content hash."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    keeper = F.min("doc_id").over(Window.partitionBy(h))
+    return docs.select(
+        "doc_id",
+        keeper.alias("keeper_id"),
+        (F.col("doc_id") != keeper).alias("is_duplicate"),
+    )
+
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_dedup(_t(spark, sf_dir, "documents"), bits=60)
 
@@ -1107,6 +1124,12 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 4) >= 0.2
     """,
+    "dedup_mapping": """
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        FROM documents
+    """,
     "dedup_simhash": f"""
         WITH base AS (
           SELECT doc_id, list_distinct({SQL_TOKENS.format(x='text')}) AS toks FROM documents
@@ -1268,6 +1291,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_mapping": q_dedup_mapping,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
