@@ -901,8 +901,8 @@ ORACLES: dict[str, str] = {
           FROM documents WHERE n_chars > 0
         )
         SELECT shard, seq_id, doc_id,
-               greatest(0, (e - n_chars) - seq_id * 1024) AS begin,
-               least(1024, e - seq_id * 1024) AS "end"
+               CAST(greatest(0, (e - n_chars) - seq_id * 1024) AS BIGINT) AS begin,
+               CAST(least(1024, e - seq_id * 1024) AS BIGINT) AS "end"
         FROM (
           SELECT *, unnest(generate_series(
                    CAST(floor((e - n_chars) / 1024.0) AS BIGINT),

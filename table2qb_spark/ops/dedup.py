@@ -150,7 +150,10 @@ def ngram_jaccard_pairs(
             .where(F.col("df") > max_df)
             .select("sh")
         )
-        pair_src = sh.join(F.broadcast(hot), on="sh", how="left_anti")
+        # anti-join from pair_src (NOT sh): when candidates are set, the
+        # semi-join above must survive — rebuilding from the full inverted
+        # index would silently restore the corpus-wide self-join.
+        pair_src = pair_src.join(F.broadcast(hot), on="sh", how="left_anti")
 
     a, b = pair_src.alias("a"), pair_src.alias("b")
     common = (

@@ -123,6 +123,24 @@ class TestCandidatePrunedVerify:
         got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
         assert set(got) == {(1, 2)}
 
+    def test_candidates_survive_default_max_df(self, spark):
+        """Regression (round-3 verdict #2): with BOTH candidates and the
+        default max_df cap, the hot-shingle anti-join must be applied ON TOP
+        of the candidate semi-join — not rebuilt from the full inverted index
+        (which silently restores the corpus-wide self-join). With the fix the
+        optimized plan carries the LeftSemi on the sizes branch AND on each
+        side of the shingle self-join (3 occurrences); the bug leaves only
+        the sizes one."""
+        df = self.docs(spark)
+        cands = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        out = dedup.ngram_jaccard_pairs(df, threshold=0.01, candidates=cands)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("LeftSemi") >= 3, plan
+        # anti-join (max_df cap) still present under the default cap
+        assert "LeftAnti" in plan, plan
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        assert set(got) == {(1, 2)}
+
     def test_candidates_path_matches_unrestricted_verify(self, spark):
         """Correctness: verifying only candidates returns exactly the
         unrestricted result restricted to candidate pairs (same jaccard —
