@@ -119,6 +119,17 @@ def start_stream(
     if watermark_prefilter:
         from table2qb_spark.cdc.stateful import watermark_filter
 
+        # The prefilter is only state-preserving on seq-guarded tables (see
+        # docstring): on a plain table the merge unions current rows at
+        # seq=-1, so a late lower-seq event WOULD win there — dropping it in
+        # the stream would change final row state.
+        schema_names = {c["name"] for c in table.snapshot().current_schema()}
+        if "_seq" not in schema_names or "_deleted" not in schema_names:
+            raise ValueError(
+                "watermark_prefilter requires a seq-guarded stream table "
+                "(create it via create_stream_table: missing _seq/_deleted "
+                "bookkeeping columns)"
+            )
         stream = watermark_filter(
             stream, table.snapshot().key_columns, seq_col=seq_col
         )

@@ -377,6 +377,31 @@ class LakeTable:
             finally:
                 if os.path.exists(lock_path):
                     os.unlink(lock_path)
+        # Ownership re-check before publishing: a writer stalled longer than
+        # the orphan grace between the header write and here can have had its
+        # header reclaimed (unlinked + rewritten) by another writer. Blindly
+        # publishing would (a) regress VERSION past the usurper's later
+        # commits and (b) mark OUR commit_id applied although our rows were
+        # replaced — a redelivery would then be silently skipped (lost
+        # write). Verify the header on disk is still THIS attempt's (the
+        # manifest filename carries a per-attempt token, so this also
+        # distinguishes two attempts of the same commit_id).
+        try:
+            published = self._read_header(snap.snapshot_id)
+        except FileNotFoundError:
+            raise ConcurrentCommitError(
+                f"Snapshot {snap.snapshot_id} header vanished before the "
+                "VERSION swap (reclaimed by another writer); retry"
+            ) from None
+        if (
+            published.get("commit_id") != snap.commit_id
+            or published.get("manifest") != manifest_rel
+        ):
+            raise ConcurrentCommitError(
+                f"Snapshot {snap.snapshot_id} was reclaimed by another writer "
+                f"(now commit {published.get('commit_id')!r}) while this "
+                "writer was stalled; retry"
+            )
         _atomic_write(os.path.join(self.path, META_DIR, "VERSION"), str(snap.snapshot_id))
         self._write_marker(snap.commit_id)
 

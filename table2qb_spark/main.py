@@ -146,7 +146,8 @@ def cmd_diff(args) -> int:
     else:
         counts = {r["change_type"]: r["count"] for r in d.groupBy("change_type").count().collect()}
         print(json.dumps({"from": args.from_snapshot,
-                          "to": args.to_snapshot or table.current_snapshot_id(),
+                          "to": (args.to_snapshot if args.to_snapshot is not None
+                                 else table.current_snapshot_id()),
                           "changes": counts}))
     return 0
 

@@ -699,6 +699,50 @@ class TestConcurrentCommitSafety:
         assert {r["content"] for r in t.read().collect()} == {"A"}
         assert not t.has_commit("wb")  # loser never marked applied
 
+    def test_stalled_writer_cannot_clobber_after_reclaim(self, spark, tmp_path, monkeypatch):
+        """A writer that stalls between its exclusive header link and the
+        VERSION swap for longer than the orphan grace can be usurped: another
+        writer reclaims the snapshot id and commits. When the stalled writer
+        resumes it must NOT publish — blindly swapping VERSION would regress
+        past the usurper's commit, and writing its marker would record its
+        commit_id applied although its rows were replaced (a redelivery
+        would then be silently skipped)."""
+        import os as _os
+        from table2qb_spark.lake import table as table_mod
+        from table2qb_spark.lake.table import ConcurrentCommitError, LakeTable
+
+        t = make_table(spark, tmp_path, n_buckets=2)
+        merge_upsert(t, batch_df(spark, [(1, "I", "r1", "a.py", "c", "py", "v1")]), "b1")
+        monkeypatch.setenv("SPARK_GRAFT_ORPHAN_GRACE_SEC", "0")
+
+        real_excl = table_mod._exclusive_write
+        state = {"fired": False}
+
+        def stalling_excl(path, data):
+            real_excl(path, data)
+            base = _os.path.basename(path)
+            if not state["fired"] and base.startswith("v") and base.endswith(".json"):
+                # simulate the >grace stall right after the header link:
+                # a second writer reclaims the id and fully commits
+                state["fired"] = True
+                t2 = LakeTable(spark, str(tmp_path / "t"))
+                merge_upsert(
+                    t2,
+                    batch_df(spark, [(2, "U", "r1", "a.py", "c", "py", "usurper")]),
+                    "b-usurper",
+                )
+
+        monkeypatch.setattr(table_mod, "_exclusive_write", stalling_excl)
+        with pytest.raises(ConcurrentCommitError, match="reclaimed"):
+            merge_upsert(
+                t, batch_df(spark, [(2, "U", "r1", "a.py", "c", "py", "stalled")]), "b-stalled"
+            )
+        # the usurper's state is current and undisturbed
+        assert {r["content"] for r in t.read().collect()} == {"usurper"}
+        assert t.has_commit("b-usurper")
+        # the stalled writer was NOT marked applied: its redelivery re-applies
+        assert not t.has_commit("b-stalled")
+
     def test_foreign_orphan_reclaimed_after_grace(self, spark, tmp_path, monkeypatch):
         """A crashed foreign writer's orphan header (written, VERSION never
         swapped) blocks other writers only within the grace period; after it

@@ -185,3 +185,24 @@ def test_stream_with_watermark_prefilter_converges_identically(
     )
     assert table_sha256(t1.read_live(), COLS) == table_sha256(t2.read_live(), COLS)
     assert table_sha256(t2.read_live(), COLS) == expected_sha(spark, stream_events)
+
+
+def test_watermark_prefilter_requires_seq_guarded_table(
+    spark, tmp_path, stream_events
+):
+    """The prefilter is only state-preserving on seq-guarded tables: on a
+    plain table the merge unions current rows at seq=-1, so a late lower-seq
+    event would normally overwrite the stored row — dropping it in-stream
+    would change final state. start_stream must refuse rather than silently
+    diverge."""
+    from table2qb_spark.cdc.streaming import start_stream
+    from table2qb_spark.lake.table import LakeTable
+
+    plain = LakeTable.create(
+        spark, str(tmp_path / "plain2"), BASE_SCHEMA, KEYS, n_buckets=4
+    )
+    with pytest.raises(ValueError, match="seq-guarded"):
+        start_stream(
+            spark, plain, stream_events, str(tmp_path / "c3"),
+            watermark_prefilter=True,
+        )
