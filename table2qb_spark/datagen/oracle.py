@@ -43,6 +43,18 @@ def row_sha256(row: dict, columns: list[str]) -> str:
 
 
 def table_sha256(rows: list[dict], columns: list[str]) -> str:
-    """Order-insensitive table hash: sha256 over the sorted per-row hashes."""
-    hashes = sorted(row_sha256(r, columns) for r in rows)
-    return hashlib.sha256("".join(hashes).encode("ascii")).hexdigest()
+    """Order-insensitive table digest — the exact single-threaded mirror of
+    the distributed digest in table2qb_spark.cdc.verify: each row hash is
+    split into four 15-hex chunks, the per-chunk sums plus the row count are
+    hashed. Commutative sums make it order-insensitive without collecting and
+    sorting every hash."""
+    from table2qb_spark.cdc.verify import _CHUNK_HEX, _N_CHUNKS, digest_of_sums
+
+    sums = [0] * _N_CHUNKS
+    n = 0
+    for r in rows:
+        h = row_sha256(r, columns)
+        n += 1
+        for i in range(_N_CHUNKS):
+            sums[i] += int(h[_CHUNK_HEX * i : _CHUNK_HEX * (i + 1)], 16)
+    return digest_of_sums(n, sums)

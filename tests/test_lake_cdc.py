@@ -668,6 +668,40 @@ def test_footer_bounds_with_struct_column_before_seq(spark, tmp_path):
     assert r._footer_bounds() == (50, 59)  # NOT meta.ts's (0, 9000)
 
 
+class TestDistributedDigest:
+    def test_spark_and_oracle_digests_match(self, spark):
+        """The distributed aggregate digest equals the single-threaded oracle
+        digest on the same rows — and stays identical under any row order."""
+        rows = [
+            {"repo": "r1", "path": "a.py", "content": "x"},
+            {"repo": "r2", "path": "b.py", "content": None},
+            {"repo": "r3", "path": "c.py", "content": "z" * 100},
+        ]
+        cols = ["repo", "path", "content"]
+        df = spark.createDataFrame(
+            [(r["repo"], r["path"], r["content"]) for r in rows], cols
+        )
+        assert table_sha256(df, cols) == oracle_sha(rows, cols)
+        assert table_sha256(df.orderBy(F.desc("repo")), cols) == oracle_sha(
+            list(reversed(rows)), cols
+        )
+
+    def test_digest_plan_is_one_aggregate_no_collect(self, spark):
+        """O(1) driver memory: the digest is a single partial+final aggregate
+        over the scan — no Sort, no per-row collect (round-3 verdict #7)."""
+        df = spark.range(1000).selectExpr("cast(id as string) AS repo", "'p' AS path")
+        from table2qb_spark.cdc.verify import _chunk_sum_exprs, row_sha_expr
+
+        agg = df.agg(F.count("*").alias("n"), *_chunk_sum_exprs(row_sha_expr(df.columns)))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Sort" not in plan, plan
+        assert plan.count("HashAggregate") >= 2 or "SortAggregate" not in plan
+
+    def test_empty_table_digest_matches_oracle(self, spark):
+        df = spark.createDataFrame([], "repo string, path string")
+        assert table_sha256(df) == oracle_sha([], ["repo", "path"])
+
+
 class TestConcurrentCommitSafety:
     def test_losing_writer_cannot_corrupt_winners_files(self, spark, tmp_path):
         """Two writers race from the same base snapshot: the loser raises
