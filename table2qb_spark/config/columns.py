@@ -128,7 +128,7 @@ def _validate_uri_template(row_num, title, value):
     return value
 
 
-def _noop_expr(c, title):
+def _noop_expr(c, title, row=None):
     return c
 
 

@@ -60,10 +60,52 @@ def blank_expr(c: Column) -> Column:
     return c.isNull() | (F.trim(c) == "")
 
 
+ROW_ORDINAL = "__row_ordinal"
+
+
+def row_ordinal_col() -> Column:
+    """Distributed 1-based data-row ordinal for fail-fast cell errors —
+    row-context parity with the reference's driver-side messages
+    (csv.clj:166-177, "row N, column T").
+
+    Derived from ``monotonically_increasing_id`` (partition id in the upper
+    bits, row-in-partition in the lower 33): exact for single-split scans
+    (split 0 follows the header line, so ordinal == the reference's 1-based
+    data row number — true for every config CSV and all bundled examples);
+    a multi-split scan reports the within-split ordinal plus the split id,
+    which still pins the failing line without any extra pass over the data.
+
+    MUST be materialized as its own column (withColumn) BEFORE the validating
+    select — referenced directly inside the raise_error branch it would only
+    evaluate (and increment) on bad rows, counting errors instead of rows.
+    Being nondeterministic, the extra projection is protected from
+    CollapseProject, so the ordinal is evaluated exactly once per row."""
+    pid = F.spark_partition_id()
+    k = (F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) + 1).cast(
+        "string"
+    )
+    return F.when(pid == 0, k).otherwise(
+        F.concat(k, F.format_string(" (split %d)", pid))
+    )
+
+
+def _msg_col(title: str, msg, row: Column | None) -> Column:
+    """Error-message column in the reference's cell-message shape
+    (csv.clj:166-168): 'Invalid cell in column "T", row N: msg'. Without row
+    context the row clause is omitted. ``msg`` may be a str or a Column."""
+    msg_c = msg if isinstance(msg, Column) else F.lit(msg)
+    if row is None:
+        return F.concat(F.lit(f'Invalid cell in column "{title}": '), msg_c)
+    return F.concat(
+        F.lit(f'Invalid cell in column "{title}", row '), row, F.lit(": "), msg_c
+    )
+
+
 @dataclass(frozen=True)
 class Validator:
     """py(row_number, title, value): raise CellValidationError on bad cell.
-    expr(col, title): pass-through Column guarded with raise_error."""
+    expr(col, title, row=None): pass-through Column guarded with raise_error;
+    ``row`` is an optional row-ordinal Column for the error message."""
 
     name: str
     py: Callable
@@ -75,9 +117,9 @@ def _not_blank_py(row_num, title, s):
         throw_cell_validation_error(row_num, title, "Value cannot be blank")
 
 
-def _not_blank_expr(c: Column, title: str) -> Column:
-    msg = cell_validation_message(None, title, "Value cannot be blank")
-    return F.when(blank_expr(c), F.raise_error(F.lit(msg))).otherwise(c)
+def _not_blank_expr(c: Column, title: str, row: Column | None = None) -> Column:
+    msg = _msg_col(title, "Value cannot be blank", row)
+    return F.when(blank_expr(c), F.raise_error(msg)).otherwise(c)
 
 
 validate_not_blank = Validator("not-blank", _not_blank_py, _not_blank_expr)
@@ -92,9 +134,9 @@ def validate_one_of(options: set[str]) -> Validator:
                 cell_enum_validation_message(row_num, title, opts), {"options": opts}
             )
 
-    def expr(c: Column, title: str) -> Column:
-        msg = cell_enum_validation_message(None, title, opts)
-        return F.when(c.isin(opts), c).otherwise(F.raise_error(F.lit(msg)))
+    def expr(c: Column, title: str, row: Column | None = None) -> Column:
+        msg = _msg_col(title, "Expected one of: " + ", ".join(opts), row)
+        return F.when(c.isin(opts), c).otherwise(F.raise_error(msg))
 
     return Validator("one-of", py, expr)
 
@@ -110,13 +152,12 @@ def validate_integer() -> Validator:
                 row_num, title, f"Invalid integer {s}", {"value": s}
             )
 
-    def expr(c: Column, title: str) -> Column:
+    def expr(c: Column, title: str, row: Column | None = None) -> Column:
         bad = c.cast("long").isNull()
-        msg_col = F.concat(
-            F.lit(f'Invalid cell in column "{title}": Invalid integer '),
-            F.coalesce(c, F.lit("")),
+        msg = _msg_col(
+            title, F.concat(F.lit("Invalid integer "), F.coalesce(c, F.lit(""))), row
         )
-        return F.when(bad, F.raise_error(msg_col)).otherwise(c)
+        return F.when(bad, F.raise_error(msg)).otherwise(c)
 
     return Validator("integer", py, expr)
 
@@ -128,8 +169,8 @@ def optional(v: Validator) -> Validator:
         if not _is_blank(s):
             v.py(row_num, title, s)
 
-    def expr(c: Column, title: str) -> Column:
-        return F.when(blank_expr(c), c).otherwise(v.expr(c, title))
+    def expr(c: Column, title: str, row: Column | None = None) -> Column:
+        return F.when(blank_expr(c), c).otherwise(v.expr(c, title, row))
 
     return Validator(f"optional({v.name})", py, expr)
 
@@ -141,7 +182,8 @@ def optional(v: Validator) -> Validator:
 
 @dataclass(frozen=True)
 class Transform:
-    """py(row_number, title, value) -> value; expr(col, title) -> Column."""
+    """py(row_number, title, value) -> value;
+    expr(col, title, row=None) -> Column."""
 
     name: str
     py: Callable
@@ -162,12 +204,12 @@ def mapping_transform(mapping: dict, names: dict | None = None) -> Transform:
             )
         return mapping[s]
 
-    def expr(c: Column, title: str) -> Column:
-        msg = cell_enum_validation_message(None, title, keys)
+    def expr(c: Column, title: str, row: Column | None = None) -> Column:
+        msg = _msg_col(title, "Expected one of: " + ", ".join(keys), row)
         reps = names or {k: str(mapping[k]) for k in keys}
         mapped = F.create_map(*[x for k in keys for x in (F.lit(k), F.lit(reps[k]))])
         return F.when(c.isin(keys), F.element_at(mapped, c)).otherwise(
-            F.raise_error(F.lit(msg))
+            F.raise_error(msg)
         )
 
     return Transform("mapping", py, expr)
@@ -181,8 +223,8 @@ def optional_transform(t: Transform, default=None) -> Transform:
             return default
         return t.py(row_num, title, s)
 
-    def expr(c: Column, title: str) -> Column:
-        return F.when(blank_expr(c), F.lit(default)).otherwise(t.expr(c, title))
+    def expr(c: Column, title: str, row: Column | None = None) -> Column:
+        return F.when(blank_expr(c), F.lit(default)).otherwise(t.expr(c, title, row))
 
     return Transform(f"optional({t.name})", py, expr)
 
@@ -192,12 +234,13 @@ def fn_transform(name: str, py_fn: Callable, expr_fn: Callable) -> Transform:
     return Transform(
         name,
         lambda row_num, title, s: py_fn(s),
-        lambda c, title: expr_fn(c),
+        lambda c, title, row=None: expr_fn(c),
     )
 
 
 def check_transform(name: str, py_fn: Callable, expr_fn: Callable) -> Transform:
-    """Lift (row_num, title, value)->value / (Column, title)->Column checks."""
+    """Lift (row_num, title, value)->value / (Column, title, row)->Column
+    checks."""
     return Transform(name, py_fn, expr_fn)
 
 
@@ -319,9 +362,12 @@ def read_records(source: str, specs: list[ColumnSpec]) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def build_select_exprs(header: list[str], specs: list[ColumnSpec]) -> list[Column]:
+def build_select_exprs(
+    header: list[str], specs: list[ColumnSpec], row: Column | None = None
+) -> list[Column]:
     """Compile specs into aliased Catalyst expressions, header order first,
-    then defaulted absent-optional columns (csv.clj:155-160)."""
+    then defaulted absent-optional columns (csv.clj:155-160). ``row``: an
+    optional row-ordinal Column threaded into fail-fast error messages."""
     by_title = {s.title: s for s in specs}
     exprs: list[Column] = []
     declared_cols: dict[str, Column] = {}
@@ -329,9 +375,9 @@ def build_select_exprs(header: list[str], specs: list[ColumnSpec]) -> list[Colum
         spec = by_title[h]
         c: Column = F.col(f"`{h}`")
         for v in spec.validators:
-            c = v.expr(c, spec.title)
+            c = v.expr(c, spec.title, row)
         if spec.transform is not None:
-            c = spec.transform.expr(c, spec.title)
+            c = spec.transform.expr(c, spec.title, row)
         declared_cols[spec.key] = c
         exprs.append(c.alias(spec.key))
     declared_titles = set(header)
@@ -362,7 +408,8 @@ def records_df(spark: SparkSession, path: str, specs: list[ColumnSpec]) -> DataF
     header = read_csv_header(spark, path)
     validate_header(header, specs)
     df = spark.read.option("header", True).option("inferSchema", False).csv(path)
-    return df.select(*build_select_exprs(header, specs))
+    df = df.withColumn(ROW_ORDINAL, row_ordinal_col())
+    return df.select(*build_select_exprs(header, specs, row=F.col(ROW_ORDINAL)))
 
 
 def apply_specs(df: DataFrame, specs: list[ColumnSpec]) -> DataFrame:

@@ -24,6 +24,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from table2qb_spark.config import csvspec
 from table2qb_spark.config.columns import ColumnsConfig
 from table2qb_spark.config.cube import CubeConfig, get_cube_configuration
 from table2qb_spark.errors import CellValidationError
@@ -39,8 +40,13 @@ COMPONENT_SPEC_COLUMNS = ["component_slug", "component_attachment", "component_p
 # ---------------------------------------------------------------------------
 
 
-def observation_select_exprs(cube_config: CubeConfig) -> list[Column]:
-    """D7 + P11 compiled to aliased Catalyst expressions in header order."""
+def observation_select_exprs(
+    cube_config: CubeConfig, row: Column | None = None
+) -> list[Column]:
+    """D7 + P11 compiled to aliased Catalyst expressions in header order.
+    ``row``: optional row-ordinal Column (csvspec.row_ordinal_col) threaded
+    into the fail-fast dimension guard so executor-side errors carry row
+    context like the reference's driver-side ones (csv.clj:166-177)."""
     transformers = cube_config.header_transformers()
     exprs: list[Column] = []
     for title, name in zip(cube_config.titles, cube_config.names):
@@ -51,17 +57,28 @@ def observation_select_exprs(cube_config: CubeConfig) -> list[Column]:
         if name in cube_config.dimensions:
             # P11 (validate-dimensions, configuration/cube.clj:189-199)
             msg = f"Missing value for dimension: {name}"
+            if row is None:
+                msg_col = F.lit(msg)
+            else:
+                msg_col = F.concat(F.lit(msg + " (row "), row, F.lit(")"))
             c = F.when(
-                c.isNull() | (F.trim(c) == ""), F.raise_error(F.lit(msg))
+                c.isNull() | (F.trim(c) == ""), F.raise_error(msg_col)
             ).otherwise(c)
         exprs.append(c.alias(name))
     return exprs
 
 
-def observation_records_df(obs_df: DataFrame, cube_config: CubeConfig) -> DataFrame:
+def observation_records_df(
+    obs_df: DataFrame, cube_config: CubeConfig, row: Column | None = None
+) -> DataFrame:
     """Transformed observations, columns in header order
-    (observation-records, configuration/cube.clj:206-217)."""
-    return obs_df.select(*observation_select_exprs(cube_config))
+    (observation-records, configuration/cube.clj:206-217). ``row`` (e.g.
+    csvspec.row_ordinal_col()) is materialized as its own column first so it
+    counts ROWS, not error-branch evaluations (see row_ordinal_col)."""
+    if row is not None:
+        obs_df = obs_df.withColumn(csvspec.ROW_ORDINAL, row)
+        row = F.col(csvspec.ROW_ORDINAL)
+    return obs_df.select(*observation_select_exprs(cube_config, row))
 
 
 def observation_records(rows: list[dict], cube_config: CubeConfig) -> list[dict]:
@@ -424,7 +441,9 @@ def cube_pipeline(
     # threshold the rows never touch the driver — executors write header-ed
     # part files that any CSVW consumer (and spark.read.csv) reads as a unit.
     obs_raw = spark.read.option("header", True).option("inferSchema", False).csv(input_csv)
-    obs = observation_records_df(obs_raw, cube_config)
+    obs = observation_records_df(
+        obs_raw, cube_config, row=csvspec.row_ordinal_col()
+    )
     if distributed_csv is None:
         distributed_csv = os.path.getsize(input_csv) > CSV_DRIVER_SINK_MAX_BYTES
     if distributed_csv:

@@ -49,13 +49,35 @@ PREFIXES = {
     "owl:": "http://www.w3.org/2002/07/owl#",
 }
 
+# Datatypes that serialize as ^^xsd:-typed literals. Everything in the
+# numeric / temporal / binary / anyURI families maps straight to its XSD
+# name; the CSVW aliases (number, datetime, binary — accepted by the
+# reference's validate-csvw-datatype, configuration/column.clj:76-79 and
+# column_test.clj:30) map to their canonical XSD types. The string family
+# (string, token, language, ...) intentionally stays OUT of this map: those
+# literals are language-tagged, matching csv2rdf minimal mode.
+_XSD = "http://www.w3.org/2001/XMLSchema#"
 XSD_DATATYPES = {
-    "integer": "http://www.w3.org/2001/XMLSchema#integer",
-    "number": "http://www.w3.org/2001/XMLSchema#double",
-    "double": "http://www.w3.org/2001/XMLSchema#double",
-    "decimal": "http://www.w3.org/2001/XMLSchema#decimal",
-    "boolean": "http://www.w3.org/2001/XMLSchema#boolean",
+    n: _XSD + n
+    for n in (
+        "integer", "decimal", "double", "float", "boolean",
+        "long", "int", "short", "byte",
+        "nonNegativeInteger", "positiveInteger",
+        "nonPositiveInteger", "negativeInteger",
+        "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte",
+        "date", "dateTime", "dateTimeStamp", "time",
+        "gYear", "gYearMonth", "gMonth", "gMonthDay", "gDay",
+        "duration", "dayTimeDuration", "yearMonthDuration",
+        "anyURI", "hexBinary", "base64Binary",
+    )
 }
+XSD_DATATYPES.update(
+    {
+        "number": _XSD + "double",
+        "datetime": _XSD + "dateTime",  # CSVW alias
+        "binary": _XSD + "base64Binary",  # CSVW alias
+    }
+)
 
 
 def expand_term(term: str) -> str:

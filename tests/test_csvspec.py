@@ -96,7 +96,9 @@ class TestDistributedPath:
         want = csvspec.read_records(csv, specs)
         assert got == want
 
-    def test_raise_error_guard_fires(self, spark, tmp_path):
+    def test_raise_error_guard_fires_with_row_context(self, spark, tmp_path):
+        """Distributed fail-fast errors carry the reference's 'row N, column
+        T' shape (csv.clj:166-177) — the bad cell is on data row 2."""
         p = tmp_path / "bad.csv"
         p.write_text("a,b\nok,1\n,2\n")
         specs = [
@@ -104,8 +106,22 @@ class TestDistributedPath:
             ColumnSpec("b", "b"),
         ]
         df = csvspec.records_df(spark, str(p), specs)
-        with pytest.raises(Exception, match="Value cannot be blank"):
+        with pytest.raises(Exception, match=r'column "a", row 2: Value cannot be blank'):
             df.collect()
+
+    def test_distributed_row_number_matches_driver_path(self, spark, tmp_path):
+        """The mid-derived ordinal equals the driver path's 1-based data-row
+        numbering on a single-split file — here an enum failure on row 3."""
+        p = tmp_path / "enum.csv"
+        p.write_text("a\nx\ny\nz\n")
+        specs = [ColumnSpec("a", "a", validators=[csvspec.validate_one_of({"x", "y"})])]
+        with pytest.raises(Exception, match=r'row 3: Expected one of: x, y'):
+            csvspec.records_df(spark, str(p), specs).collect()
+        # driver path: identical message
+        from table2qb_spark.errors import CellValidationError
+
+        with pytest.raises(CellValidationError, match=r'row 3: Expected one of: x, y'):
+            csvspec.read_records("a\nx\ny\nz\n", specs)
 
 
 class TestColumnsConfig:
