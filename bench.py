@@ -49,9 +49,17 @@ def sf_of(sf_dir: str) -> float:
         return 0.0
 
 
-def run_cdc_replay(spark, sf: float, workdir: str) -> dict:
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def run_cdc_replay(spark, sf: float, workdir: str, n_runs: int = 2) -> dict:
     """Replay a synthetic change log sized ~20M events/sf unit (sf0.1 -> 2M)
-    into a fresh lake table; report converged events/sec."""
+    into a fresh lake table; report converged events/sec.
+
+    Min-of-``n_runs`` (fresh table each run, same generated log): single-shot
+    replay timings on this time-shared host swing +-20% and the first run
+    pays whole-stage-codegen JIT warmup — one run cannot distinguish a 10%
+    regression from noise (round-3 verdict #3)."""
     from table2qb_spark.cdc.apply import ChangeLogReplayer
     from table2qb_spark.datagen import changelog as gen
     from table2qb_spark.lake.table import LakeTable
@@ -69,32 +77,41 @@ def run_cdc_replay(spark, sf: float, workdir: str) -> dict:
     gen.write_change_log(ev, events_path, n_files=CPUS * 2)
     gen_sec = time.time() - t0
 
-    table = LakeTable.create(
-        spark,
-        os.path.join(workdir, "lake"),
-        [("repo", "string"), ("path", "string"), ("commit", "string"),
-         ("lang", "string"), ("content", "string"), ("content_sha", "string")],
-        ["repo", "path"],
-        n_buckets=256,  # fine buckets: short straggler tails, pruned rewrites
-    )
-    # two micro-batches: still exercises incremental MERGE + checkpointing,
-    # while amortizing the ~5s per-batch fixed cost (at production scale a
-    # micro-batch is 10^8 events, so fixed cost vanishes; see BENCH.md)
-    replayer = ChangeLogReplayer(
-        spark, table, events_path, batch_events=max(1_000_000, n_events // 2)
-    )
-    t1 = time.time()
-    results = replayer.run()
-    replay_sec = time.time() - t1
-    return {
-        "events": n_events,
-        "gen_seconds": round(gen_sec, 2),
-        "seconds": round(replay_sec, 2),
-        "events_per_sec": round(n_events / replay_sec, 1),
-        "batches": len(results),
-        "final_rows": table.row_count(),
-        "n_buckets": table.snapshot().n_buckets,
-    }
+    best = None
+    for i in range(n_runs):
+        lake_dir = os.path.join(workdir, f"lake{i}")
+        table = LakeTable.create(
+            spark,
+            lake_dir,
+            [("repo", "string"), ("path", "string"), ("commit", "string"),
+             ("lang", "string"), ("content", "string"), ("content_sha", "string")],
+            ["repo", "path"],
+            n_buckets=256,  # fine buckets: short straggler tails, pruned rewrites
+        )
+        # two micro-batches: still exercises incremental MERGE + checkpointing,
+        # while amortizing the ~5s per-batch fixed cost (at production scale a
+        # micro-batch is 10^8 events, so fixed cost vanishes; see BENCH.md)
+        replayer = ChangeLogReplayer(
+            spark, table, events_path, batch_events=max(1_000_000, n_events // 2)
+        )
+        t1 = time.time()
+        results = replayer.run()
+        replay_sec = time.time() - t1
+        run = {
+            "events": n_events,
+            "gen_seconds": round(gen_sec, 2),
+            "seconds": round(replay_sec, 2),
+            "events_per_sec": round(n_events / replay_sec, 1),
+            "batches": len(results),
+            "final_rows": table.row_count(),
+            "n_buckets": table.snapshot().n_buckets,
+        }
+        if best is None or run["seconds"] < best["seconds"]:
+            best = run
+        if i < n_runs - 1:
+            shutil.rmtree(lake_dir, ignore_errors=True)
+    best["runs"] = n_runs
+    return best
 
 
 def run_stream_replay(spark, events_path: str, n_events: int, workdir: str) -> dict:
@@ -116,9 +133,10 @@ def run_stream_replay(spark, events_path: str, n_events: int, workdir: str) -> d
     t0 = time.time()
     run_stream_to_completion(
         spark, table, events_path, os.path.join(workdir, "stream_ckpt"),
-        # whole backlog in a handful of micro-batches: overhead is visible but
-        # not pathological (per-event cost at production micro-batch sizes)
-        max_files_per_trigger=max(8, (CPUS * 2) // 4),
+        # event-sized triggers (~10^6 events each): per-micro-batch fixed
+        # cost is the stream/batch gap, so match the batch replayer's
+        # batch granularity instead of arrival-defined file counts
+        max_files_per_trigger="auto",
     )
     sec = time.time() - t0
     return {
@@ -146,6 +164,26 @@ def main():
     workdir = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
         cdc = run_cdc_replay(spark, sf, workdir)
+
+        # queries BEFORE the stream replay (round-3 verdict #3: interposing
+        # the stream run before the query suite confounded r03-vs-r02
+        # comparisons), min-of-N each against host noise + JIT warmup
+        queries = {}
+        total = cdc["seconds"]
+        for name in BENCH_QUERIES:
+            best = None
+            for _ in range(N_RUNS):
+                t0 = time.time()
+                df = QUERIES[name](spark, SF_DIR)
+                # noop sink: materializes EVERY output column (a bare
+                # .count() lets Catalyst prune projections and time only
+                # the scan)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            queries[name] = round(best, 3)
+            total += best
+
         # same log through the Structured Streaming front-end (separate
         # figure; NOT added to the headline total — it re-ingests the same
         # events and would double-count them)
@@ -154,18 +192,6 @@ def main():
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
-
-    queries = {}
-    total = cdc["seconds"]
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = QUERIES[name](spark, SF_DIR)
-        # noop sink: materializes EVERY output column (a bare .count() lets
-        # Catalyst prune projections and time only the scan)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        queries[name] = round(dt, 3)
-        total += dt
 
     out = {
         "metric": "cdc replay to converged lake state + headline query suite",
