@@ -642,6 +642,41 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "kind", "byte_len", "sha256")
 
 
+def q_multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header decode, oracle-gated: per-document PNG header bytes are
+    synthesized JVM-side (signature + IHDR with big-endian dims via
+    hex/unhex), then parsed back by the pure-Python container-header decoder
+    (ops/multimodal.image_dims) through the distributed mapInPandas stage.
+    The oracle recomputes the dims from the same doc_id formula — so a parse
+    bug (endianness, offset) breaks the hash."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 192) + 1).cast("int").alias("w"),
+        ((F.col("doc_id") % 96) + 1).cast("int").alias("h"),
+    )
+
+    def be4(c: Column) -> Column:
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    payload = F.concat(
+        F.lit(bytes.fromhex("89504E470D0A1A0A0000000D")),  # signature + IHDR len
+        F.lit(b"IHDR"),
+        be4(F.col("w")),
+        be4(F.col("h")),
+        F.lit(bytes(5)),  # bit depth / color / compression / filter / interlace
+    )
+    media = multimodal.to_media_df(
+        docs.withColumn("payload", payload), "doc_id", "payload", "image"
+    )
+    out = multimodal.decode_media(media)  # headers mode: real byte parse
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1234,6 +1269,13 @@ ORACLES: dict[str, str] = {
                sha256(text) AS sha256
         FROM documents
     """,
+    "multimodal_headers": """
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 192 + 1 AS BIGINT) AS width,
+               CAST(doc_id % 96 + 1 AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_frames
+        FROM documents
+    """,
     "multimodal_decode": """
         WITH m AS (
           SELECT doc_id AS media_id,
@@ -1298,6 +1340,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_headers": q_multimodal_headers,
     "multimodal_decode": q_multimodal_decode,
     "pricing_summary": q_pricing_summary,
 }

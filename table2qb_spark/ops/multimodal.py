@@ -1,17 +1,23 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, batch shape,
-partition-friendly mapInPandas UDFs operating on Arrow record batches. The
-actual media decode is STUBBED (no image/audio libs in this container):
-``decode_image_batch`` raises NotImplementedError unless ``fake=True``, in
-which case a deterministic fake decoder derives typed metadata from the
-bytes, so the full pipeline (binary -> decode -> features) is exercised
-end-to-end without the codec.
+partition-friendly mapInPandas UDFs operating on Arrow record batches.
+Decode modes (``decode_media``):
+
+* ``"headers"`` (default real path): pure-Python container-header parse for
+  PNG / JPEG / GIF — real width/height from real bytes, zero codec
+  dependencies. Pixel data is NOT decoded (dimension metadata only).
+* ``"pil"``: full decode via Pillow when importable (the dependency seam —
+  not baked into this container; raises ImportError otherwise).
+* ``"auto"``: PIL if importable, else headers.
+* ``fake=True``: deterministic hash-derived metadata — the oracle-friendly
+  stub that exercises the full pipeline without real media bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,23 +64,104 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     return {"width": None, "height": None, "n_frames": None, "sample_rate": None}
 
 
-def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def image_dims(payload: bytes) -> tuple[int | None, int | None]:
+    """(width, height) from real container headers — PNG IHDR, JPEG SOFn
+    scan, GIF logical screen descriptor. Returns (None, None) for anything
+    unrecognized/truncated (never raises: one corrupt blob must not kill a
+    100TB decode job — filter on null dims downstream)."""
+    b = payload
+    try:
+        if b[:8] == _PNG_SIG and b[12:16] == b"IHDR":
+            return (
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+            )
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            return w, h
+        if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOFn marker
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return w, h
+                i += 2 + seg_len
+    except Exception:
+        pass
+    return None, None
+
+
+def _pil_decode(payload: bytes) -> dict:
+    """Full decode via Pillow — the optional-dependency seam (PIL is not in
+    this container; any environment with Pillow gets pixel-verified dims and
+    frame counts)."""
+    import io
+
+    from PIL import Image  # noqa: F401 — optional dependency
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return {
+            "width": im.width,
+            "height": im.height,
+            "n_frames": getattr(im, "n_frames", 1),
+            "sample_rate": None,
+        }
+
+
+def decode_media(df: DataFrame, fake: bool = False, mode: str = "headers") -> DataFrame:
     """mapInPandas decode stage: Arrow batches in/out, vectorized metadata.
 
-    Real decoders (PIL / soundfile / pyav) slot into ``decode_batch`` —
-    STUBBED here (NotImplementedError) unless ``fake=True``."""
+    ``fake=True`` overrides ``mode`` with the deterministic stub decoder
+    (oracle runs). ``mode``: "headers" (pure-Python container headers, the
+    dependency-free real path), "pil" (full Pillow decode, ImportError when
+    absent), or "auto" (pil if importable else headers). Audio/video kinds
+    yield null metadata outside fake mode until their codecs are wired."""
+    if mode == "auto":
+        try:
+            import PIL  # noqa: F401
+
+            mode = "pil"
+        except ImportError:
+            mode = "headers"
+    if mode not in ("headers", "pil"):
+        raise ValueError(f"unknown decode mode {mode!r}")
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs unavailable in this environment; "
-                    "run with fake=True for the deterministic stub decoder"
-                )
-            meta = [
-                _fake_decode(bytes(p), k)
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            meta = []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                b = bytes(p)
+                if fake:
+                    meta.append(_fake_decode(b, k))
+                elif k == "image":
+                    if mode == "pil":
+                        m = _pil_decode(b)
+                    else:
+                        w, h = image_dims(b)
+                        m = {
+                            "width": w,
+                            "height": h,
+                            "n_frames": 1 if w is not None else None,
+                            "sample_rate": None,
+                        }
+                    meta.append(m)
+                else:
+                    # audio/video codecs not wired: metadata stays null
+                    meta.append(
+                        {"width": None, "height": None, "n_frames": None,
+                         "sample_rate": None}
+                    )
             out = pdf[["media_id", "kind", "byte_len", "sha256"]].copy()
             for key in ("width", "height", "n_frames", "sample_rate"):
                 out[key] = pd.array([m[key] for m in meta], dtype="Int64")
