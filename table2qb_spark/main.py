@@ -93,9 +93,9 @@ def cmd_exec(args) -> int:
 def cmd_describe(args) -> int:
     # reference parity: tasks.clj `describe` prints a pipeline's parameters
     params = {
-        "codelist-pipeline": ["codelist-csv", "codelist-name", "codelist-slug", "base-uri", "output-directory", "rdf-output", "graph"],
-        "components-pipeline": ["input-csv", "base-uri", "output-directory", "rdf-output", "graph"],
-        "cube-pipeline": ["input-csv", "dataset-name", "dataset-slug", "column-config", "base-uri", "output-directory", "rdf-output", "graph"],
+        "codelist-pipeline": ["codelist-csv", "codelist-name", "codelist-slug", "base-uri", "output-directory", "rdf-output", "graph", "trig-output"],
+        "components-pipeline": ["input-csv", "base-uri", "output-directory", "rdf-output", "graph", "trig-output"],
+        "cube-pipeline": ["input-csv", "dataset-name", "dataset-slug", "column-config", "base-uri", "output-directory", "rdf-output", "graph", "trig-output"],
     }
     if args.pipeline not in PIPELINES:
         print(f"error: unknown pipeline {args.pipeline}", file=sys.stderr)
@@ -192,6 +192,20 @@ def cmd_prep_data(args) -> int:
     return 0
 
 
+def _maybe_trig(args, res) -> None:
+    """--trig-output: driver-side rewrite of the N-Quads/N-Triples part-file
+    directory into ONE TriG file (reference byte-format parity, tasks.clj:
+    243-251)."""
+    trig = getattr(args, "trig_output", None)
+    if not trig:
+        return
+    if not args.rdf_output:
+        raise SystemExit("--trig-output requires --rdf-output")
+    from table2qb_spark.pipelines.rdf import nquads_to_trig
+
+    nquads_to_trig(res["rdf_output"], trig)
+
+
 def cmd_codelist(args) -> int:
     from table2qb_spark.pipelines.codelist import codelist_pipeline
 
@@ -202,6 +216,7 @@ def cmd_codelist(args) -> int:
         args.codelist_slug, args.base_uri, rdf_output=args.rdf_output,
         rdf_graph=args.graph,
     )
+    _maybe_trig(args, res)
     print(res["metadata_file"])
     return 0
 
@@ -215,6 +230,7 @@ def cmd_components(args) -> int:
         spark, args.output_directory, args.input_csv, args.base_uri,
         rdf_output=args.rdf_output, rdf_graph=args.graph,
     )
+    _maybe_trig(args, res)
     print(res["metadata_file"])
     return 0
 
@@ -232,6 +248,7 @@ def cmd_cube(args) -> int:
         args.dataset_slug, cols, args.base_uri, rdf_output=args.rdf_output,
         rdf_graph=args.graph,
     )
+    _maybe_trig(args, res)
     print(res["metadata_file"])
     return 0
 
@@ -383,6 +400,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="named-graph URI: emit N-Quads in this graph "
                         "(the reference's TriG --graph, as the line-oriented "
                         "distributed serialization)")
+    c.add_argument("--trig-output", default=None,
+                   help="also rewrite the RDF output directory into ONE TriG "
+                        "file (reference byte-format parity; driver-side "
+                        "post-pass, requires --rdf-output)")
     c.set_defaults(fn=cmd_codelist)
 
     c = sub.add_parser("components-pipeline")
@@ -395,6 +416,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="named-graph URI: emit N-Quads in this graph "
                         "(the reference's TriG --graph, as the line-oriented "
                         "distributed serialization)")
+    c.add_argument("--trig-output", default=None,
+                   help="also rewrite the RDF output directory into ONE TriG "
+                        "file (reference byte-format parity; driver-side "
+                        "post-pass, requires --rdf-output)")
     c.set_defaults(fn=cmd_components)
 
     c = sub.add_parser("cube-pipeline")
@@ -410,6 +435,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="named-graph URI: emit N-Quads in this graph "
                         "(the reference's TriG --graph, as the line-oriented "
                         "distributed serialization)")
+    c.add_argument("--trig-output", default=None,
+                   help="also rewrite the RDF output directory into ONE TriG "
+                        "file (reference byte-format parity; driver-side "
+                        "post-pass, requires --rdf-output)")
     c.set_defaults(fn=cmd_cube)
 
     c = sub.add_parser("cdc-init")

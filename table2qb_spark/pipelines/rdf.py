@@ -198,6 +198,61 @@ def serialize_lines(triples: DataFrame, graph: str | None = None) -> DataFrame:
     return triples.select(F.concat_ws(" ", *terms, F.lit(".")).alias("value"))
 
 
+def split_nquad(line: str) -> tuple[str, str, str, str | None]:
+    """(subject, predicate, object, graph|None) from one N-Quads/N-Triples
+    statement line. Subject and predicate are single <IRI> tokens; the object
+    may contain spaces (literals), so it is everything between the predicate
+    and the optional trailing graph IRI."""
+    body = line.rstrip()
+    assert body.endswith(" ."), body
+    body = body[:-2]
+    s, rest = body.split(" ", 1)
+    p, rest = rest.split(" ", 1)
+    g = None
+    if rest.endswith(">") and not rest.endswith('"') :
+        # a trailing <IRI> token is the graph UNLESS it IS the whole object
+        # (object-only IRI with no graph); disambiguate by token count
+        head, _, last = rest.rpartition(" ")
+        if head and last.startswith("<") and last.endswith(">"):
+            rest, g = head, last
+    return s, p, rest, g
+
+
+def nquads_to_trig(nquads_dir: str, out_file: str) -> int:
+    """Driver-side post-pass: rewrite an N-Quads part-file directory into ONE
+    TriG file — byte-format parity for consumers expecting the reference's
+    csv2rdf --graph TriG output (src/table2qb/cli/tasks.clj:243-251). The
+    distributed sink stays N-Quads (independently valid part files,
+    concatenation-order-free); this rewrite is for the final artifact hand-
+    off, sized like the reference's own single-file output. Returns the
+    number of statements written. Statements without a graph label go into
+    the default graph block."""
+    import glob
+    from collections import defaultdict
+
+    graphs: defaultdict[str | None, list[tuple[str, str, str]]] = defaultdict(list)
+    for part in sorted(glob.glob(os.path.join(nquads_dir, "part-*"))):
+        with open(part, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                s, p, o, g = split_nquad(line)
+                graphs[g].append((s, p, o))
+    n = 0
+    with open(out_file, "w", encoding="utf-8") as out:
+        for g in sorted(graphs, key=lambda x: (x is not None, x or "")):
+            triples = sorted(set(graphs[g]))
+            if g is not None:
+                out.write(f"{g} {{\n")
+            indent = "  " if g is not None else ""
+            for s, p, o in triples:
+                out.write(f"{indent}{s} {p} {o} .\n")
+                n += 1
+            if g is not None:
+                out.write("}\n")
+    return n
+
+
 def write_ntriples(
     df: DataFrame, schema: dict, path: str, language: str = "en",
     graph: str | None = None,
