@@ -597,6 +597,17 @@ def q_dedup_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup groups: MinHash-LSH candidate pairs closed into
+    connected components by iterative min-label propagation
+    (ops/dedup.duplicate_groups). The oracle computes the same fixpoint with
+    a DuckDB recursive CTE — different algorithm, same answer."""
+    pairs = dedup.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, n=3
+    )
+    return dedup.duplicate_groups(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_dedup(_t(spark, sf_dir, "documents"), bits=60)
 
@@ -1303,6 +1314,26 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# Transitive closure of the MinHash-LSH pairs via recursive CTE — the
+# oracle twin of the ITERATIVE Spark connected-components operator
+# (ops/dedup.duplicate_groups). Built on the dedup_minhash_lsh oracle text
+# so both sides consume the identical pair list.
+ORACLES["dedup_groups"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS group_id
+    FROM reach GROUP BY src
+"""
+
 QUERIES = {
     "cube_observations": q_cube_observations,
     "uri_expand": q_uri_expand,
@@ -1334,6 +1365,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_mapping": q_dedup_mapping,
+    "dedup_groups": q_dedup_groups,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,

@@ -186,6 +186,73 @@ def ngram_jaccard_pairs(
     return out
 
 
+def duplicate_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every document
+    that appears in a pair gets ``group_id`` = the MIN doc id reachable
+    through pairs (the canonical keeper), closing the near-dup pipeline
+    (LSH/simhash pairs -> transitive groups -> keep one per group).
+
+    Iterative min-label propagation: labels start as each node's own id;
+    each round every node takes the min of its own and its neighbors'
+    labels, until a fixpoint. Converges in O(component diameter) rounds —
+    near-dup clusters are dense and shallow (dup clusters of one document),
+    so 2-4 rounds in practice; ``max_iters`` bounds adversarial chains.
+    Scale shape per round: one equi-join edges><labels + one min-agg (both
+    shuffle on node id and co-partition after AQE), with
+    ``localCheckpoint(eager)`` truncating lineage so plans don't grow with
+    rounds. For graphs with genuinely deep components switch to
+    large-star/small-star (O(log n) rounds) — not needed for dedup shapes.
+
+    Iterative => not SQL-expressible as one query; the DuckDB oracle uses a
+    recursive CTE (transitive closure) instead — same fixpoint, different
+    algorithm, which makes the comparison meaningful."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(prop, labels["node"] == prop["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )
+
+
 def simhash_expr(c: Column, bits: int = 60) -> Column:
     """SimHash over token set: bit j of the signature = majority vote of bit
     j across token hashes. Token hash = first 15 md5 hex chars (60 bits —

@@ -160,6 +160,41 @@ class TestCandidatePrunedVerify:
         assert sub == {k: v for k, v in full.items() if k in {(1, 2), (3, 4)}}
 
 
+class TestDuplicateGroups:
+    def test_components_resolve_to_min_id(self, spark):
+        """Two components, one only connected transitively: a 5-node chain
+        (several propagation rounds) plus a separate pair; every node maps
+        to its component's min id."""
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+        )
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup.duplicate_groups(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    def test_reversed_chain_needs_propagation_toward_high_ids(self, spark):
+        """Min label must flow AGAINST edge direction too (edges are made
+        symmetric): chain listed high-to-low."""
+        pairs = spark.createDataFrame([(9, 8), (8, 7), (7, 6)], ["id_a", "id_b"])
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup.duplicate_groups(pairs).collect()
+        }
+        assert got == {6: 6, 7: 6, 8: 6, 9: 6}
+
+    def test_max_iters_bounds_rounds(self, spark):
+        """A long chain truncated by max_iters still returns a row per node
+        (labels just haven't fully converged) — the bound is a safety valve,
+        not a correctness cliff for the tested diameter."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
+        )
+        out = dedup.duplicate_groups(pairs, max_iters=2).collect()
+        assert len(out) == 8
+
+
 class TestSimhashBanding:
     DOCS = "/root/testdata/sf0.001/documents.parquet"
 
