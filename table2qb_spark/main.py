@@ -9,6 +9,9 @@ Tasks mirror the reference CLI (src/table2qb/cli/tasks.clj: list, describe,
 csvw, exec) plus the CDC engine commands:
 
   list                        list available pipelines/tasks
+  exec <pipeline>             run a pipeline, serialize its RDF to ONE file
+                              (--output-file; TriG blocks with --graph)
+  csvw <pipeline>             run a pipeline, CSVW artifacts only
   codelist-pipeline           codelist CSV -> annotated table + metadata
   components-pipeline         components CSV -> annotated table + metadata
   cube-pipeline               observations CSV -> cube tables + metadata
@@ -70,24 +73,77 @@ def cmd_list(_args) -> int:
     return 0
 
 
+EXEC_REQUIRED_ARGS = {
+    "codelist-pipeline": ["codelist-csv", "codelist-name", "codelist-slug"],
+    "components-pipeline": ["input-csv"],
+    "cube-pipeline": ["input-csv", "dataset-name", "dataset-slug", "column-config"],
+}
+
+
 def cmd_exec(args) -> int:
-    """Reference-parity stub: the reference's `exec`/`csvw` tasks run a
-    pipeline and serialize RDF via csv2rdf (src/table2qb/cli/tasks.clj:
-    217-251). This engine's judged invariant is the final TABLE state, so
-    RDF/TTL serialization is intentionally out of scope — say so loudly
-    instead of failing with an unknown-task error."""
-    print(
-        f"error: task '{args.task}' (csv2rdf RDF/TTL serialization) is not "
-        "implemented in this engine: it produces and verifies final TABLE "
-        "state. Run 'codelist-pipeline', 'components-pipeline' or "
-        "'cube-pipeline' to generate the tables (CSV + CSVW metadata.json) "
-        "that csv2rdf would serialize; all three support --rdf-output for a "
-        "distributed N-Triples serialization (observations, used-codes "
-        "collections/members, DSD, dataset and component-spec nodes); "
-        "--graph adds the named graph (N-Quads).",
-        file=sys.stderr,
+    """Reference-parity `exec` / `csvw` tasks (src/table2qb/cli/tasks.clj:
+    217-251): ``exec <pipeline> --output-file out.nt`` runs the pipeline and
+    serializes its RDF graph to ONE file — csv2rdf minimal mode re-expressed
+    as the distributed triples sink plus the driver-side single-file rewrite
+    (N-Triples; TriG graph blocks when --graph is given, the reference's
+    named-graph form). ``csvw <pipeline> --output-directory d`` writes the
+    CSVW artifacts only (no RDF), as in the reference."""
+    import os
+    import tempfile
+    from types import SimpleNamespace
+
+    is_csvw = args.task == "csvw"
+    pipeline = args.pipeline
+    if pipeline not in EXEC_REQUIRED_ARGS:
+        print(f"error: unknown pipeline {pipeline!r}; one of "
+              f"{', '.join(EXEC_REQUIRED_ARGS)}", file=sys.stderr)
+        return 2
+    required = EXEC_REQUIRED_ARGS[pipeline]
+    ap = argparse.ArgumentParser(prog=f"{args.task} {pipeline}", add_help=False)
+    for a in required:
+        ap.add_argument(f"--{a}")
+    ap.add_argument("--base-uri", default="http://gss-data.org.uk/")
+    ap.add_argument("--output-directory")
+    ap.add_argument("--output-file")
+    ap.add_argument("--graph", default=None)
+    try:
+        pa, unknown = ap.parse_known_args(args.rest)
+    except SystemExit:
+        return 2
+    if unknown:
+        print(f"error: unknown arguments: {' '.join(unknown)}", file=sys.stderr)
+        return 2
+    missing = [a for a in required if getattr(pa, a.replace("-", "_")) is None]
+    if is_csvw and not pa.output_directory:
+        missing.append("output-directory")
+    if not is_csvw and not pa.output_file:
+        missing.append("output-file")
+    if missing:
+        # message-parity with the reference CLI (main_test.clj:44-47)
+        print("Missing required argument: "
+              + ", ".join("--" + m for m in missing), file=sys.stderr)
+        return 2
+
+    outdir = pa.output_directory or tempfile.mkdtemp(prefix="table2qb_exec_")
+    rdf_dir = None if is_csvw else os.path.join(outdir, "_rdf")
+    ns = SimpleNamespace(
+        output_directory=outdir, rdf_output=rdf_dir, graph=pa.graph,
+        trig_output=None, base_uri=pa.base_uri,
+        **{a.replace("-", "_"): getattr(pa, a.replace("-", "_")) for a in required},
     )
-    return 2
+    handler = {
+        "codelist-pipeline": cmd_codelist,
+        "components-pipeline": cmd_components,
+        "cube-pipeline": cmd_cube,
+    }[pipeline]
+    rc = handler(ns)
+    if rc != 0 or is_csvw:
+        return rc
+    from table2qb_spark.pipelines.rdf import nquads_to_trig
+
+    n = nquads_to_trig(rdf_dir, pa.output_file)
+    print(f"{pa.output_file}\t{n} statements")
+    return 0
 
 
 def cmd_describe(args) -> int:
@@ -338,8 +394,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("list").set_defaults(fn=cmd_list)
 
-    for stub in ("exec", "csvw"):
-        c = sub.add_parser(stub)
+    # reference-CLI task forms: exec (pipeline -> single RDF file),
+    # csvw (pipeline -> CSVW artifacts only); pipeline-specific options are
+    # parsed inside cmd_exec for message-parity with the reference
+    for task in ("exec", "csvw"):
+        c = sub.add_parser(task)
         c.add_argument("pipeline", nargs="?")
         c.add_argument("rest", nargs=argparse.REMAINDER)
         c.set_defaults(fn=cmd_exec)

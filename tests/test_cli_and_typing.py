@@ -1,6 +1,7 @@
 """CLI entry point + typed-view tests."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -110,14 +111,26 @@ class TestCliErrorParity:
         assert e.value.code == 2
         assert capsys.readouterr().err != ""
 
-    def test_exec_and_csvw_are_explicit_stubs(self, capsys):
-        # the reference's RDF-serialization tasks exist but say exactly why
-        # they are out of scope and what to run instead
-        for task in ("exec", "csvw"):
-            rc = self._main([task, "cube-pipeline"])
-            assert rc == 2
-            err = capsys.readouterr().err
-            assert "not implemented" in err and "cube-pipeline" in err
+    def test_exec_missing_required_argument_parity(self, capsys):
+        """main_test.clj:42-47: `exec cube-pipeline` with no args prints
+        'Missing required argument' to stderr and exits non-zero."""
+        rc = self._main(["exec", "cube-pipeline"])
+        assert rc == 2
+        err = capsys.readouterr().err
+        assert "Missing required argument" in err and "--input-csv" in err
+        assert "--output-file" in err
+
+    def test_csvw_requires_output_directory(self, capsys):
+        rc = self._main([
+            "csvw", "components-pipeline", "--input-csv", "/nope.csv",
+        ])
+        assert rc == 2
+        assert "--output-directory" in capsys.readouterr().err
+
+    def test_exec_unknown_pipeline(self, capsys):
+        rc = self._main(["exec", "bogus-pipeline", "--output-file", "/tmp/x.nt"])
+        assert rc == 2
+        assert "unknown pipeline" in capsys.readouterr().err
 
     def test_missing_input_file_fails_before_spark(self, capsys):
         with pytest.raises(SystemExit) as e:
@@ -134,3 +147,56 @@ class TestCliErrorParity:
         rc = self._main(["describe", "bogus-pipeline"])
         assert rc == 2
         assert "unknown pipeline" in capsys.readouterr().err
+
+
+class TestExecTask:
+    """Reference main_test.clj:52-105 re-encoded: `exec <pipeline>
+    --output-file f` succeeds and f contains valid RDF (>1 statement);
+    `csvw` writes CSVW artifacts only."""
+
+    def _main(self, argv):
+        from table2qb_spark.main import main
+
+        return main(argv)
+
+    def test_exec_codelist_writes_single_rdf_file(self, spark, reference_available, tmp_path, capsys):
+        from table2qb_spark.pipelines.rdf import split_nquad
+
+        out = str(tmp_path / "gender.nt")
+        rc = self._main([
+            "exec", "codelist-pipeline",
+            "--codelist-csv", "/root/reference/examples/employment/csv/gender.csv",
+            "--codelist-name", "gender", "--codelist-slug", "gender",
+            "--base-uri", "http://base/uri/",
+            "--output-file", out,
+        ])
+        assert rc == 0
+        with open(out) as fh:
+            stmts = [split_nquad(l.strip()) for l in fh if l.strip()]
+        assert len(stmts) > 1  # "Contains valid RDF"
+        assert all(s[0].startswith("<") and s[3] is None for s in stmts)
+
+    def test_exec_with_graph_writes_trig(self, spark, reference_available, tmp_path):
+        out = str(tmp_path / "gender.trig")
+        rc = self._main([
+            "exec", "codelist-pipeline",
+            "--codelist-csv", "/root/reference/examples/employment/csv/gender.csv",
+            "--codelist-name", "gender", "--codelist-slug", "gender",
+            "--output-file", out, "--graph", "http://ex.org/g",
+        ])
+        assert rc == 0
+        text = open(out).read()
+        assert text.startswith("<http://ex.org/g> {")
+        assert text.rstrip().endswith("}")
+
+    def test_csvw_writes_artifacts_without_rdf(self, spark, reference_available, tmp_path):
+        d = str(tmp_path / "csvw_out")
+        rc = self._main([
+            "csvw", "components-pipeline",
+            "--input-csv", "/root/reference/examples/employment/csv/components.csv",
+            "--output-directory", d,
+        ])
+        assert rc == 0
+        files = os.listdir(d)
+        assert "metadata.json" in files
+        assert not any(f.startswith("_rdf") for f in files)

@@ -498,6 +498,16 @@ class TestPrepPipeline:
             spark, "/root/testdata/sf0.001/documents.parquet", str(tmp_path / "o")
         )
         assert report["clean_docs"] > 0 and report["packed_rows"] > 0
+        # footer-derived counts equal true row counts (no report re-scan)
+        assert report["input_docs"] == n_in
+        assert report["clean_docs"] == spark.read.parquet(report["clean_path"]).count()
+
+    def test_parquet_rows_matches_spark_count(self, spark, tmp_path):
+        from table2qb_spark.ops.prep import _parquet_rows
+
+        p = str(tmp_path / "pq")
+        spark.range(1234).repartition(7).write.parquet(p)
+        assert _parquet_rows(p) == 1234
 
 
 class TestRepetitionMetrics:
