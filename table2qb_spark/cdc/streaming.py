@@ -176,9 +176,13 @@ def start_stream(
     app_id = checkpoint_app_id(checkpoint_dir)
 
     def apply_micro_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import time
+
         commit_id = f"stream-{app_id}-{batch_id:08d}"
         if table.has_commit(commit_id):
             return  # redelivered micro-batch: exactly-once skip
+        t0 = time.time()
         # per-row invariant parity with ChangeLogReplayer (BASELINE
         # input_hint): content sha256 computed at ingest when the table
         # declares the column and the stream doesn't carry it
@@ -192,7 +196,7 @@ def start_stream(
                 "content_sha", F.sha2(F.col("content"), 256)
             )
         flat = reconcile_and_flatten(table, batch_df, commit_id, payload_col)
-        merge_upsert(
+        stats = merge_upsert(
             table,
             flat,
             commit_id,
@@ -201,6 +205,28 @@ def start_stream(
             summary_update={"stream_batch": batch_id},
             force_stats_pass=True,  # Observation doesn't fire in foreachBatch
         )
+        # per-micro-batch metrics row, same file/shape as the batch
+        # replayer's (cdc/apply.py) so `cdc-status --table` reads both
+        # ingest paths; north_star: "per-partition throughput/lag metrics
+        # emitted per micro-batch"
+        elapsed = time.time() - t0
+        n_events = int(stats.get("upserts", 0) or 0) + int(stats.get("deletes", 0) or 0)
+        metrics = {
+            "batch": batch_id,
+            "commit_id": commit_id,
+            "source": "stream",
+            "batch_events": n_events,
+            "upserts": stats.get("upserts", 0),
+            "deletes": stats.get("deletes", 0),
+            "buckets_touched": stats.get("affected_buckets", 0),
+            "seconds": round(elapsed, 3),
+            "events_per_sec": round(n_events / elapsed, 1) if elapsed else None,
+            "max_seq": (table.snapshot().summary or {}).get("max_seq"),
+            "ts": time.time(),
+        }
+        metrics_path = os.path.join(table.path, "_meta", "metrics.jsonl")
+        with open(metrics_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(metrics) + "\n")
 
     return (
         stream.writeStream.foreachBatch(apply_micro_batch)

@@ -187,6 +187,26 @@ def test_stream_with_watermark_prefilter_converges_identically(
     assert table_sha256(t2.read_live(), COLS) == expected_sha(spark, stream_events)
 
 
+def test_stream_emits_per_micro_batch_metrics(spark, tmp_path, stream_events):
+    """north_star: per-partition throughput/lag metrics per micro-batch —
+    the streaming path appends to the same _meta/metrics.jsonl the batch
+    replayer uses, one row per applied trigger."""
+    import json as _json
+
+    t = create_stream_table(spark, str(tmp_path / "lakeM"), BASE_SCHEMA, KEYS, n_buckets=4)
+    run_stream_to_completion(
+        spark, t, stream_events, str(tmp_path / "ckM"), max_files_per_trigger=7
+    )
+    with open(os.path.join(t.path, "_meta", "metrics.jsonl")) as fh:
+        rows = [_json.loads(l) for l in fh if l.strip()]
+    stream_rows = [r for r in rows if r.get("source") == "stream"]
+    assert len(stream_rows) >= 2  # 20 files / 7 per trigger -> >= 3 triggers
+    for r in stream_rows:
+        assert r["commit_id"].startswith("stream-")
+        assert r["seconds"] > 0 and r["buckets_touched"] > 0
+    assert sum(r["upserts"] for r in stream_rows) >= t.read_live().count()
+
+
 def test_watermark_prefilter_requires_seq_guarded_table(
     spark, tmp_path, stream_events
 ):
