@@ -560,6 +560,26 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.analyze_documents(_t(spark, sf_dir, "documents"))
 
 
+def q_web_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher web-quality gate signals (ops/text.web_quality_exprs). The
+    synthetic documents are flat word soup, so both engines first derive a
+    STRUCTURED text deterministically (sentence breaks at ' a ', a bullet
+    line, per-doc_id ellipsis/hash suffixes) — the metrics then exercise
+    every branch, not the degenerate one-line path."""
+    from table2qb_spark.ops.text import web_quality_exprs
+
+    docs = _t(spark, sf_dir, "documents")
+    structured = F.concat(
+        F.lit("- item one\n"),
+        F.regexp_replace(F.col("text"), " a ", ".\n"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\nto be continued...")).otherwise(
+            F.lit(".")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\n# tag {x}")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", *web_quality_exprs(structured))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", text.fingerprint_expr(F.col("text")).alias("text")
@@ -1280,6 +1300,36 @@ ORACLES: dict[str, str] = {
                sha256(text) AS sha256
         FROM documents
     """,
+    "web_quality": """
+        WITH s AS (
+          SELECT doc_id,
+                 '- item one' || chr(10)
+                 || regexp_replace(text, ' a ', '.' || chr(10), 'g')
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN chr(10) || 'to be continued...' ELSE '.' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN chr(10) || '# tag {x}' ELSE '' END AS t
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, t,
+                 list_filter(list_transform(string_split(t, chr(10)),
+                             x -> trim(x)), x -> x <> '') AS lines,
+                 list_filter(str_split_regex(lower(t), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM s
+        )
+        SELECT doc_id,
+          round(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, x -> regexp_matches(x, '[.!?"]$'))) / CAST(len(lines) AS DOUBLE) ELSE 0.0 END, 4) AS terminal_punct_line_frac,
+          round(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, x -> regexp_matches(x, '^([-*]|•)'))) / CAST(len(lines) AS DOUBLE) ELSE 0.0 END, 4) AS bullet_line_frac,
+          round(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) / CAST(len(lines) AS DOUBLE) ELSE 0.0 END, 4) AS ellipsis_line_frac,
+          round(CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) ELSE 0.0 END, 4) AS mean_word_length,
+          round(CASE WHEN len(toks) > 0 THEN ((length(t) - length(replace(t, '#', ''))) + len(regexp_extract_all(t, '(\\.\\.\\.|…)'))) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS symbol_word_ratio,
+          round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS alpha_word_frac,
+          contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+          contains(t, '{') AS has_curly_brace
+        FROM base
+    """,
     "multimodal_headers": """
         SELECT doc_id AS media_id,
                CAST(doc_id % 192 + 1 AS BIGINT) AS width,
@@ -1352,6 +1402,7 @@ QUERIES = {
     "cdc_merge_upsert": q_cdc_merge_upsert,
     "pii_scrub": q_pii_scrub,
     "text_repetition": q_text_repetition,
+    "web_quality": q_web_quality,
     "pack_sequences": q_pack_sequences,
     "decontamination": q_decontamination,
     "bm25_topk": q_bm25_topk,

@@ -114,6 +114,57 @@ def repetition_metrics_exprs(units: Column, prefix: str) -> list[Column]:
     ]
 
 
+def web_quality_exprs(c: Column) -> list[Column]:
+    """C4 + Gopher web-quality gate signals (Raffel et al. 2020 §2.2;
+    Rae et al. 2021 §A1.1) as pure per-row Catalyst expressions — the whole
+    gate is a projection + filter over the corpus scan, zero shuffle:
+
+    - terminal_punct_line_frac: lines ending in . ! ? or a closing quote
+      (C4 keeps only such lines)
+    - bullet_line_frac / ellipsis_line_frac: Gopher drops docs with > 90%
+      bullet lines or > 30% ellipsis lines
+    - mean_word_length: Gopher keeps 3..10
+    - symbol_word_ratio: (#hashes + ellipses) / words, Gopher drops > 0.1
+    - alpha_word_frac: words containing >= 1 alphabetic char, Gopher
+      drops < 0.8
+    - has_lorem_ipsum / has_curly_brace: C4 page-level drops
+
+    Fractions round to 4 decimals for cross-engine oracle stability."""
+    lines = line_units_expr(c)
+    n_lines = F.size(lines).cast("double")
+
+    def line_frac(pred) -> Column:
+        hit = F.size(F.filter(lines, pred)).cast("double")
+        return F.round(F.when(n_lines > 0, hit / n_lines).otherwise(0.0), 4)
+
+    toks = tokens_expr(c)
+    n_tok = F.size(toks).cast("double")
+    tok_chars = F.aggregate(toks, F.lit(0.0), lambda a, x: a + F.length(x))
+    n_hash = (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).cast(
+        "double"
+    )
+    n_ellipsis = F.size(
+        F.regexp_extract_all(c, F.lit(r"(\.\.\.|…)"), 0)
+    ).cast("double")
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+    return [
+        line_frac(lambda x: x.rlike('[.!?"]$')).alias("terminal_punct_line_frac"),
+        line_frac(lambda x: x.rlike(r"^([-*]|•)")).alias("bullet_line_frac"),
+        line_frac(lambda x: x.rlike(r"(\.\.\.|…)$")).alias("ellipsis_line_frac"),
+        F.round(F.when(n_tok > 0, tok_chars / n_tok).otherwise(0.0), 4).alias(
+            "mean_word_length"
+        ),
+        F.round(
+            F.when(n_tok > 0, (n_hash + n_ellipsis) / n_tok).otherwise(0.0), 4
+        ).alias("symbol_word_ratio"),
+        F.round(F.when(n_tok > 0, alpha_words / n_tok).otherwise(0.0), 4).alias(
+            "alpha_word_frac"
+        ),
+        F.lower(c).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        c.contains("{").alias("has_curly_brace"),
+    ]
+
+
 def quality_score_expr(c: Column) -> Column:
     """Composite quality heuristic in [0,1]:
     0.4·stopword-ratio-score + 0.3·length-score + 0.3·alpha-ratio.

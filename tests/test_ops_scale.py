@@ -510,6 +510,37 @@ class TestPrepPipeline:
         assert _parquet_rows(p) == 1234
 
 
+class TestWebQuality:
+    def test_signals_on_structured_docs(self, spark):
+        from table2qb_spark.ops.text import web_quality_exprs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "A good sentence.\nAnother one!\nno punct line"),
+                (2, "- a\n- b\n- c\n• d"),                    # all bullets
+                (3, "wait for it...\nand more…\nplain"),
+                (4, "Lorem Ipsum dolor { code }"),
+                (5, ""),                                       # empty: zeros
+                (6, "#tag #tag two words"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in docs.select("doc_id", *web_quality_exprs(F.col("text"))).collect()
+        }
+        assert got[1]["terminal_punct_line_frac"] == round(2 / 3, 4)
+        assert got[2]["bullet_line_frac"] == 1.0
+        assert got[3]["ellipsis_line_frac"] == round(2 / 3, 4)
+        assert got[4]["has_lorem_ipsum"] and got[4]["has_curly_brace"]
+        assert got[5]["mean_word_length"] == 0.0  # empty doc: all-zero, no NaN
+        assert got[5]["alpha_word_frac"] == 0.0
+        # doc 6: 4 tokens ("#tag" x2 counts as tokens), 2 hashes -> 0.5
+        assert got[6]["symbol_word_ratio"] == 0.5
+        # alpha_word_frac counts words containing a letter: all 4 here
+        assert got[6]["alpha_word_frac"] == 1.0
+
+
 class TestRepetitionMetrics:
     def test_line_and_gram_repetition(self, spark):
         from pyspark.sql import functions as F
