@@ -110,11 +110,6 @@ def merge_upsert(
         )
 
     table_rows = int(snap.summary.get("row_count", 0) or 0)
-    use_pruning = force_stats_pass or (
-        table_rows > 0
-        and batch_size_hint is not None
-        and batch_size_hint < PRUNE_THRESHOLD * table_rows
-    )
 
     # Backfill/initial-replay fast path (empty table, plain batch): LATE
     # MATERIALIZATION. The wide exchange is the DRAM-bandwidth bottleneck at
@@ -225,10 +220,43 @@ def merge_upsert(
             "seconds": time.time() - t0,
         }
 
+    # Stats and strategy are DECOUPLED (round 4): force_stats_pass (inside
+    # streaming foreachBatch, where Observation metrics never fire) forces
+    # an explicit narrow stats pre-pass — NOT the pruned strategy. The old
+    # coupling forced the two-shuffle aggregate path onto backlog-sized
+    # triggers where the one-shuffle window merge is right (measured +2.4s
+    # on a 1M-event incremental trigger). The pre-pass itself costs ~0.3s:
+    # Catalyst prunes its scan to (keys, seq, op) only. A bonus: the TRUE
+    # batch size from the pass now picks the strategy — streaming triggers
+    # carry no batch_size_hint, so they previously could never prune.
+    stats_rows = None
+    if force_stats_pass:
+        stats_rows = (
+            batch_sel.groupBy(
+                key_bucket_expr(keys, snap.n_buckets).alias("__bucket")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("__op") == delete_op, 1).otherwise(0)).alias(
+                    "dels"
+                ),
+                F.max("__seq").alias("max_seq"),
+            )
+            .collect()
+        )
+        n_batch = sum(int(r["n"]) for r in stats_rows)
+        use_pruning = table_rows > 0 and n_batch < PRUNE_THRESHOLD * table_rows
+    else:
+        use_pruning = (
+            table_rows > 0
+            and batch_size_hint is not None
+            and batch_size_hint < PRUNE_THRESHOLD * table_rows
+        )
+
     observation = None
     if use_pruning:
         # pre-pass: touched buckets + batch stats in one tiny aggregate
-        bucket_stats = (
+        bucket_stats = stats_rows if stats_rows is not None else (
             batch_sel.groupBy(key_bucket_expr(keys, snap.n_buckets).alias("__bucket"))
             .agg(
                 F.count("*").alias("n"),
@@ -252,13 +280,20 @@ def merge_upsert(
             }
         current = table.read(buckets=affected)
     else:
-        observation = Observation(f"merge-{commit_id}")
-        batch_sel = batch_sel.observe(
-            observation,
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("__op") == delete_op, 1).otherwise(0)).alias("dels"),
-            F.max("__seq").alias("max_seq"),
-        )
+        if stats_rows is not None:
+            # explicit stats already collected: single-pass strategy with no
+            # Observation (which would never fire inside foreachBatch)
+            n_total = sum(int(r["n"]) for r in stats_rows)
+            n_dels = sum(int(r["dels"] or 0) for r in stats_rows)
+            max_seq = max((r["max_seq"] for r in stats_rows), default=None)
+        else:
+            observation = Observation(f"merge-{commit_id}")
+            batch_sel = batch_sel.observe(
+                observation,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("__op") == delete_op, 1).otherwise(0)).alias("dels"),
+                F.max("__seq").alias("max_seq"),
+            )
         affected = None  # every bucket is replaced
         current = table.read()
 
@@ -362,6 +397,7 @@ def merge_upsert(
         n_total = int(got["n"] or 0)
         n_dels = int(got["dels"] or 0)
         max_seq = got["max_seq"]
+    if affected is None:  # single-pass replaces every previously-filled bucket
         affected = sorted(set(new_files) | {int(b) for b in snap.files})
     # buckets that lost all rows still count as replaced (their old files go)
     for b in affected:

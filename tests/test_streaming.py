@@ -207,6 +207,31 @@ def test_stream_emits_per_micro_batch_metrics(spark, tmp_path, stream_events):
     assert sum(r["upserts"] for r in stream_rows) >= t.read_live().count()
 
 
+def test_small_stream_trigger_takes_pruned_strategy(spark, tmp_path):
+    """Round-4 decoupling of stats from strategy: a small trigger into a
+    populated table must rewrite only its touched buckets — streaming
+    triggers carry no batch_size_hint, so before the fix they could never
+    prune and every trigger rewrote the whole table."""
+    from table2qb_spark.lake.merge import merge_upsert
+
+    t = create_stream_table(spark, str(tmp_path / "lakeS"), BASE_SCHEMA, KEYS, n_buckets=16)
+    rows = [(i, "U", f"r{i%8}", f"p{i}", "c", "py", f"v{i}") for i in range(1, 201)]
+    big = spark.createDataFrame(
+        rows, "seq long, op string, repo string, path string, commit string, lang string, content string"
+    )
+    merge_upsert(t, big, "b1", force_stats_pass=True)
+    # one-key update: far below the prune threshold
+    small = spark.createDataFrame(
+        [(1000, "U", "r1", "p1", "c", "py", "new")],
+        "seq long, op string, repo string, path string, commit string, lang string, content string",
+    )
+    stats = merge_upsert(t, small, "b2", force_stats_pass=True)
+    assert stats["strategy"] == "pruned"
+    assert stats["affected_buckets"] < 16
+    got = {r["path"]: r["content"] for r in t.read_live().collect()}
+    assert got["p1"] == "new" and len(got) == 200
+
+
 def test_watermark_prefilter_requires_seq_guarded_table(
     spark, tmp_path, stream_events
 ):
