@@ -242,7 +242,7 @@ def cmd_prep_data(args) -> int:
         benchmark_path=args.benchmark,
         min_quality=args.min_quality, min_tokens=args.min_tokens,
         fractions=fractions, seq_len=args.seq_len, seed=args.seed,
-        scrub_pii=args.scrub_pii,
+        scrub_pii=args.scrub_pii, gopher_gates=args.gopher_gates,
     )
     print(json.dumps(report))
     return 0
@@ -434,6 +434,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("prep-data")
     c.add_argument("--documents", required=True, help="input documents parquet")
+    c.add_argument("--gopher-gates", action="store_true",
+                   help="apply the standard Gopher/C4 page-quality "
+                        "thresholds (mean word length, symbol ratio, "
+                        "bullet/ellipsis lines, lorem ipsum)")
     c.add_argument("--out", required=True)
     c.add_argument("--benchmark", default=None,
                    help="benchmark corpus parquet for n-gram decontamination")

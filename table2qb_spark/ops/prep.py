@@ -48,9 +48,16 @@ def prepare_training_data(
     decontam_n: int = 4,
     seed: int = 42,
     scrub_pii: bool = False,
+    gopher_gates: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, packed): the filtered+sampled corpus with annotations,
-    and its sequence-packing index."""
+    and its sequence-packing index.
+
+    ``gopher_gates``: additionally apply the standard Gopher/C4 page-level
+    quality thresholds (Rae et al. 2021 §A1.1) over the web_quality_exprs
+    signals — mean word length in [3, 10], symbol/word < 0.1, alphabetic
+    words > 0.8, bullet lines < 0.9, ellipsis lines < 0.3, no lorem ipsum.
+    Still one fused projection+filter on the same scan: zero extra passes."""
     # keeper set is CORPUS-sized (one id per distinct document): a plain
     # semi-join (AQE picks the strategy) — forcing a broadcast here would
     # collect the whole corpus's ids to the driver
@@ -69,6 +76,18 @@ def prepare_training_data(
     clean = ann.where(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
+
+    if gopher_gates:
+        from table2qb_spark.ops.text import web_quality_exprs
+
+        clean = clean.select("*", *web_quality_exprs(F.col("text"))).where(
+            F.col("mean_word_length").between(3.0, 10.0)
+            & (F.col("symbol_word_ratio") < 0.1)
+            & (F.col("alpha_word_frac") > 0.8)
+            & (F.col("bullet_line_frac") < 0.9)
+            & (F.col("ellipsis_line_frac") < 0.3)
+            & ~F.col("has_lorem_ipsum")
+        )
 
     if scrub_pii:
         from table2qb_spark.ops.scrub import scrub_exprs

@@ -502,6 +502,26 @@ class TestPrepPipeline:
         assert report["input_docs"] == n_in
         assert report["clean_docs"] == spark.read.parquet(report["clean_path"]).count()
 
+    def test_gopher_gates_filter(self, spark):
+        """gopher_gates drops lorem-ipsum and symbol-heavy docs while normal
+        prose survives — one fused projection+filter, no extra scan."""
+        from table2qb_spark.ops.prep import prepare_training_data
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "s", "this is a perfectly normal document with many "
+                               "plain words that reads like real prose does", 90),
+                (2, "en", "s", "Lorem Ipsum dolor sit amet " + "filler words here " * 5, 90),
+                (3, "en", "s", "### ## # " * 10 + "tiny", 90),
+            ],
+            "doc_id long, lang string, source string, text string, n_chars int",
+        )
+        clean, _ = prepare_training_data(
+            docs, min_tokens=1, gopher_gates=True
+        )
+        ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+        assert 1 in ids and 2 not in ids and 3 not in ids
+
     def test_parquet_rows_matches_spark_count(self, spark, tmp_path):
         from table2qb_spark.ops.prep import _parquet_rows
 
