@@ -560,6 +560,28 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.analyze_documents(_t(spark, sf_dir, "documents"))
 
 
+def q_stratum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics with EXACT percentiles — the standard
+    mixing-report aggregate before sampling ratios are chosen. Spark's
+    percentile() and DuckDB's quantile_cont are both exact interpolated
+    quantiles, so the hash gate holds (percentile_approx would not).
+    Map-side-combinable except the percentile buffers; one shuffle on the
+    stratum key."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
 def q_web_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher web-quality gate signals (ops/text.web_quality_exprs). The
     synthetic documents are flat word soup, so both engines first derive a
@@ -1300,6 +1322,18 @@ ORACLES: dict[str, str] = {
                sha256(text) AS sha256
         FROM documents
     """,
+    "stratum_stats": """
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 4) AS mean_chars,
+               round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+               round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY lang
+    """,
     "web_quality": """
         WITH s AS (
           SELECT doc_id,
@@ -1403,6 +1437,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "text_repetition": q_text_repetition,
     "web_quality": q_web_quality,
+    "stratum_stats": q_stratum_stats,
     "pack_sequences": q_pack_sequences,
     "decontamination": q_decontamination,
     "bm25_topk": q_bm25_topk,
