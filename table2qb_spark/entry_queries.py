@@ -560,6 +560,35 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.analyze_documents(_t(spark, sf_dir, "documents"))
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate-line removal, oracle-gated: a shared header
+    and footer line are injected into every document (plus sentence breaks
+    at ' a '), then lines appearing in > 100 docs are dropped. The oracle
+    rebuilds the same texts with an ANTI JOIN + ordered list aggregate."""
+    from table2qb_spark.ops.text import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    structured = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header line\n"),
+            F.regexp_replace(F.col("text"), " a ", "\n"),
+            F.lit("\nshared footer line"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(structured, max_line_df=100)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (ops/text.chunk_documents):
+    one explode per doc, zero shuffle. 32-token chunks, stride 24."""
+    from table2qb_spark.ops.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
 def q_stratum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus statistics with EXACT percentiles — the standard
     mixing-report aggregate before sampling ratios are chosen. Spark's
@@ -1322,6 +1351,54 @@ ORACLES: dict[str, str] = {
                sha256(text) AS sha256
         FROM documents
     """,
+    "boilerplate_removal": """
+        WITH s AS (
+          SELECT doc_id,
+                 'shared header line' || chr(10)
+                 || regexp_replace(text, ' a ', chr(10), 'g')
+                 || chr(10) || 'shared footer line' AS text
+          FROM documents
+        ),
+        lns AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                             x -> trim(x)), x -> x <> '') AS lines
+          FROM s
+        ),
+        l AS (
+          SELECT doc_id, unnest(lines) AS line,
+                 generate_subscripts(lines, 1) AS pos
+          FROM lns
+        ),
+        hot AS (
+          SELECT line FROM (
+            SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line
+          ) WHERE df > 100
+        )
+        SELECT doc_id,
+               array_to_string(list(line ORDER BY pos), chr(10)) AS text,
+               CAST(count(*) AS INT) AS n_lines_kept
+        FROM l ANTI JOIN hot USING (line)
+        GROUP BY doc_id
+    """,
+    "chunk_documents": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(str_split_regex(text, '\\s+'), t -> t <> '') AS t
+          FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(0, len(t) - 1, 24)) AS s,
+                 generate_subscripts(generate_series(0, len(t) - 1, 24), 1) - 1 AS chunk_id
+          FROM toks WHERE len(t) > 0
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS INT) AS chunk_id,
+               CAST(len(list_slice(t, s + 1, s + 32)) AS INT) AS chunk_n_tokens,
+               array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
+        FROM starts
+    """,
     "stratum_stats": """
         SELECT lang,
                count(*) AS n_docs,
@@ -1438,6 +1515,8 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "web_quality": q_web_quality,
     "stratum_stats": q_stratum_stats,
+    "chunk_documents": q_chunk_documents,
+    "boilerplate_removal": q_boilerplate_removal,
     "pack_sequences": q_pack_sequences,
     "decontamination": q_decontamination,
     "bm25_topk": q_bm25_topk,

@@ -114,6 +114,89 @@ def repetition_metrics_exprs(units: Column, prefix: str) -> list[Column]:
     ]
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap (stride < chunk_tokens) — the
+    standard RAG/embedding preprocessing step. One explode per document, no
+    shuffle, no Python: token positions come from ``sequence`` stepped by
+    ``stride`` and each chunk is a ``slice`` + join over the token array.
+    Whitespace runs normalize to single spaces in the chunk text (tokens are
+    re-joined); case is preserved. The final chunk may be shorter; empty
+    documents yield no chunks."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    c = F.col(text_col)
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), starts.alias("__starts"))
+        .select(
+            id_col,
+            F.posexplode("__starts").alias("chunk_id", "__start"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens).alias(
+                "__chunk"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk").alias("chunk_n_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_df: int = 50,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop every LINE that appears in more
+    than ``max_line_df`` distinct documents (nav bars, headers, cookie
+    banners — the lines shared across a whole site), keeping each doc's
+    remaining lines in their original order.
+
+    Scale shape: posexplode lines -> count distinct docs per line (two-phase
+    distinct agg, map-side combined) -> the hot set is BROADCAST-safe by
+    construction (its size is bounded by total_lines / max_line_df) ->
+    broadcast anti-join -> one groupBy(doc) rebuilding the text via a sorted
+    struct collect. Two shuffles total (line agg, doc rebuild); no
+    all-pairs anything. Documents whose every line is boilerplate drop out
+    of the result entirely."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(line_units_expr(F.col(text_col))).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") > max_line_df)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(ordered, "\n").alias("text"),
+        F.count("*").cast("int").alias("n_lines_kept"),
+    )
+
+
 def web_quality_exprs(c: Column) -> list[Column]:
     """C4 + Gopher web-quality gate signals (Raffel et al. 2020 §2.2;
     Rae et al. 2021 §A1.1) as pure per-row Catalyst expressions — the whole

@@ -561,6 +561,67 @@ class TestWebQuality:
         assert got[6]["alpha_word_frac"] == 1.0
 
 
+class TestChunking:
+    def test_overlapping_chunks(self, spark):
+        from table2qb_spark.ops.text import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, ""), (3, "only two")],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(docs, chunk_tokens=4, stride=3)
+        got = {
+            (r["doc_id"], r["chunk_id"]): (r["chunk_n_tokens"], r["chunk_text"])
+            for r in out.collect()
+        }
+        assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+        assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+        assert got[(1, 3)] == (1, "t9")  # trailing short chunk kept
+        assert (2, 0) not in got          # empty doc: no chunks
+        assert got[(3, 0)] == (2, "only two")
+
+    def test_chunking_is_shuffle_free(self, spark):
+        from table2qb_spark.ops.text import chunk_documents
+
+        docs = spark.range(10).selectExpr("id AS doc_id", "'a b c d e' AS text")
+        plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+class TestBoilerplateRemoval:
+    def test_hot_lines_dropped_order_kept(self, spark):
+        from table2qb_spark.ops.text import remove_boilerplate_lines
+
+        docs = spark.createDataFrame(
+            [
+                (1, "FOOTER\nreal content one\nmore real text\nFOOTER"),
+                (2, "real content two\nFOOTER"),
+                (3, "FOOTER\nthird doc body"),
+                (4, "FOOTER"),  # only boilerplate: drops out entirely
+            ],
+            "doc_id long, text string",
+        )
+        out = remove_boilerplate_lines(docs, max_line_df=2)
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert got[1] == "real content one\nmore real text"
+        assert got[2] == "real content two"
+        assert got[3] == "third doc body"
+        assert 4 not in got
+
+    def test_threshold_is_distinct_docs_not_occurrences(self, spark):
+        """A line repeated many times WITHIN one doc must not count as hot —
+        the df is distinct documents."""
+        from table2qb_spark.ops.text import remove_boilerplate_lines
+
+        docs = spark.createDataFrame(
+            [(1, "echo\necho\necho\necho"), (2, "other text")],
+            "doc_id long, text string",
+        )
+        out = remove_boilerplate_lines(docs, max_line_df=2)
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert got[1] == "echo\necho\necho\necho"
+
+
 class TestRepetitionMetrics:
     def test_line_and_gram_repetition(self, spark):
         from pyspark.sql import functions as F
