@@ -561,6 +561,17 @@ class TestWebQuality:
         assert got[6]["alpha_word_frac"] == 1.0
 
 
+class TestStratumStatsPlan:
+    def test_single_exchange(self, spark):
+        """The per-stratum stats aggregate is ONE shuffle on the stratum key
+        (percentile buffers aside, partials combine map-side)."""
+        from table2qb_spark.entry_queries import q_stratum_stats
+
+        df = q_stratum_stats(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 class TestChunking:
     def test_overlapping_chunks(self, spark):
         from table2qb_spark.ops.text import chunk_documents
