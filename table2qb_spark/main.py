@@ -243,6 +243,7 @@ def cmd_prep_data(args) -> int:
         min_quality=args.min_quality, min_tokens=args.min_tokens,
         fractions=fractions, seq_len=args.seq_len, seed=args.seed,
         scrub_pii=args.scrub_pii, gopher_gates=args.gopher_gates,
+        near_dedup_threshold=args.near_dedup,
     )
     print(json.dumps(report))
     return 0
@@ -434,6 +435,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("prep-data")
     c.add_argument("--documents", required=True, help="input documents parquet")
+    c.add_argument("--near-dedup", type=float, default=None, metavar="JACCARD",
+                   help="also near-dedup: LSH candidates verified by n-gram "
+                        "jaccard at this threshold, transitive groups, keep "
+                        "one doc per group")
     c.add_argument("--gopher-gates", action="store_true",
                    help="apply the standard Gopher/C4 page-quality "
                         "thresholds (mean word length, symbol ratio, "

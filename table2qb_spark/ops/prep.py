@@ -49,6 +49,7 @@ def prepare_training_data(
     seed: int = 42,
     scrub_pii: bool = False,
     gopher_gates: bool = False,
+    near_dedup_threshold: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, packed): the filtered+sampled corpus with annotations,
     and its sequence-packing index.
@@ -57,12 +58,43 @@ def prepare_training_data(
     quality thresholds (Rae et al. 2021 §A1.1) over the web_quality_exprs
     signals — mean word length in [3, 10], symbol/word < 0.1, alphabetic
     words > 0.8, bullet lines < 0.9, ellipsis lines < 0.3, no lorem ipsum.
-    Still one fused projection+filter on the same scan: zero extra passes."""
+    Still one fused projection+filter on the same scan: zero extra passes.
+
+    ``near_dedup_threshold``: also NEAR-dedup (MinHash-LSH candidates,
+    n-gram-Jaccard-verified at this threshold, transitive groups, keep the
+    min-id doc per group). NOTE: the connected-components stage is
+    iterative, so this option runs actions inside this function (the rest
+    of the pipeline stays one lazy plan per sink)."""
     # keeper set is CORPUS-sized (one id per distinct document): a plain
     # semi-join (AQE picks the strategy) — forcing a broadcast here would
     # collect the whole corpus's ids to the driver
     keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     clean = docs.join(keepers, "doc_id", "left_semi")
+
+    if near_dedup_threshold is not None:
+        # NEAR-dedup on top of exact: MinHash-LSH candidates -> exact n-gram
+        # Jaccard verification restricted to those candidates -> transitive
+        # groups (connected components) -> keep only each group's min-id
+        # keeper. Every stage is the oracle-gated bucketed primitive; the
+        # non-keeper set is corpus-bounded, so the final anti-join is a
+        # plain shuffle join (AQE picks the strategy — no driver broadcast
+        # of a corpus-sized set).
+        from table2qb_spark.ops.dedup import (
+            duplicate_groups,
+            lsh_candidate_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        cands = lsh_candidate_pairs(clean, k=8, bands=4, n=3)
+        verified = ngram_jaccard_pairs(
+            clean, n=3, threshold=near_dedup_threshold, candidates=cands
+        ).select("id_a", "id_b")
+        non_keepers = (
+            duplicate_groups(verified)
+            .where(F.col("group_id") != F.col("doc_id"))
+            .select("doc_id")
+        )
+        clean = clean.join(non_keepers, "doc_id", "left_anti")
 
     if benchmark is not None:
         contaminated = ngram_contamination(clean, benchmark, n=decontam_n).select(

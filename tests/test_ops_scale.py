@@ -502,6 +502,31 @@ class TestPrepPipeline:
         assert report["input_docs"] == n_in
         assert report["clean_docs"] == spark.read.parquet(report["clean_path"]).count()
 
+    def test_near_dedup_keeps_one_per_group(self, spark):
+        """Planted near-duplicates (same text modulo a trailing word) are
+        transitively grouped and only the min-id keeper survives; unrelated
+        docs are untouched."""
+        from table2qb_spark.ops.prep import prepare_training_data
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon")
+        other = ("one two three four five six seven eight nine ten eleven "
+                 "twelve thirteen fourteen fifteen sixteen")
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "s", base + " extra1", 100),
+                (2, "en", "s", base + " extra2", 100),
+                (3, "en", "s", base + " extra3", 100),
+                (10, "en", "s", other, 100),
+            ],
+            "doc_id long, lang string, source string, text string, n_chars int",
+        )
+        clean, _ = prepare_training_data(
+            docs, min_tokens=1, near_dedup_threshold=0.6
+        )
+        ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+        assert ids == {1, 10}
+
     def test_gopher_gates_filter(self, spark):
         """gopher_gates drops lorem-ipsum and symbol-heavy docs while normal
         prose survives — one fused projection+filter, no extra scan."""
