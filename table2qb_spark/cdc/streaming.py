@@ -106,11 +106,23 @@ def auto_max_files_per_trigger(
             os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_EVENTS", 4_000_000)
         )
     try:
-        static = spark.read.parquet(events_dir)
-        total = static.count()  # parquet metadata count, no scan
-        n_files = len(
-            [f for f in os.listdir(events_dir) if f.endswith(".parquet")]
-        ) if os.path.isdir(events_dir) else 0
+        import pyarrow.parquet as pq
+
+        # Footer-only count (same pattern as prep._parquet_rows): Spark's
+        # count() would RE-SCAN the whole backlog before streaming even
+        # starts (aggregate pushdown is off by default) — a pyarrow
+        # read_metadata touches only the footers.
+        files = (
+            [
+                os.path.join(events_dir, f)
+                for f in os.listdir(events_dir)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(events_dir)
+            else []
+        )
+        n_files = len(files)
+        total = sum(pq.read_metadata(f).num_rows for f in files)
         if total <= 0 or n_files <= 0:
             return default
         per_file = max(1, total // n_files)
@@ -145,8 +157,8 @@ def start_stream(
     changes.
 
     ``max_files_per_trigger``: an int, or ``"auto"`` to size triggers to
-    ~10^6 events from the backlog's parquet footers (see
-    auto_max_files_per_trigger)."""
+    ~4M events (env SPARK_GRAFT_STREAM_TRIGGER_EVENTS) from the backlog's
+    parquet footers (see auto_max_files_per_trigger)."""
     if max_files_per_trigger == "auto":
         max_files_per_trigger = auto_max_files_per_trigger(spark, events_dir)
     reader = spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)

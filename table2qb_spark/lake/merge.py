@@ -268,7 +268,10 @@ def merge_upsert(
         affected = sorted(r["__bucket"] for r in bucket_stats)
         n_total = sum(int(r["n"]) for r in bucket_stats)
         n_dels = sum(int(r["dels"] or 0) for r in bucket_stats)
-        max_seq = max((r["max_seq"] for r in bucket_stats), default=None)
+        max_seq = max(
+            (s for s in (r["max_seq"] for r in bucket_stats) if s is not None),
+            default=None,
+        )  # a bucket whose events all have null seq yields max_seq=None
         if not affected:
             table.commit_files(
                 commit_id, [], {}, summary_update, base_snapshot_id=snap.snapshot_id
@@ -285,7 +288,10 @@ def merge_upsert(
             # Observation (which would never fire inside foreachBatch)
             n_total = sum(int(r["n"]) for r in stats_rows)
             n_dels = sum(int(r["dels"] or 0) for r in stats_rows)
-            max_seq = max((r["max_seq"] for r in stats_rows), default=None)
+            max_seq = max(
+                (s for s in (r["max_seq"] for r in stats_rows) if s is not None),
+                default=None,
+            )
         else:
             observation = Observation(f"merge-{commit_id}")
             batch_sel = batch_sel.observe(

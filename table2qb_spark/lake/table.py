@@ -341,22 +341,9 @@ class LakeTable:
             # pass the checks and the second would unlink the FIRST one's
             # now-committed header. The lock is an exclusive marker file;
             # a stale lock (holder crashed) expires by the same grace rule.
-            lock_path = f"{header_path}.reclaim"
-            try:
-                _exclusive_write(lock_path, snap.commit_id)
-            except FileExistsError:
-                if time.time() - os.path.getmtime(lock_path) < grace:
-                    raise ConcurrentCommitError(
-                        f"Snapshot {snap.snapshot_id} orphan is being reclaimed "
-                        "by another writer; retry"
-                    ) from None
-                os.unlink(lock_path)  # stale lock: its holder crashed
-                try:
-                    _exclusive_write(lock_path, snap.commit_id)
-                except FileExistsError:
-                    raise ConcurrentCommitError(
-                        f"Snapshot {snap.snapshot_id} reclaim lock contended; retry"
-                    ) from None
+            lock_path = self._acquire_reclaim_lock(
+                header_path, snap.snapshot_id, snap.commit_id, grace
+            )
             try:
                 # RE-CHECK under the lock: the orphan may have become the
                 # committed current snapshot while we raced for the lock
@@ -377,33 +364,71 @@ class LakeTable:
             finally:
                 if os.path.exists(lock_path):
                     os.unlink(lock_path)
-        # Ownership re-check before publishing: a writer stalled longer than
-        # the orphan grace between the header write and here can have had its
-        # header reclaimed (unlinked + rewritten) by another writer. Blindly
-        # publishing would (a) regress VERSION past the usurper's later
-        # commits and (b) mark OUR commit_id applied although our rows were
-        # replaced — a redelivery would then be silently skipped (lost
-        # write). Verify the header on disk is still THIS attempt's (the
-        # manifest filename carries a per-attempt token, so this also
-        # distinguishes two attempts of the same commit_id).
+        # Publish UNDER the reclaim lock: any reclaimer must hold this same
+        # lock to unlink/rewrite our header, so verifying ownership and
+        # swapping VERSION inside it closes the round-4 residual race (a
+        # reclaim landing between the ownership re-check and the VERSION
+        # swap, which would regress the usurper's commit and mark our
+        # commit_id applied although our rows were replaced — a lost write
+        # on redelivery). The manifest filename carries a per-attempt token,
+        # so the check also distinguishes two attempts of the same
+        # commit_id. If a reclaimer already holds the lock, our header is
+        # about to be (or was) replaced — ConcurrentCommitError, retry.
+        grace = float(
+            os.environ.get("SPARK_GRAFT_ORPHAN_GRACE_SEC", self.ORPHAN_GRACE_SEC)
+        )
+        lock_path = self._acquire_reclaim_lock(
+            header_path, snap.snapshot_id, snap.commit_id, grace
+        )
         try:
-            published = self._read_header(snap.snapshot_id)
-        except FileNotFoundError:
-            raise ConcurrentCommitError(
-                f"Snapshot {snap.snapshot_id} header vanished before the "
-                "VERSION swap (reclaimed by another writer); retry"
-            ) from None
-        if (
-            published.get("commit_id") != snap.commit_id
-            or published.get("manifest") != manifest_rel
-        ):
-            raise ConcurrentCommitError(
-                f"Snapshot {snap.snapshot_id} was reclaimed by another writer "
-                f"(now commit {published.get('commit_id')!r}) while this "
-                "writer was stalled; retry"
+            try:
+                published = self._read_header(snap.snapshot_id)
+            except FileNotFoundError:
+                raise ConcurrentCommitError(
+                    f"Snapshot {snap.snapshot_id} header vanished before the "
+                    "VERSION swap (reclaimed by another writer); retry"
+                ) from None
+            if (
+                published.get("commit_id") != snap.commit_id
+                or published.get("manifest") != manifest_rel
+            ):
+                raise ConcurrentCommitError(
+                    f"Snapshot {snap.snapshot_id} was reclaimed by another writer "
+                    f"(now commit {published.get('commit_id')!r}) while this "
+                    "writer was stalled; retry"
+                )
+            _atomic_write(
+                os.path.join(self.path, META_DIR, "VERSION"), str(snap.snapshot_id)
             )
-        _atomic_write(os.path.join(self.path, META_DIR, "VERSION"), str(snap.snapshot_id))
-        self._write_marker(snap.commit_id)
+            self._write_marker(snap.commit_id)
+        finally:
+            if os.path.exists(lock_path):
+                os.unlink(lock_path)
+
+    def _acquire_reclaim_lock(
+        self, header_path: str, snapshot_id: int, commit_id: str, grace: float
+    ) -> str:
+        """Take the per-snapshot reclaim lock (exclusive marker file) that
+        serializes both orphan reclaims AND the publish step; a stale lock
+        (holder crashed) expires after ``grace`` seconds. Returns the lock
+        path; the caller must unlink it."""
+        lock_path = f"{header_path}.reclaim"
+        try:
+            _exclusive_write(lock_path, commit_id)
+        except FileExistsError:
+            if time.time() - os.path.getmtime(lock_path) < grace:
+                raise ConcurrentCommitError(
+                    f"Snapshot {snapshot_id} header is locked by another "
+                    "writer (reclaim or publish in flight); retry"
+                ) from None
+            os.unlink(lock_path)  # stale lock: its holder crashed
+            try:
+                _exclusive_write(lock_path, commit_id)
+            except FileExistsError:
+                raise ConcurrentCommitError(
+                    f"Snapshot {snapshot_id} reclaim lock contended; retry"
+                ) from None
+        return lock_path
 
     def _write_marker(self, commit_id: str) -> None:
         marker = self._marker_path(commit_id)

@@ -223,6 +223,7 @@ def duplicate_groups(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -248,49 +249,93 @@ def duplicate_groups(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        # Exhausted max_iters with labels still moving: a component whose
+        # diameter exceeds max_iters would be silently SPLIT into several
+        # groups (min-label moves one hop per round), which downstream
+        # keeps extra duplicates with no signal. Fail loudly instead.
+        raise RuntimeError(
+            f"duplicate_groups did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing). A near-dup component's "
+            "diameter exceeds max_iters; raise max_iters or use a "
+            "large-star/small-star contraction for adversarially deep chains."
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")
     )
 
 
-def simhash_expr(c: Column, bits: int = 60) -> Column:
-    """SimHash over token set: bit j of the signature = majority vote of bit
-    j across token hashes. Token hash = first 15 md5 hex chars (60 bits —
-    the widest slice that stays positive in a signed 64-bit int on BOTH
-    Spark and DuckDB, keeping the operator SQL-oracle-able). Returns a LONG
+def token_hashes_expr(c: Column) -> Column:
+    """array<long> of per-distinct-token hashes: first 15 md5 hex chars
+    (60 bits — the widest slice that stays positive in a signed 64-bit int
+    on BOTH Spark and DuckDB, keeping the operator SQL-oracle-able)."""
+    return F.transform(
+        F.array_distinct(tokens_expr(c)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 60) -> Column:
+    """SimHash from a precomputed array<long> of token hashes: bit j of the
+    signature = majority vote of bit j across the hashes. Returns a LONG
     signature of ``bits`` (<= 60) bits; 60 is the production default — a
-    16-bit signature saturates its 65k hash space long before corpus scale."""
+    16-bit signature saturates its 65k hash space long before corpus scale.
+
+    Takes the HASH array (not tokens) so md5 is paid once per token, not
+    once per (token, bit): Spark does not CSE across higher-order-function
+    lambdas, so folding over tokens re-hashed inside each of the 60 per-bit
+    votes — the round-4 shape — cost 60x the md5. Callers must materialize
+    the hash array in its OWN projection (see ``simhash_dedup``):
+    CollapseProject keeps a non-cheap alias referenced 60 times in a
+    separate project, guaranteeing one evaluation per row."""
     if not 1 <= bits <= 60:
         raise ValueError("simhash bits must be in [1, 60]")
-    toks = F.array_distinct(tokens_expr(c))
-
-    def token_hash(t):
-        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
     def vote_fn(j):
-        def fn(acc, t):
-            bit = F.shiftright(token_hash(t), j).bitwiseAND(F.lit(1))
+        def fn(acc, h):
+            bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
             return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
 
         return fn
 
     sig = F.lit(0).cast("long")
     for j in range(bits):
-        votes = F.aggregate(toks, F.lit(0).cast("long"), vote_fn(j))
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(j))
         sig = sig + F.when(votes > 0, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return sig
 
 
+def simhash_expr(c: Column, bits: int = 60) -> Column:
+    """Single-expression SimHash over a text column. Prefer the two-step
+    ``token_hashes_expr`` + ``simhash_from_hashes`` projections in DataFrame
+    code (hash-once); this form re-evaluates the hash array per bit-fold and
+    exists for expression-level composition and the fuzz twins."""
+    return simhash_from_hashes(token_hashes_expr(c), bits)
+
+
+def _simhash_base(
+    df: DataFrame, text_col: str, id_col: str, bits: int
+) -> DataFrame:
+    """(id, simhash) with the token-hash array materialized in its own
+    projection so md5 runs once per token (CollapseProject will not inline a
+    non-cheap alias referenced by all 60 bit-folds)."""
+    hashed = df.select(
+        F.col(id_col), token_hashes_expr(F.col(text_col)).alias("__th")
+    )
+    return hashed.select(
+        F.col(id_col), simhash_from_hashes(F.col("__th"), bits).alias("simhash")
+    )
+
+
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """(doc_id, simhash) plus bucket = high byte — near-dup candidates share
     a bucket (banding over the signature)."""
-    sig = simhash_expr(F.col(text_col), bits)
-    return df.select(
+    return _simhash_base(df, text_col, id_col, bits).select(
         F.col(id_col),
-        sig.alias("simhash"),
-        F.shiftright(sig, bits - 8).alias("bucket"),
+        F.col("simhash"),
+        F.shiftright(F.col("simhash"), bits - 8).alias("bucket"),
     )
 
 
@@ -314,8 +359,7 @@ def simhash_candidate_pairs(
     if bands < 1 or bands > bits:
         raise ValueError("bands must be in [1, bits]")
     w = bits // bands
-    sig = simhash_expr(F.col(text_col), bits)
-    base = df.select(F.col(id_col), sig.alias("simhash"))
+    base = _simhash_base(df, text_col, id_col, bits)
     band_structs = []
     for j in range(bands):
         val = F.shiftright(F.col("simhash"), j * w)

@@ -171,12 +171,20 @@ def remove_boilerplate_lines(
     remaining lines in their original order.
 
     Scale shape: posexplode lines -> count distinct docs per line (two-phase
-    distinct agg, map-side combined) -> the hot set is BROADCAST-safe by
-    construction (its size is bounded by total_lines / max_line_df) ->
-    broadcast anti-join -> one groupBy(doc) rebuilding the text via a sorted
-    struct collect. Two shuffles total (line agg, doc rebuild); no
-    all-pairs anything. Documents whose every line is boilerplate drop out
-    of the result entirely."""
+    distinct agg, map-side combined) -> anti-join against the hot set ->
+    one groupBy(doc) rebuilding the text via a sorted struct collect. Two
+    shuffles total (line agg, doc rebuild); no all-pairs anything.
+    Documents whose every line is boilerplate drop out of the result
+    entirely.
+
+    The hot-set anti-join strategy is deliberately left to AQE (same policy
+    as ``prep.py``'s corpus-sized keeper sets): total_lines / max_line_df is
+    NOT a broadcast-safe bound — a 100 TB corpus has ~10^11 line
+    occurrences, so at max_line_df=50 it admits ~10^9-10^10 distinct hot
+    lines, far past any driver broadcast limit. AQE broadcasts the hot set
+    at runtime when its measured size fits (the common case — truly hot
+    lines are few) and falls back to a shuffled anti-join when it doesn't,
+    instead of OOMing the driver on a forced hint."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(line_units_expr(F.col(text_col))).alias("pos", "line"),
@@ -187,7 +195,7 @@ def remove_boilerplate_lines(
         .where(F.col("df") > max_line_df)
         .select("line")
     )
-    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    kept = lines.join(hot, "line", "left_anti")
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
     )

@@ -204,7 +204,10 @@ def split_nquad(line: str) -> tuple[str, str, str, str | None]:
     may contain spaces (literals), so it is everything between the predicate
     and the optional trailing graph IRI."""
     body = line.rstrip()
-    assert body.endswith(" ."), body
+    if not body.endswith(" ."):
+        # Explicit raise (not assert, which python -O strips): a malformed
+        # part-file line must fail loudly, not mis-parse into corrupt TriG.
+        raise ValueError(f"malformed N-Quads statement (no ' .'): {body!r}")
     body = body[:-2]
     s, rest = body.split(" ", 1)
     p, rest = rest.split(" ", 1)

@@ -184,15 +184,27 @@ class TestDuplicateGroups:
         }
         assert got == {6: 6, 7: 6, 8: 6, 9: 6}
 
-    def test_max_iters_bounds_rounds(self, spark):
-        """A long chain truncated by max_iters still returns a row per node
-        (labels just haven't fully converged) — the bound is a safety valve,
-        not a correctness cliff for the tested diameter."""
+    def test_max_iters_nonconvergence_raises(self, spark):
+        """A component whose diameter exceeds max_iters must FAIL LOUDLY:
+        silently returning the truncated labels would split one dup group
+        into several, and prep's near-dedup would keep extra duplicates with
+        no signal (round-4 advice)."""
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
         )
-        out = dedup.duplicate_groups(pairs, max_iters=2).collect()
-        assert len(out) == 8
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.duplicate_groups(pairs, max_iters=2)
+
+    def test_max_iters_sufficient_converges(self, spark):
+        """The same chain with enough rounds converges normally."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
+        )
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup.duplicate_groups(pairs, max_iters=10).collect()
+        }
+        assert set(got.values()) == {1}
 
 
 class TestSimhashBanding:
@@ -242,6 +254,22 @@ class TestSimhashBanding:
         c2 = dedup.simhash_candidate_pairs(df, bits=60, bands=2).count()
         c4 = dedup.simhash_candidate_pairs(df, bits=60, bands=4).count()
         assert c4 >= c2  # shorter bands collide more: recall grows with B
+
+    def test_signature_hashes_each_token_once(self, spark):
+        """md5 must appear exactly ONCE in the optimized plan: Spark does
+        not CSE across higher-order-function lambdas, so the round-4 shape
+        (token_hash re-evaluated inside each of the 60 per-bit folds) paid
+        60x the md5. The hash array is a non-cheap alias in its own
+        projection, which CollapseProject must not inline back (round-4
+        verdict #2)."""
+        docs = spark.range(4).selectExpr("id AS doc_id", "'w x y z' AS text")
+        plan = dedup.simhash_dedup(docs, bits=60)._jdf.queryExecution()
+        assert plan.optimizedPlan().toString().count("md5") == 1
+        # the band self-join has TWO scan sides, each hashing once per row
+        plan = dedup.simhash_candidate_pairs(docs, bits=60, bands=4)
+        assert (
+            plan._jdf.queryExecution().optimizedPlan().toString().count("md5") == 2
+        )
 
 
 class TestKmeansCentroids:
@@ -656,6 +684,33 @@ class TestBoilerplateRemoval:
         out = remove_boilerplate_lines(docs, max_line_df=2)
         got = {r["doc_id"]: r["text"] for r in out.collect()}
         assert got[1] == "echo\necho\necho\necho"
+
+    def test_hot_set_join_strategy_is_aqe_sized(self, spark):
+        """The hot-set anti-join must NOT be force-broadcast: at 100 TB the
+        total_lines/max_line_df bound admits ~10^10 hot lines, so a forced
+        hint OOMs the driver instead of falling back (round-4 verdict #1).
+        With broadcast disabled the plan must degrade to a SHUFFLED anti-
+        join (a forced hint would keep BroadcastHashJoin regardless); at the
+        default threshold the optimizer is free to pick broadcast for a
+        genuinely tiny hot set."""
+        from table2qb_spark.ops.text import remove_boilerplate_lines
+
+        docs = spark.createDataFrame(
+            [(i, "HOT\nbody %d" % i) for i in range(6)], "doc_id long, text string"
+        )
+        out = remove_boilerplate_lines(docs, max_line_df=2)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            forced = remove_boilerplate_lines(docs, max_line_df=2)
+            plan = forced._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, plan
+            assert "LeftAnti" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # default threshold: broadcast is permitted (small side is tiny here)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan, plan
 
 
 class TestRepetitionMetrics:
