@@ -631,6 +631,34 @@ def q_web_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *web_quality_exprs(structured))
 
 
+def q_prep_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END prep composite (round-4 verdict #3): exact-dedup ->
+    benchmark decontamination -> quality/length gates -> stratified sample
+    -> sequence packing, exactly the ONE fused plan that
+    prepare_training_data builds (ops/prep.py) — the flagship `prep-data`
+    user surface, oracle-gated as a whole rather than stage by stage.
+    Returns the packing index of the surviving corpus; every surviving
+    doc_id and its span is sensitive to every upstream stage, so a hash
+    match certifies the entire chain. Reference analog: the integration
+    test's multi-pipeline build
+    (/root/reference/test/table2qb/pipelines/integration_test.clj:13-74)."""
+    from table2qb_spark.ops.prep import prepare_training_data
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    _clean, packed = prepare_training_data(
+        docs,
+        benchmark=bench,
+        min_quality=0.3,
+        min_tokens=5,
+        fractions={"en": 0.5, "de": 0.25, "fr": 0.1},
+        seq_len=512,
+        decontam_n=4,
+        seed=7,
+    )
+    return packed
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", text.fingerprint_expr(F.col("text")).alias("text")
@@ -1495,6 +1523,74 @@ ORACLES["dedup_groups"] = f"""
     FROM reach GROUP BY src
 """
 
+# End-to-end prep composite: one CTE chain mirroring prepare_training_data's
+# fused plan stage by stage — exact dedup (md5(text) keeper), benchmark
+# 4-gram decontamination (%50 slice; benchmark docs themselves stay), token/
+# quality annotation, gates, deterministic stratified sample (seed 7),
+# 512-token sequence packing.
+ORACLES["prep_composite"] = f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5(text) AS h FROM documents) GROUP BY h
+    ),
+    survivors AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+    wtoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS wt
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(wt) - 3, 0)),
+               i -> array_to_string(list_slice(wt, i, i + 3), ' ')))) AS shingle
+      FROM wtoks
+    ),
+    bench AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 50 = 0),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (shingle)
+      WHERE g.doc_id % 50 <> 0
+    ),
+    decon AS (
+      SELECT * FROM survivors
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    ann AS (
+      SELECT doc_id, lang, source, len(toks) AS n_tokens,
+             round(
+               least(CASE WHEN len(toks) > 0 THEN len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|it|for|on)\\b'))::DOUBLE / len(toks) ELSE 0 END * 2.5, 1.0) * 0.4
+               + least(len(toks) / 64.0, 1.0) * 0.3
+               + CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) ELSE 0 END * 0.3
+             , 4) AS quality
+      FROM (SELECT *, {SQL_TOKENS.format(x='text')} AS toks FROM decon)
+    ),
+    gated AS (SELECT * FROM ann WHERE quality >= 0.3 AND n_tokens >= 5),
+    sampled AS (
+      SELECT * FROM (
+        SELECT *,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 15))::BIGINT
+                 % 1000000 AS u
+        FROM gated)
+      WHERE u < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                          WHEN 'fr' THEN 100000 ELSE 0 END
+    ),
+    spans AS (
+      SELECT source AS shard, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS e
+      FROM sampled WHERE n_tokens > 0
+    )
+    SELECT shard, seq_id, doc_id,
+           CAST(greatest(0, (e - n_tokens) - seq_id * 512) AS BIGINT) AS begin,
+           CAST(least(512, e - seq_id * 512) AS BIGINT) AS "end"
+    FROM (
+      SELECT *, unnest(generate_series(
+               CAST(floor((e - n_tokens) / 512.0) AS BIGINT),
+               CAST(floor((e - 1) / 512.0) AS BIGINT))) AS seq_id
+      FROM spans
+    )
+"""
+
 QUERIES = {
     "cube_observations": q_cube_observations,
     "uri_expand": q_uri_expand,
@@ -1526,6 +1622,7 @@ QUERIES = {
     "cdc_sessionize": q_cdc_sessionize,
     "cdc_metrics": q_cdc_metrics,
     "text_analysis": q_text_analysis,
+    "prep_composite": q_prep_composite,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

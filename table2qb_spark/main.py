@@ -162,6 +162,148 @@ def cmd_describe(args) -> int:
     return 0
 
 
+def _display_table(rows, header=None) -> None:
+    """Reference-parity table printer (cli/tasks.clj display-table): every
+    column padded to its longest cell (header included), cells joined by one
+    space; nothing printed for an empty row set."""
+    rows = [[str(c) for c in r] for r in rows]
+    if not rows:
+        return
+    all_rows = ([list(header)] if header else []) + rows
+    widths = [max(len(r[i]) for r in all_rows) for i in range(len(all_rows[0]))]
+    for r in all_rows:
+        print(" ".join(c.ljust(w) for c, w in zip(r, widths)).rstrip())
+
+
+def _pr_str(v) -> str:
+    """Clojure pr-str for the EDN values a URI map holds (strings and
+    vectors of strings) — the display form of the defaults table."""
+    if isinstance(v, (list, tuple)):
+        return "[" + " ".join(_pr_str(x) for x in v) + "]"
+    return json.dumps(v)
+
+
+# Task registry for `help` (reference: resources/table2qb-config.edn
+# :table2qb.main/tasks plus this engine's CDC/prep surface).
+TASK_DESCRIPTIONS = {
+    "help": ("Displays usage information for a task", "Usage: table2qb help [task-name]"),
+    "list": ("Lists the available pipelines", "Usage: table2qb list"),
+    "describe": ("Describes a named pipeline", "Usage: table2qb describe pipeline-name"),
+    "csvw": ("Executes a named pipeline and outputs CSVW", "Usage table2qb csvw pipeline-name args"),
+    "exec": ("Executes a named pipeline", "Usage: table2qb exec pipeline-name args"),
+    "uris": None,  # special-cased: prints its own usage + pipeline list
+    "codelist-pipeline": ("Generates a codelist from a CSV file describing its members", "Usage: table2qb codelist-pipeline --codelist-csv F --codelist-name N --codelist-slug S"),
+    "components-pipeline": ("Generates component specifications", "Usage: table2qb components-pipeline --input-csv F"),
+    "cube-pipeline": ("Generates cube RDF-shaped tables for the given input CSV", "Usage: table2qb cube-pipeline --input-csv F --dataset-name N --dataset-slug S --column-config C"),
+    "prep-data": ("Runs the training-data preparation composite", "Usage: table2qb prep-data --input DIR --output DIR [stages...]"),
+    "cdc-init": ("Creates a lake table", "Usage: table2qb cdc-init --table DIR --buckets N"),
+    "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR"),
+    "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR"),
+    "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR"),
+    "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR"),
+    "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
+    "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot N [--to-snapshot M]"),
+    "cdc-verify": ("Prints a distributed content digest of the table", "Usage: table2qb cdc-verify --table DIR"),
+    "datagen": ("Writes a deterministic synthetic change log", "Usage: table2qb datagen --out DIR --events-n N"),
+}
+
+
+def _usage_lines() -> list[str]:
+    return (
+        ["Usage: table2qb task-name [args]", "Available tasks are:", ""]
+        + list(TASK_DESCRIPTIONS)
+        + ["", "Use table2qb help task-name for more information about a task"]
+    )
+
+
+def cmd_help(args) -> int:
+    """Reference-parity `help` task (cli/tasks.clj:78-84): no argument
+    prints usage + the task list; `help <task>` prints that task's
+    description; an unknown task errors with the task list."""
+    name = args.task_name
+    if name is None:
+        for line in _usage_lines():
+            print(line)
+        return 0
+    if name not in TASK_DESCRIPTIONS:
+        print(f"Unknown task name {name}", file=sys.stderr)
+        for t in ["Available tasks are:", ""] + list(TASK_DESCRIPTIONS):
+            print(t, file=sys.stderr)
+        return 2
+    if name == "uris":
+        return _uris_usage()
+    desc, usage = TASK_DESCRIPTIONS[name]
+    print(desc)
+    print(usage)
+    return 0
+
+
+def _uris_usage() -> int:
+    print("Usage: table2qb uris pipeline-name [uri-templates]")
+    print()
+    print("Lists and describes the URI templates used by a named pipeline")
+    print(
+        "If an EDN file containing overriding URI definitions is provided, "
+        "the resolved URIs that would be used by the pipeline will be displayed"
+    )
+    print()
+    print("Available pipelines")
+    print()
+    for p in PIPELINES:
+        print(p)
+    return 0
+
+
+def cmd_uris(args) -> int:
+    """Reference-parity `uris` task (cli/tasks.clj:311-328): without an
+    overrides file, prints the pipeline's default URI templates (pr-str
+    form) plus its $(template) and {csvw} variable docs; with an EDN
+    overrides file, prints the RESOLVED templates the pipeline would use
+    (merge semantics: unknown keys ignored — functions/uris.merge_uris)."""
+    from table2qb_spark.functions.uris import merge_uris
+    from table2qb_spark.pipelines.templates import (
+        CSVW_VARS,
+        PIPELINE_URIS,
+        TEMPLATE_VARS,
+        read_edn_uris,
+    )
+
+    if args.pipeline is None:
+        return _uris_usage()
+    if args.pipeline not in PIPELINE_URIS:
+        print(f"Unknown pipeline {args.pipeline}", file=sys.stderr)
+        for line in ["Available pipelines", ""] + list(PIPELINES):
+            print(line, file=sys.stderr)
+        return 2
+    base = PIPELINE_URIS[args.pipeline]
+    if args.uri_templates is not None:
+        _require_file(args.uri_templates, "uri-templates file")
+        resolved = merge_uris(base, read_edn_uris(args.uri_templates))
+        _display_table(
+            [[f"  :{k}", v if isinstance(v, str) else _pr_str(v)]
+             for k, v in resolved.items()],
+            ["Name", "Template"],
+        )
+        return 0
+    print("URIs:")
+    _display_table(
+        [[f"    :{k}", _pr_str(v)] for k, v in base.items()], ["Name", "Default"]
+    )
+    print()
+    print("Template variables:")
+    _display_table(
+        [[f"    $({k})", d] for k, d in TEMPLATE_VARS[args.pipeline].items()],
+        ["Name", "Description"],
+    )
+    print()
+    print("CSVW variables:")
+    _display_table(
+        [[f"    {{{k}}}", d] for k, d in CSVW_VARS[args.pipeline].items()],
+        ["Name", "Description"],
+    )
+    return 0
+
+
 def cmd_compact(args) -> int:
     from table2qb_spark.lake.compact import compact
     from table2qb_spark.lake.table import LakeTable
@@ -394,6 +536,15 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="task", required=True, parser_class=_Parser)
 
     sub.add_parser("list").set_defaults(fn=cmd_list)
+
+    c = sub.add_parser("help")
+    c.add_argument("task_name", nargs="?")
+    c.set_defaults(fn=cmd_help)
+
+    c = sub.add_parser("uris")
+    c.add_argument("pipeline", nargs="?")
+    c.add_argument("uri_templates", nargs="?")
+    c.set_defaults(fn=cmd_uris)
 
     # reference-CLI task forms: exec (pipeline -> single RDF file),
     # csvw (pipeline -> CSVW artifacts only); pipeline-specific options are

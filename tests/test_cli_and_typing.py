@@ -200,3 +200,83 @@ class TestExecTask:
         files = os.listdir(d)
         assert "metadata.json" in files
         assert not any(f.startswith("_rdf") for f in files)
+
+
+class TestUrisAndHelpTasks:
+    """Reference-parity `uris` and `help` CLI tasks (cli/tasks.clj:50-84,
+    311-328): the defaults table must carry exactly the templates of the
+    reference's own EDN resources (resources/templates/*.edn), variable docs
+    must match the integrant config's :template-vars/:csvw-vars, and an EDN
+    overrides file must resolve with merge semantics (unknown keys ignored)."""
+
+    REF_TEMPLATES = "/root/reference/resources/templates"
+
+    def _run(self, *argv):
+        from table2qb_spark.main import main
+        return main(list(argv))
+
+    @pytest.mark.parametrize("pipeline,edn", [
+        ("codelist-pipeline", "codelist-pipeline-uris.edn"),
+        ("components-pipeline", "components-pipeline-uris.edn"),
+        ("cube-pipeline", "cube-pipeline-uris.edn"),
+    ])
+    def test_defaults_match_reference_edn(self, pipeline, edn, capsys, reference_available):
+        from table2qb_spark.pipelines.templates import read_edn_uris
+
+        ref = read_edn_uris(os.path.join(self.REF_TEMPLATES, edn))
+        assert self._run("uris", pipeline) == 0
+        out = capsys.readouterr().out
+        assert "URIs:" in out and "Template variables:" in out and "CSVW variables:" in out
+        for key, val in ref.items():
+            assert f":{key}" in out
+            if isinstance(val, str):
+                assert json.dumps(val) in out  # pr-str form: quoted
+            else:
+                assert "[" + " ".join(json.dumps(v) for v in val) + "]" in out
+
+    def test_template_and_csvw_vars_documented(self, capsys):
+        assert self._run("uris", "codelist-pipeline") == 0
+        out = capsys.readouterr().out
+        assert "$(base-uri)" in out and "$(codelist-slug)" in out
+        assert "{notation}" in out.split("CSVW variables:")[1]
+        assert self._run("uris", "components-pipeline") == 0
+        out = capsys.readouterr().out
+        assert "{component_type_slug}" in out.split("CSVW variables:")[1]
+
+    def test_overrides_resolve_with_merge_semantics(self, tmp_path, capsys):
+        ov = tmp_path / "ov.edn"
+        ov.write_text(
+            '; comment line\n'
+            '{:codelist-uri "https://x/$(codelist-slug)#id"\n'
+            ' :bogus-key "must be ignored"}\n'
+        )
+        assert self._run("uris", "codelist-pipeline", str(ov)) == 0
+        out = capsys.readouterr().out
+        assert "https://x/$(codelist-slug)#id" in out
+        assert "bogus-key" not in out and "must be ignored" not in out
+        # non-overridden keys keep their defaults (raw, not pr-str, in the
+        # resolved branch — reference prints the value object directly)
+        assert "$(base-uri)/def/concept/$(codelist-slug)/{notation}" in out
+        assert "Template" in out  # resolved-table header
+
+    def test_uris_without_pipeline_prints_usage(self, capsys):
+        assert self._run("uris") == 0
+        out = capsys.readouterr().out
+        assert "Usage: table2qb uris pipeline-name [uri-templates]" in out
+        assert "cube-pipeline" in out
+
+    def test_uris_unknown_pipeline_errors(self, capsys):
+        assert self._run("uris", "nope-pipeline") == 2
+        assert "Unknown pipeline" in capsys.readouterr().err
+
+    def test_help_lists_tasks_and_describes(self, capsys):
+        assert self._run("help") == 0
+        out = capsys.readouterr().out
+        for t in ("list", "describe", "csvw", "exec", "uris", "cdc-replay"):
+            assert t in out
+        assert self._run("help", "list") == 0
+        assert "Lists the available pipelines" in capsys.readouterr().out
+        assert self._run("help", "uris") == 0
+        assert "Usage: table2qb uris pipeline-name" in capsys.readouterr().out
+        assert self._run("help", "wat") == 2
+        assert "Unknown task name wat" in capsys.readouterr().err
