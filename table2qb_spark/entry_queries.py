@@ -150,6 +150,15 @@ def q_uri_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         uri_template_expr(
             "http://ex.org/l/{label}", {"label": F.col("label")}
         ).alias("label_uri"),
+        # extended operators (round-4 verdict #6): {#var} fragment expands
+        # RAW (its '#' and the value's reserved chars stay literal); {?var}
+        # expands to the named ?var=encoded form
+        uri_template_expr(
+            "http://ex.org/page{#code}", {"code": F.col("code")}
+        ).alias("frag_uri"),
+        uri_template_expr(
+            "http://ex.org/s{?label}", {"label": F.col("label")}
+        ).alias("query_uri"),
     )
 
 
@@ -787,6 +796,84 @@ def q_multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_av_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio/video container-header decode, oracle-gated like
+    multimodal_headers: per-document RIFF/WAVE (even ids) and ISO-BMFF MP4
+    (odd ids) bytes are synthesized JVM-side with doc_id-derived sample
+    rate / frame count / track dims, then parsed back by the pure-Python
+    header decoders (ops/multimodal.wav_meta / mp4_meta) through the
+    distributed mapInPandas stage. The oracle recomputes the metadata from
+    the same formulas — an endianness/offset bug in either parser breaks
+    the hash. Reference analog: the decode seam the reference leaves to
+    csv2rdf-side tooling; here it is a first-class training-data op."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def be4(c: Column) -> Column:
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    def le4(c: Column) -> Column:
+        hx = F.lpad(F.hex(c), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(hx, 7, 2), F.substring(hx, 5, 2),
+                F.substring(hx, 3, 2), F.substring(hx, 1, 2),
+            )
+        )
+
+    def le2(c: Column) -> Column:
+        hx = F.lpad(F.hex(c), 4, "0")
+        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+    def be_lit(n: int) -> Column:
+        return F.lit(n.to_bytes(4, "big"))
+
+    sr = (F.col("doc_id") % 6 + 1) * 8000
+    wav_frames = F.col("doc_id") % 100 + 1
+    base = docs.withColumn("data_size", (wav_frames * 2).cast("int"))
+    wav = F.concat(
+        F.lit(b"RIFF"), le4(F.col("data_size") + 36), F.lit(b"WAVEfmt "),
+        le4(F.lit(16)), le2(F.lit(1)), le2(F.lit(1)),  # PCM, mono
+        le4(sr), le4(sr * 2), le2(F.lit(2)), le2(F.lit(16)),
+        F.lit(b"data"), le4(F.col("data_size")),
+        F.unhex(F.expr("repeat('00', data_size)")),
+    )
+    # fixed-size ISO-BMFF skeleton: ftyp(16) + moov(260) = mvhd(108) +
+    # trak(144) = tkhd(92) + mdia(44)/minf(36)/stbl(28)/stsz(20)
+    vw, vh = F.col("doc_id") % 640 + 16, F.col("doc_id") % 360 + 16
+    vframes = (F.col("doc_id") % 300 + 1).cast("int")
+    mp4 = F.concat(
+        be_lit(16), F.lit(b"ftypisom"), F.lit(bytes(4)),
+        be_lit(260), F.lit(b"moov"),
+        be_lit(108), F.lit(b"mvhd"), F.lit(bytes(12)),
+        be_lit(1000), be_lit(5000), F.lit(bytes(80)),
+        be_lit(144), F.lit(b"trak"),
+        be_lit(92), F.lit(b"tkhd"), F.lit(bytes(40 + 36)),
+        be4((vw * 65536).cast("long")), be4((vh * 65536).cast("long")),
+        be_lit(44), F.lit(b"mdia"), be_lit(36), F.lit(b"minf"),
+        be_lit(28), F.lit(b"stbl"),
+        be_lit(20), F.lit(b"stsz"), F.lit(bytes(8)), be4(vframes),
+    )
+    payload = F.when(F.col("doc_id") % 2 == 0, wav).otherwise(mp4)
+    kind = F.when(F.col("doc_id") % 2 == 0, F.lit("audio")).otherwise(
+        F.lit("video")
+    )
+    media = base.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.length(payload).cast("int").alias("byte_len"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+    out = multimodal.decode_media(media)  # headers mode: real byte parse
+    return out.select(
+        "media_id", "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -842,7 +929,9 @@ ORACLES: dict[str, str] = {
         SELECT p_partkey AS k,
                'http://ex.org/codes/' || replace(replace('cn#cn8_' || CAST(p_partkey AS VARCHAR), '#', '%23'), ' ', '%20') AS encoded_uri,
                'http://ex.org/raw/cn#cn8_' || CAST(p_partkey AS VARCHAR) || '/def' AS raw_uri,
-               'http://ex.org/l/' || replace(p_name, ' ', '%20') AS label_uri
+               'http://ex.org/l/' || replace(p_name, ' ', '%20') AS label_uri,
+               'http://ex.org/page#cn#cn8_' || CAST(p_partkey AS VARCHAR) AS frag_uri,
+               'http://ex.org/s?label=' || replace(p_name, ' ', '%20') AS query_uri
         FROM part
     """,
     "typed_observations": f"""
@@ -1476,6 +1565,16 @@ ORACLES: dict[str, str] = {
                CAST(1 AS BIGINT) AS n_frames
         FROM documents
     """,
+    "multimodal_av_headers": """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+               CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 640 + 16 AS BIGINT) END AS width,
+               CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 360 + 16 AS BIGINT) END AS height,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 100 + 1
+                         ELSE doc_id % 300 + 1 END AS BIGINT) AS n_frames,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(8000 * (doc_id % 6 + 1) AS BIGINT) END AS sample_rate
+        FROM documents
+    """,
     "multimodal_decode": """
         WITH m AS (
           SELECT doc_id AS media_id,
@@ -1635,6 +1734,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_headers": q_multimodal_headers,
+    "multimodal_av_headers": q_multimodal_av_headers,
     "multimodal_decode": q_multimodal_decode,
     "pricing_summary": q_pricing_summary,
 }

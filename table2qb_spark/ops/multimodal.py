@@ -102,6 +102,72 @@ def image_dims(payload: bytes) -> tuple[int | None, int | None]:
     return None, None
 
 
+def wav_meta(payload: bytes) -> dict:
+    """Audio metadata from a real RIFF/WAVE header: sample_rate from the
+    fmt chunk, n_frames = data-chunk bytes / block align. Same never-raise
+    contract as ``image_dims`` (corrupt blobs -> all-null metadata); chunk
+    walk honors word alignment, so appended/unknown chunks are skipped."""
+    b = payload
+    out = {"width": None, "height": None, "n_frames": None, "sample_rate": None}
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return out
+        i, sample_rate, block_align, data_size = 12, None, None, None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            sz = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 22 <= len(b):
+                sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                block_align = int.from_bytes(b[i + 20 : i + 22], "little")
+            elif cid == b"data":
+                data_size = sz
+            i += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+        out["sample_rate"] = sample_rate
+        if data_size is not None and block_align:
+            out["n_frames"] = data_size // block_align
+    except Exception:
+        pass
+    return out
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, box_end) for each ISO-BMFF box in
+    [start, end); stops on malformed sizes instead of raising."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        if size < 8 or i + size > end:
+            return
+        yield b[i + 4 : i + 8], i + 8, i + size
+        i += size
+
+
+def mp4_meta(payload: bytes) -> dict:
+    """Video metadata from real ISO-BMFF (MP4) boxes: track width/height
+    from the first tkhd (16.16 fixed point), n_frames from the first stsz
+    sample count (moov/trak/mdia/minf/stbl walk). Never raises."""
+    b = payload
+    out = {"width": None, "height": None, "n_frames": None, "sample_rate": None}
+    try:
+        containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+        stack = [(0, len(b))]
+        while stack:
+            lo, hi = stack.pop()
+            for typ, ps, pe in _mp4_boxes(b, lo, hi):
+                if typ in containers:
+                    stack.append((ps, pe))
+                elif typ == b"tkhd" and out["width"] is None and pe - ps >= 84:
+                    # v0 payload: ver/flags 4, times 8, id 4, res 4, dur 4,
+                    # res 8, layer/alt/vol/res 8, matrix 36, then w/h 16.16
+                    out["width"] = int.from_bytes(b[pe - 8 : pe - 4], "big") >> 16
+                    out["height"] = int.from_bytes(b[pe - 4 : pe], "big") >> 16
+                elif typ == b"stsz" and out["n_frames"] is None and pe - ps >= 12:
+                    out["n_frames"] = int.from_bytes(b[ps + 8 : ps + 12], "big")
+    except Exception:
+        pass
+    return out
+
+
 def _pil_decode(payload: bytes) -> dict:
     """Full decode via Pillow — the optional-dependency seam (PIL is not in
     this container; any environment with Pillow gets pixel-verified dims and
@@ -125,8 +191,9 @@ def decode_media(df: DataFrame, fake: bool = False, mode: str = "headers") -> Da
     ``fake=True`` overrides ``mode`` with the deterministic stub decoder
     (oracle runs). ``mode``: "headers" (pure-Python container headers, the
     dependency-free real path), "pil" (full Pillow decode, ImportError when
-    absent), or "auto" (pil if importable else headers). Audio/video kinds
-    yield null metadata outside fake mode until their codecs are wired."""
+    absent), or "auto" (pil if importable else headers). Audio parses
+    RIFF/WAVE headers and video ISO-BMFF (MP4) boxes in every real mode
+    (PIL handles neither); unknown kinds yield null metadata."""
     if mode == "auto":
         try:
             import PIL  # noqa: F401
@@ -156,8 +223,11 @@ def decode_media(df: DataFrame, fake: bool = False, mode: str = "headers") -> Da
                             "sample_rate": None,
                         }
                     meta.append(m)
+                elif k == "audio":
+                    meta.append(wav_meta(b))  # RIFF/WAVE header parse
+                elif k == "video":
+                    meta.append(mp4_meta(b))  # ISO-BMFF box walk
                 else:
-                    # audio/video codecs not wired: metadata stays null
                     meta.append(
                         {"width": None, "height": None, "n_frames": None,
                          "sample_rate": None}

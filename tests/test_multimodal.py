@@ -110,3 +110,51 @@ class TestPilSeam:
         )
         got = decode_media(media, mode="auto").collect()[0]
         assert (got["width"], got["height"]) == (1, 1)
+
+
+class TestAvHeaderParse:
+    """RIFF/WAVE and ISO-BMFF (MP4) metadata parsers — same never-raise
+    contract as image_dims (round-4 verdict #5)."""
+
+    def wav(self, sr=16000, frames=37, block=2, extra_chunk=False):
+        import struct
+        data = b"\x00" * (block * frames)
+        fmt = struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, sr, sr * block, block, 16)
+        odd = b"LIST" + struct.pack("<I", 3) + b"abc"  # odd size: word-align pad
+        body = (b"WAVEfmt " + fmt
+                + (odd + b"\x00" if extra_chunk else b"")
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def mp4(self, w=640, h=360, frames=123):
+        import struct
+
+        def box(typ, payload):
+            return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+        mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", 1000, 5000) + bytes(80))
+        tkhd = box(b"tkhd", bytes(48) + bytes(36) + struct.pack(">II", w << 16, h << 16))
+        stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, frames))
+        mdia = box(b"mdia", box(b"minf", box(b"stbl", stsz)))
+        return (box(b"ftyp", b"isom" + bytes(4))
+                + box(b"moov", mvhd + box(b"trak", tkhd + mdia)))
+
+    def test_wav(self):
+        from table2qb_spark.ops.multimodal import wav_meta
+        m = wav_meta(self.wav())
+        assert (m["sample_rate"], m["n_frames"]) == (16000, 37)
+
+    def test_wav_chunk_word_alignment(self):
+        from table2qb_spark.ops.multimodal import wav_meta
+        m = wav_meta(self.wav(sr=44100, frames=5, extra_chunk=True))
+        assert (m["sample_rate"], m["n_frames"]) == (44100, 5)
+
+    def test_mp4(self):
+        from table2qb_spark.ops.multimodal import mp4_meta
+        m = mp4_meta(self.mp4())
+        assert (m["width"], m["height"], m["n_frames"]) == (640, 360, 123)
+
+    def test_corrupt_never_raises(self):
+        from table2qb_spark.ops.multimodal import mp4_meta, wav_meta
+        for b in (b"", b"RIFF", b"RIFFxxxxWAVE", self.mp4()[:20], b"\x00" * 64):
+            assert set(wav_meta(b).values()) | set(mp4_meta(b).values()) <= {None, 0}

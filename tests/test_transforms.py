@@ -117,6 +117,38 @@ def test_validate_uri_template():
     assert validate_uri_template("http://x/{foo}/{+bar}")
     assert validate_uri_template("http://x/plain")
     assert not validate_uri_template("http://x/{unclosed")
+    # RFC 6570 extended operators are ACCEPTED, matching the reference's
+    # csv2rdf-backed validator (configuration/column.clj:81-86) — round-4
+    # verdict #6 flagged {#frag}/{?q}/{.ext} rejection as a divergence
+    for t in ("http://x/p{#frag}", "http://x/s{?q}", "http://x/f{.ext}",
+              "http://x{/seg}", "http://x/m{;mat}", "http://x/s?a=1{&b}"):
+        assert validate_uri_template(t), t
+    assert not validate_uri_template("http://x/{=bad}")
+
+
+def test_uri_template_extended_operators(spark):
+    """RFC 6570 level-2/3 single-variable expansion: {#var} raw behind a
+    literal '#', {.var}/{/var} encoded behind their prefix, {;var}/{?var}/
+    {&var} named var=value forms — Catalyst expression and the driver-side
+    scalar twin agree."""
+    from table2qb_spark.functions import uris as U
+
+    row = {"v": "a b#c"}
+    cases = {
+        "http://x/p{#v}": "http://x/p#a b#c",
+        "http://x/f{.v}": "http://x/f.a%20b%23c",
+        "http://x{/v}": "http://x/a%20b%23c",
+        "http://x/m{;v}": "http://x/m;v=a%20b%23c",
+        "http://x/s{?v}": "http://x/s?v=a%20b%23c",
+        "http://x/s?a=1{&v}": "http://x/s?a=1&v=a%20b%23c",
+    }
+    df = spark.createDataFrame([("a b#c",)], ["v"])
+    got = df.select(
+        *[U.uri_template_expr(t).alias(f"c{i}") for i, t in enumerate(cases)]
+    ).collect()[0]
+    for i, (tmpl, want) in enumerate(cases.items()):
+        assert got[f"c{i}"] == want, tmpl
+        assert U.expand_template_py(tmpl, row) == want, tmpl
 
 
 class TestTwinEquivalenceFuzz:
