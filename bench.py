@@ -169,9 +169,10 @@ def main():
         # the stream run before the query suite confounded r03-vs-r02
         # comparisons), min-of-N each against host noise + JIT warmup
         queries = {}
+        query_medians = {}
         total = cdc["seconds"]
         for name in BENCH_QUERIES:
-            best = None
+            times = []
             for _ in range(N_RUNS):
                 t0 = time.time()
                 df = QUERIES[name](spark, SF_DIR)
@@ -179,10 +180,13 @@ def main():
                 # .count() lets Catalyst prune projections and time only
                 # the scan)
                 df.write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None or dt < best else best
-            queries[name] = round(best, 3)
-            total += best
+                times.append(time.time() - t0)
+            times.sort()
+            # min stays the headline (JIT/host-noise floor, round-3 #3);
+            # median exposes the run-to-run variance (round-4 task #9)
+            queries[name] = round(times[0], 3)
+            query_medians[name] = round(times[len(times) // 2], 3)
+            total += times[0]
 
         # same log through the Structured Streaming front-end (separate
         # figure; NOT added to the headline total — it re-ingests the same
@@ -198,6 +202,7 @@ def main():
         "value": round(total, 2),
         "unit": "sec",
         "queries": queries,
+        "query_medians": query_medians,
         "sf": sf,
         "cpus": CPUS,
         "cdc_replay": cdc,

@@ -604,19 +604,18 @@ def q_stratum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile() and DuckDB's quantile_cont are both exact interpolated
     quantiles, so the hash gate holds (percentile_approx would not).
     Map-side-combinable except the percentile buffers; one shuffle on the
-    stratum key."""
+    stratum key. Delegates to ops.sampling.stratum_stats (exact mode — its
+    exact=False approx_percentile path is the production escape hatch for
+    high-cardinality metrics, tolerance-pinned in pytest rather than
+    oracle-gated)."""
+    from table2qb_spark.ops.sampling import stratum_stats
+
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
-            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
-            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
-            F.min("n_chars").cast("long").alias("min_chars"),
-            F.max("n_chars").cast("long").alias("max_chars"),
-        )
+    out = stratum_stats(docs, "lang", "n_chars", exact=True)
+    # oracle-stable names (the op suffixes with the metric column name)
+    return out.toDF(
+        "lang", "n_docs", "total_chars", "mean_chars",
+        "p50_chars", "p90_chars", "min_chars", "max_chars",
     )
 
 

@@ -54,3 +54,46 @@ def sample_stratified(
             F.col(strata_col) == stratum, F.lit(int(round(f * SCALE)))
         ).otherwise(expr)
     return df.where(uniform_hash(F.col(key_col), seed) < expr)
+
+
+def stratum_stats(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    metric_col: str = "n_chars",
+    percentiles: tuple[float, ...] = (0.5, 0.9),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-stratum corpus statistics — the mixing report read before
+    choosing ``sample_stratified`` fractions. One shuffle on the stratum
+    key; counts/sums/min/max are map-side combined.
+
+    Percentile modes (round-4 verdict task #8):
+
+    - ``exact=True`` (default, what the DuckDB oracle gates): Spark's
+      ``percentile()`` — exact interpolated quantiles, buffers grow with
+      the number of DISTINCT metric values. Fine for bounded-domain
+      integer metrics (char/token counts); wrong tool for continuous or
+      high-cardinality metrics at 100 TB.
+    - ``exact=False``: ``approx_percentile()`` (Greenwald-Khanna), O(
+      accuracy) state per stratum regardless of corpus size — the
+      production path for float scores (perplexity, quality) where an
+      exact buffer would hold billions of distinct values per stratum.
+      Not oracle-gated (DuckDB's approx sketch differs), so it is pinned
+      by a tolerance pytest against the exact path instead.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
+    pct = [
+        F.round(F.expr(f"{fn}({metric_col}, {p}{extra})").cast("double"), 4)
+        .alias(f"p{int(p * 100)}_{metric_col}")
+        for p in percentiles
+    ]
+    return df.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(metric_col).cast("long").alias(f"total_{metric_col}"),
+        F.round(F.avg(metric_col), 4).alias(f"mean_{metric_col}"),
+        *pct,
+        F.min(metric_col).cast("long").alias(f"min_{metric_col}"),
+        F.max(metric_col).cast("long").alias(f"max_{metric_col}"),
+    )

@@ -388,6 +388,39 @@ class TestStratifiedSampling:
         for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "SortAggregate"):
             assert bad not in plan, plan
 
+    def test_stratum_stats_approx_escape_hatch(self, spark):
+        """exact=False swaps percentile() for approx_percentile() (round-4
+        verdict task #8): bounded O(accuracy) state per stratum instead of
+        buffers that grow with distinct metric values — the production path
+        for continuous metrics. Pinned by tolerance against the exact path
+        (the DuckDB oracle keeps gating exact mode only) and by the plan
+        (the approx plan must not contain the exact Percentile aggregate)."""
+        from table2qb_spark.ops.sampling import stratum_stats
+
+        rows = [(i, f"t{i}", ["en", "de"][i % 2], "s", (i * 37) % 1000)
+                for i in range(2000)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        exact = {r["lang"]: r for r in stratum_stats(docs, exact=True).collect()}
+        approx = {r["lang"]: r for r in stratum_stats(docs, exact=False).collect()}
+        assert set(exact) == set(approx) == {"en", "de"}
+        for lang in exact:
+            e, a = exact[lang], approx[lang]
+            # non-percentile columns are identical algebraic aggregates
+            for c in ("n_docs", "total_n_chars", "mean_n_chars",
+                      "min_n_chars", "max_n_chars"):
+                assert e[c] == a[c], c
+            # GK sketch at accuracy=10000 over 1000 distinct values: within
+            # 1% of the metric range of the exact interpolated quantile
+            for c in ("p50_n_chars", "p90_n_chars"):
+                assert abs(e[c] - a[c]) <= 10, (c, e[c], a[c])
+        import re
+        plan = stratum_stats(docs, exact=False)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "approx_percentile" in plan, plan
+        assert not re.search(r"(?<!approx_)percentile\(", plan), plan
+
 
 class TestBm25Retrieval:
     def test_ranking_and_determinism(self, spark):
