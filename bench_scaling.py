@@ -138,6 +138,44 @@ print("GEN_RESULT " + json.dumps({{"flat_write_sec": round(t_flat, 1),
     return {}
 
 
+def host_probe(sample_sec: float = 1.0) -> dict:
+    """External-load snapshot taken immediately before a ladder level: 1-min
+    loadavg, whole-host CPU busy fraction over a short /proc/stat delta, and
+    MemAvailable. Round-4 verdict task #7: the 4v16 misses carried a
+    'uniformly slower 16c host' signature — logging the probe per level lets
+    a slow window be attributed to outside load instead of the engine."""
+    import time as _t
+
+    def stat():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+        return idle, sum(vals)
+
+    try:
+        i0, t0 = stat()
+        _t.sleep(sample_sec)
+        i1, t1 = stat()
+        busy = round(1.0 - (i1 - i0) / max(1, t1 - t0), 3)
+    except OSError:
+        busy = None
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    mem_avail_gb = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    mem_avail_gb = round(int(line.split()[1]) / 1024**2, 1)
+                    break
+    except OSError:
+        pass
+    return {"load1": load1, "cpu_busy": busy, "mem_avail_gb": mem_avail_gb}
+
+
 def run_level(cores: int, flat: str, bucketed: str, n_events: int, which: str = "shuffle") -> dict:
     """Run one parallelism level in a fresh JVM, hard-pinned to `cores` CPUs
     with taskset — local[8] alone would still let GC/JIT/shuffle-IO threads
@@ -151,10 +189,13 @@ def run_level(cores: int, flat: str, bucketed: str, n_events: int, which: str = 
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     env.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    probe = host_probe()
     proc = subprocess.run(cmd, capture_output=True, text=True, check=True, env=env)
     for line in proc.stdout.splitlines():
         if line.startswith("CHILD_RESULT "):
-            return json.loads(line[len("CHILD_RESULT "):])
+            out = json.loads(line[len("CHILD_RESULT "):])
+            out[which]["host_probe"] = probe
+            return out
     raise RuntimeError(f"no result from child (cores={cores}): {proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
 
 
@@ -206,18 +247,22 @@ def main():
     }
     print(json.dumps(out))
 
+    def fmt_probe(r):
+        p = r.get("host_probe") or {}
+        return f"load {p.get('load1')}, busy {p.get('cpu_busy')}"
+
     lines = "\n".join(
-        f"| shuffle | {c} | {shuf[c]['seconds']} | {shuf[c]['events_per_sec']:,.0f} | {shuf[c]['all_seconds']} |"
+        f"| shuffle | {c} | {shuf[c]['seconds']} | {shuf[c]['events_per_sec']:,.0f} | {shuf[c]['all_seconds']} | {fmt_probe(shuf[c])} |"
         for c in levels
     ) + "\n" + "\n".join(
-        f"| bucketed | {c} | {buck[c]['seconds']} | {buck[c]['events_per_sec']:,.0f} | {buck[c]['all_seconds']} |"
+        f"| bucketed | {c} | {buck[c]['seconds']} | {buck[c]['events_per_sec']:,.0f} | {buck[c]['all_seconds']} | {fmt_probe(buck[c])} |"
         for c in (8, 32)
     )
     eff_line = ", ".join(f"{k} {v:.3f}" for k, v in eff.items())
     md = f"""## Scaling ladder ({n_events:,} events, taskset-pinned fresh JVMs, min of 5 after 2 warmups)
 
-| path | cores | best s | events/sec | raw seconds |
-|---|---|---|---|---|
+| path | cores | best s | events/sec | raw seconds | host probe at level start |
+|---|---|---|---|---|---|
 {lines}
 
 **N-vs-4N efficiency = throughput(4N) / (4 x throughput(N)): {eff_line}**

@@ -159,6 +159,11 @@ def q_uri_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         uri_template_expr(
             "http://ex.org/s{?label}", {"label": F.col("label")}
         ).alias("query_uri"),
+        # :N prefix modifier (RFC 6570 2.4.1): truncate the VALUE before
+        # percent-encoding
+        uri_template_expr(
+            "http://ex.org/t/{label:7}", {"label": F.col("label")}
+        ).alias("trunc_uri"),
     )
 
 
@@ -930,7 +935,8 @@ ORACLES: dict[str, str] = {
                'http://ex.org/raw/cn#cn8_' || CAST(p_partkey AS VARCHAR) || '/def' AS raw_uri,
                'http://ex.org/l/' || replace(p_name, ' ', '%20') AS label_uri,
                'http://ex.org/page#cn#cn8_' || CAST(p_partkey AS VARCHAR) AS frag_uri,
-               'http://ex.org/s?label=' || replace(p_name, ' ', '%20') AS query_uri
+               'http://ex.org/s?label=' || replace(p_name, ' ', '%20') AS query_uri,
+               'http://ex.org/t/' || replace(substr(p_name, 1, 7), ' ', '%20') AS trunc_uri
         FROM part
     """,
     "typed_observations": f"""

@@ -69,7 +69,7 @@ def domain_data(domain: str) -> str:
 # {?var} {&var}
 # ---------------------------------------------------------------------------
 
-_TEMPLATE_TOKEN = re.compile(r"\{([+#./;?&]?)([A-Za-z0-9_]+)\}")
+_TEMPLATE_TOKEN = re.compile(r"\{([+#./;?&]?)([A-Za-z0-9_]+)(?::(\d+))?\}")
 # syntactic check: balanced single-level braces, any RFC 6570 level-2/3
 # operator with a single simple variable (optionally a :N prefix modifier) —
 # the reference validates templates through csv2rdf's full parser
@@ -154,9 +154,14 @@ def uri_template_expr(
     for m in _TEMPLATE_TOKEN.finditer(template):
         if m.start() > pos:
             parts.append(F.lit(template[pos : m.start()]))
-        op, var = m.group(1), m.group(2)
+        op, var, maxlen = m.group(1), m.group(2), m.group(3)
         prefix, encode, named = _OP_RULES[op]
         col = (columns or {}).get(var, F.col(var))
+        if maxlen:
+            # :N prefix modifier truncates the VALUE before encoding
+            # (RFC 6570 §2.4.1) — validated-but-unexpanded would silently
+            # leave '{var:N}' literal in the output URI
+            col = F.substring(col, 1, int(maxlen))
         if encode:
             col = pct_encode_pd(col) if encoder == "pandas" else pct_encode_expr(col)
         if prefix:
@@ -174,9 +179,11 @@ def expand_template_py(template: str, row: dict[str, str]) -> str:
     """Driver-side scalar twin (for metadata records and oracles)."""
 
     def repl(m: re.Match) -> str:
-        op, var = m.group(1), m.group(2)
+        op, var, maxlen = m.group(1), m.group(2), m.group(3)
         prefix, encode, named = _OP_RULES[op]
         v = str(row.get(var, ""))
+        if maxlen:
+            v = v[: int(maxlen)]
         if encode:
             v = _pct_encode_py(v)
         return prefix + (f"{var}=" if named else "") + v

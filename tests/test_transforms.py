@@ -141,6 +141,10 @@ def test_uri_template_extended_operators(spark):
         "http://x/m{;v}": "http://x/m;v=a%20b%23c",
         "http://x/s{?v}": "http://x/s?v=a%20b%23c",
         "http://x/s?a=1{&v}": "http://x/s?a=1&v=a%20b%23c",
+        # :N prefix modifier truncates the value BEFORE encoding
+        # (RFC 6570 2.4.1); previously validated but silently unexpanded
+        "http://x/t/{v:3}": "http://x/t/a%20b",
+        "http://x/t/{+v:4}": "http://x/t/a b#",
     }
     df = spark.createDataFrame([("a b#c",)], ["v"])
     got = df.select(
