@@ -720,6 +720,19 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_groups(pairs)
 
 
+def q_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive groups as ``dedup_groups`` but via the alternating
+    large-star/small-star contraction (ops/dedup.star_groups) — the
+    diameter-independent path duplicate_groups escalates to for deep
+    components. Shares dedup_groups' recursive-CTE oracle: THREE independent
+    algorithms (min-label, star contraction, transitive closure) must agree
+    on the same fixpoint."""
+    pairs = dedup.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, n=3
+    )
+    return dedup.star_groups(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_dedup(_t(spark, sf_dir, "documents"), bits=60)
 
@@ -1627,6 +1640,10 @@ ORACLES["dedup_groups"] = f"""
     FROM reach GROUP BY src
 """
 
+# star_groups computes the identical fixpoint by a different algorithm;
+# the oracle is the same transitive closure.
+ORACLES["dedup_groups_star"] = ORACLES["dedup_groups"]
+
 # End-to-end prep composite: one CTE chain mirroring prepare_training_data's
 # fused plan stage by stage — exact dedup (md5(text) keeper), benchmark
 # 4-gram decontamination (%50 slice; benchmark docs themselves stay), token/
@@ -1732,6 +1749,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_mapping": q_dedup_mapping,
     "dedup_groups": q_dedup_groups,
+    "dedup_groups_star": q_dedup_groups_star,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,

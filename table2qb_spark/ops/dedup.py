@@ -186,11 +186,103 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _large_star(canon: DataFrame) -> DataFrame:
+    """One large-star round over a canonical (a<b) edge set: every node's
+    strictly-LARGER neighbors are re-attached to the minimum of its
+    neighborhood (min(Γ(u) ∪ {u})). Emitted pairs are already canonical
+    because m(u) <= u < v. One groupBy + one equi-join, both on node id."""
+    sym = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    m = sym.groupBy("a").agg(F.least(F.first("a"), F.min("b")).alias("m"))
+    return (
+        sym.where(F.col("b") > F.col("a"))
+        .join(m, "a")
+        .select(F.col("m").alias("a"), F.col("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(canon: DataFrame) -> DataFrame:
+    """One small-star round: every node's SMALLER-or-equal neighbors (plus
+    the node itself) are attached to the minimum of its smaller
+    neighborhood. Operates on the b-side of canonical pairs (b is the larger
+    endpoint, so Γ⁻(b) = all its canonical partners a < b)."""
+    m = canon.groupBy("b").agg(F.min("a").alias("m"))
+    attach_nbrs = (
+        canon.join(m, "b")
+        .select(F.col("m").alias("na"), F.col("a").alias("nb"))
+        .where(F.col("na") != F.col("nb"))
+    )
+    attach_self = m.select(F.col("m").alias("na"), F.col("b").alias("nb"))
+    return (
+        attach_nbrs.unionByName(attach_self)
+        .select(
+            F.least("na", "nb").alias("a"), F.greatest("na", "nb").alias("b")
+        )
+        .distinct()
+    )
+
+
+def star_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14
+    — public algorithm): converges in O(log²ⁿ) rounds INDEPENDENT of
+    component diameter, so adversarially deep near-dup chains (the failure
+    mode that exhausts ``duplicate_groups``'s min-label loop) finish in a
+    handful of rounds. Per round: two groupBy-min + one equi-join, all keyed
+    on node id — AQE co-partitions them; ``localCheckpoint`` truncates
+    lineage. At fixpoint the edge set is a union of stars centered at each
+    component's minimum id; group_id(v) = min(Γ(v) ∪ {v}) on that star set.
+
+    Same output contract as ``duplicate_groups``: (doc_id, group_id), one
+    row per node that appears in any pair."""
+    canon = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Nodes must survive contraction even if all their edges collapse into a
+    # star early (they do: star edges (root, v) persist until fixpoint).
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(canon)).localCheckpoint(eager=True)
+        delta = (
+            nxt.exceptAll(canon).limit(1).count()
+            + canon.exceptAll(nxt).limit(1).count()
+        )
+        prev, canon = canon, nxt
+        if delta == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star_groups did not reach a fixpoint in max_rounds={max_rounds} "
+            "rounds — not expected for any graph (O(log² n) bound); check "
+            "for non-deterministic ids in the pair input."
+        )
+    sym = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return sym.groupBy("a").agg(
+        F.least(F.first("a"), F.min("b")).alias("group_id")
+    ).select(F.col("a").alias("doc_id"), "group_id")
+
+
 def duplicate_groups(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    deep_fallback: bool = True,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: every document
     that appears in a pair gets ``group_id`` = the MIN doc id reachable
@@ -205,8 +297,11 @@ def duplicate_groups(
     Scale shape per round: one equi-join edges><labels + one min-agg (both
     shuffle on node id and co-partition after AQE), with
     ``localCheckpoint(eager)`` truncating lineage so plans don't grow with
-    rounds. For graphs with genuinely deep components switch to
-    large-star/small-star (O(log n) rounds) — not needed for dedup shapes.
+    rounds. If the loop exhausts ``max_iters`` with labels still moving (a
+    component deeper than ``max_iters`` — adversarial chains only), it
+    escalates to ``star_groups`` (large-star/small-star, diameter-independent
+    O(log² n) rounds) instead of returning silently SPLIT groups; set
+    ``deep_fallback=False`` to get the loud RuntimeError instead.
 
     Iterative => not SQL-expressible as one query; the DuckDB oracle uses a
     recursive CTE (transitive closure) instead — same fixpoint, different
@@ -253,12 +348,28 @@ def duplicate_groups(
         # Exhausted max_iters with labels still moving: a component whose
         # diameter exceeds max_iters would be silently SPLIT into several
         # groups (min-label moves one hop per round), which downstream
-        # keeps extra duplicates with no signal. Fail loudly instead.
+        # keeps extra duplicates with no signal.
+        if deep_fallback:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "duplicate_groups: %d labels still changing after "
+                "max_iters=%d (component diameter exceeds max_iters); "
+                "escalating to star_groups (diameter-independent).",
+                changed,
+                max_iters,
+            )
+            return star_groups(
+                pairs.select(
+                    F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
+                )
+            )
         raise RuntimeError(
             f"duplicate_groups did not converge within max_iters={max_iters} "
             f"({changed} labels still changing). A near-dup component's "
-            "diameter exceeds max_iters; raise max_iters or use a "
-            "large-star/small-star contraction for adversarially deep chains."
+            "diameter exceeds max_iters; raise max_iters or use "
+            "star_groups (large-star/small-star contraction) for "
+            "adversarially deep chains."
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")

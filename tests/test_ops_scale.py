@@ -184,16 +184,100 @@ class TestDuplicateGroups:
         }
         assert got == {6: 6, 7: 6, 8: 6, 9: 6}
 
-    def test_max_iters_nonconvergence_raises(self, spark):
-        """A component whose diameter exceeds max_iters must FAIL LOUDLY:
-        silently returning the truncated labels would split one dup group
-        into several, and prep's near-dedup would keep extra duplicates with
-        no signal (round-4 advice)."""
+    def test_max_iters_nonconvergence_raises_without_fallback(self, spark):
+        """With deep_fallback off, a component whose diameter exceeds
+        max_iters must FAIL LOUDLY: silently returning the truncated labels
+        would split one dup group into several, and prep's near-dedup would
+        keep extra duplicates with no signal (round-4 advice)."""
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
         )
         with pytest.raises(RuntimeError, match="did not converge"):
-            dedup.duplicate_groups(pairs, max_iters=2)
+            dedup.duplicate_groups(pairs, max_iters=2, deep_fallback=False)
+
+    def test_deep_chain_escalates_to_star_and_is_correct(self, spark):
+        """Default path on a chain deeper than max_iters: min-label exhausts
+        its rounds, escalates to star_groups, and still returns the CORRECT
+        single component — the round-4 silent-split failure mode is now
+        impossible by default."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 40)], ["id_a", "id_b"]
+        )
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup.duplicate_groups(pairs, max_iters=3).collect()
+        }
+        assert got == {i: 1 for i in range(1, 41)}
+
+
+def _union_find_groups(edges):
+    """Test-side reference: plain driver union-find over a small edge list."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical group = min id reachable == find() after full path compression
+    return {x: find(x) for x in parent}
+
+
+class TestStarGroups:
+    def test_chain_and_separate_pair(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+        )
+        got = {
+            r["doc_id"]: r["group_id"] for r in dedup.star_groups(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        """200-node chain: diameter 199, far beyond any per-hop budget, but
+        star contraction halves path lengths per round — must converge well
+        inside max_rounds=40 (O(log² n))."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 200)], ["id_a", "id_b"]
+        )
+        got = {
+            r["doc_id"]: r["group_id"] for r in dedup.star_groups(pairs).collect()
+        }
+        assert got == {i: 1 for i in range(1, 201)}
+
+    def test_random_graph_matches_union_find(self, spark):
+        """Deterministic pseudo-random graph vs a driver union-find."""
+        edges = []
+        x = 1
+        for i in range(300):
+            x = (x * 1103515245 + 12345) % (2**31)
+            a, b = x % 120, (x // 120) % 120
+            if a != b:
+                edges.append((a, b))
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["doc_id"]: r["group_id"] for r in dedup.star_groups(pairs).collect()
+        }
+        assert got == _union_find_groups(edges)
+
+    def test_matches_label_propagation_on_lsh_pairs(self, spark):
+        """Both algorithms agree on real MinHash-LSH candidate pairs."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        pairs = dedup.lsh_candidate_pairs(docs, k=8, bands=4, n=3)
+        star = {
+            r["doc_id"]: r["group_id"] for r in dedup.star_groups(pairs).collect()
+        }
+        label = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup.duplicate_groups(pairs).collect()
+        }
+        assert star == label and len(star) > 0
 
     def test_max_iters_sufficient_converges(self, spark):
         """The same chain with enough rounds converges normally."""
