@@ -1324,7 +1324,11 @@ ORACLES: dict[str, str] = {
         SELECT md5(fingerprint) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
         FROM fp GROUP BY 1
     """,
-    "dedup_minhash_lsh": """
+    # Same min-wise family as ops/dedup.minhash_signature: one md5 per
+    # shingle -> 32-bit base hash x -> K affine perms (a_i*x + b_i) mod p,
+    # coefficients imported from minhash_coeffs so both engines embed
+    # identical literals.
+    "dedup_minhash_lsh": f"""
         WITH toks AS (
           SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
           FROM documents
@@ -1335,19 +1339,16 @@ ORACLES: dict[str, str] = {
                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
           FROM toks WHERE len(toks) >= 3
         ),
+        xs AS (
+          SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS x FROM sh
+        ),
         sig AS (
           SELECT doc_id,
-                 min(md5('0|' || sh)) AS mh0, min(md5('1|' || sh)) AS mh1,
-                 min(md5('2|' || sh)) AS mh2, min(md5('3|' || sh)) AS mh3,
-                 min(md5('4|' || sh)) AS mh4, min(md5('5|' || sh)) AS mh5,
-                 min(md5('6|' || sh)) AS mh6, min(md5('7|' || sh)) AS mh7
-          FROM sh GROUP BY doc_id
+                 {", ".join(f"min((x * {a} + {b}) % {dedup._MH_PRIME}) AS mh{i}" for i, (a, b) in enumerate(dedup.minhash_coeffs(8)))}
+          FROM xs GROUP BY doc_id
         ),
         banded AS (
-          SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM sig
-          UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
-          UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
-          UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+          {" UNION ALL ".join(f"SELECT doc_id, {band} AS band, md5(CAST(mh{2 * band} AS VARCHAR) || '|' || CAST(mh{2 * band + 1} AS VARCHAR)) AS bh FROM sig" for band in range(4))}
         )
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id

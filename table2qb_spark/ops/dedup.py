@@ -51,16 +51,47 @@ def shingles_expr(c: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(df: DataFrame, text_col: str, id_col: str, k: int = 8, n: int = 3) -> DataFrame:
-    """K minhashes per doc: min over shingles of md5(i||'|'||shingle).
-    Implemented as explode -> ONE groupBy computing all K mins (map-side
-    partial agg; one shuffle of K×32B per doc)."""
-    sh = df.select(F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+_MH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (a_i odd < 2^31, b_i < 2^31) for
+    the min-wise family h_i(x) = (a_i*x + b_i) mod p. Knuth/xxhash
+    multiplicative constants; odd multiplier mod 2^31 => all a_i distinct.
+    Shared with the DuckDB oracle so both sides embed identical literals.
+    Bounds make the arithmetic overflow-free in SIGNED int64 on both
+    engines: x < 2^32, a < 2^31 => a*x + b < 2^63."""
+    return [
+        (
+            ((2654435761 * (i + 1)) % 2**31) | 1,
+            (2246822519 * (i + 1)) % 2**31,
+        )
         for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str, k: int = 8, n: int = 3) -> DataFrame:
+    """K minhashes per doc: ONE md5 per shingle (32-bit base hash x from the
+    first 8 hex chars) + K affine permutations min((a_i*x + b_i) mod p) —
+    Broder's min-wise family. The round-4 simhash lesson applied to minhash:
+    Spark does not CSE a non-cheap expression across the K min-aggregates,
+    so the previous min(md5(i||'|'||sh)) form paid K md5s per shingle
+    OCCURRENCE; the base hash now lives in its own projection and the aggs
+    fold cheap long arithmetic. Implemented as explode -> ONE groupBy
+    computing all K mins (map-side partial agg); the shuffled signature is
+    K x 8B longs per doc — 4x narrower than the md5-string form."""
+    sh = df.select(F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("sh"))
+    base = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long").alias("x"),
+    )
+    aggs = [
+        F.min(
+            (F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
