@@ -204,6 +204,7 @@ TASK_DESCRIPTIONS = {
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
     "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot N [--to-snapshot M]"),
     "cdc-verify": ("Prints a distributed content digest of the table", "Usage: table2qb cdc-verify --table DIR"),
+    "cdc-export": ("Exports table state (current or a snapshot) to parquet/CSV", "Usage: table2qb cdc-export --table DIR --out DIR [--snapshot N] [--buckets 0,1] [--columns a,b] [--format parquet|csv]"),
     "datagen": ("Writes a deterministic synthetic change log", "Usage: table2qb datagen --out DIR --events-n N"),
 }
 
@@ -521,6 +522,46 @@ def cmd_cdc_status(args) -> int:
     return 0
 
 
+def cmd_cdc_export(args) -> int:
+    """Dump the lake table state — current or time-travel (--snapshot),
+    optionally bucket-pruned and column-pruned — to parquet or CSV. The
+    read path is LakeTable.read (schema-version-mapped, column-id renames
+    applied), so an export at --snapshot N reproduces exactly what the
+    table looked like then. The reported row count comes from parquet
+    footers (metadata-only); CSV exports report rows=null rather than
+    paying a second pass."""
+    from table2qb_spark.lake.table import LakeTable
+    from table2qb_spark.ops.prep import _parquet_rows
+
+    _require_table(args.table)
+    spark = get_spark("cdc-export")
+    table = LakeTable(spark, args.table)
+    buckets = (
+        [int(b) for b in args.buckets.split(",")] if args.buckets else None
+    )
+    df = table.read(snapshot_id=args.snapshot, buckets=buckets)
+    if args.columns:
+        df = df.select(*[c.strip() for c in args.columns.split(",")])
+    rows = None
+    if args.format == "parquet":
+        df.write.mode("overwrite").parquet(args.out)
+        rows = _parquet_rows(args.out)
+    else:
+        # CSV has no footer metadata; counting would cost a second pass
+        # over the export, so rows stays null (same principle as prep's
+        # footer-only report counts).
+        df.write.mode("overwrite").option("header", "true").csv(args.out)
+    print(json.dumps({
+        "out": args.out,
+        "format": args.format,
+        "rows": rows,
+        "snapshot": (args.snapshot if args.snapshot is not None
+                     else table.current_snapshot_id()),
+        "buckets": buckets,
+    }))
+    return 0
+
+
 def cmd_datagen(args) -> int:
     from table2qb_spark.datagen import changelog as gen
 
@@ -583,6 +624,18 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--live", action="store_true",
                    help="hash the live view (tombstones excluded)")
     c.set_defaults(fn=cmd_cdc_verify)
+
+    c = sub.add_parser("cdc-export")
+    c.add_argument("--table", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--snapshot", type=int, default=None,
+                   help="time-travel: export the table as of this snapshot")
+    c.add_argument("--buckets", default=None,
+                   help="comma-separated bucket ids (prunes the read)")
+    c.add_argument("--columns", default=None,
+                   help="comma-separated column projection")
+    c.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    c.set_defaults(fn=cmd_cdc_export)
 
     c = sub.add_parser("prep-data")
     c.add_argument("--documents", required=True, help="input documents parquet")

@@ -54,6 +54,37 @@ def test_cli_datagen_and_replay(tmp_path):
     s = json.loads(status)
     assert s["summary"]["last_batch"] == 1
 
+    # cdc-export: current state to parquet (footer-counted rows), then a
+    # time-travel export at the first APPLIED snapshot (snapshot 1 is
+    # cdc-init's empty table, so the first batch lands as snapshot 2) —
+    # fewer or equal rows than current, proving the read resolves the OLD
+    # manifest set.
+    exp = str(tmp_path / "export")
+    out = subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "cdc-export",
+         "--table", table, "--out", exp],
+        capture_output=True, text=True, cwd="/root/repo", check=True, env=env,
+    ).stdout
+    e = json.loads(out.strip().splitlines()[-1])
+    assert e["rows"] == res["rows"] and e["snapshot"] == res["snapshot"]
+
+    exp_old = str(tmp_path / "export_old")
+    out = subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "cdc-export",
+         "--table", table, "--out", exp_old, "--snapshot", "2",
+         "--columns", "repo,path"],
+        capture_output=True, text=True, cwd="/root/repo", check=True, env=env,
+    ).stdout
+    e_old = json.loads(out.strip().splitlines()[-1])
+    assert e_old["snapshot"] == 2 and 0 < e_old["rows"] <= e["rows"]
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    cols = pq.read_schema(
+        _glob.glob(f"{exp_old}/*.parquet")[0]
+    ).names
+    assert cols == ["repo", "path"]
+
 
 def test_typed_view(spark, default_config, reference_available):
     src = example_csv("regional-trade", "input.csv")
