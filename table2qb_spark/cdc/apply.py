@@ -67,6 +67,8 @@ class ChangeLogReplayer:
         two_phase_dedup: bool = False,
         payload_col: str = "payload_json",
         events_format: str = "parquet",
+        dlq_dir: str | None = None,
+        valid_ops: tuple[str, ...] = ("I", "U", "D"),
     ):
         self.spark = spark
         self.table = table
@@ -91,6 +93,8 @@ class ChangeLogReplayer:
         self.batch_events = batch_events
         self.two_phase_dedup = two_phase_dedup
         self.payload_col = payload_col
+        self.dlq_dir = dlq_dir
+        self.valid_ops = tuple(valid_ops)
         self.metrics_path = os.path.join(table.path, "_meta", "metrics.jsonl")
 
     # ----- checkpointing -----------------------------------------------------
@@ -140,6 +144,47 @@ class ChangeLogReplayer:
         start = lo + batch_index * self.batch_events
         return start, start + self.batch_events - 1
 
+    # ----- dead-letter queue ----------------------------------------------------
+
+    def _quarantine(
+        self, batch: DataFrame, batch_index: int, commit_id: str
+    ) -> tuple[DataFrame, int]:
+        """Split a batch slice into (valid, quarantined). A malformed change
+        event — unknown/null ``op``, null key column, null ``seq`` — would
+        otherwise be either silently mis-applied (an op outside the
+        vocabulary falls through merge's delete test and UPSERTS; a
+        null-keyed event becomes a live (null, ..) row) or silently dropped
+        (a null seq matches no batch range, ever). With ``dlq_dir`` set they
+        are written to ``dlq_dir/<commit_id>/`` with a ``dlq_reason`` column
+        and excluded from the merge.
+
+        Exactly-once: the DLQ write is mode=overwrite keyed by commit_id, so
+        a crash-rerun of an uncommitted batch rewrites the same directory
+        (never duplicates), and a replay skipping an already-committed batch
+        never touches its DLQ dir. Null-seq events belong to NO seq range,
+        so batch 0 claims them (a resume past batch 0 does not re-scan
+        them — their quarantine already happened in the original run).
+        Reported count is a parquet-footer read, not a second scan. Batch
+        path only; the streaming front-end's micro-batches come from
+        readStream and do their own source-level validation."""
+        reason = F.when(F.col(self.seq_col).isNull(), F.lit("null_seq")).when(
+            F.col(self.op_col).isNull() | ~F.col(self.op_col).isin(*self.valid_ops),
+            F.lit("bad_op"),
+        )
+        for k in self.table.snapshot().key_columns:
+            reason = reason.when(F.col(k).isNull(), F.lit(f"null_key:{k}"))
+        if batch_index == 0:
+            batch = batch.unionByName(
+                self.events.where(F.col(self.seq_col).isNull())
+            )
+        out = os.path.join(self.dlq_dir, commit_id)
+        batch.where(reason.isNotNull()).withColumn(
+            "dlq_reason", reason
+        ).write.mode("overwrite").parquet(out)
+        from table2qb_spark.ops.prep import _parquet_rows
+
+        return batch.where(reason.isNull()), _parquet_rows(out)
+
     # ----- single batch --------------------------------------------------------
 
     def apply_batch(self, batch_index: int, lo: int, hi_total: int) -> BatchResult:
@@ -151,6 +196,9 @@ class ChangeLogReplayer:
         batch = self.events.where(
             (F.col(self.seq_col) >= start) & (F.col(self.seq_col) <= end)
         )
+        dlq_events = 0
+        if self.dlq_dir is not None:
+            batch, dlq_events = self._quarantine(batch, batch_index, commit_id)
         # per-row invariant (BASELINE input_hint): content sha256 computed at
         # ingest and stored alongside the row, so state verification never
         # needs to re-read content
@@ -186,6 +234,7 @@ class ChangeLogReplayer:
             "seconds": round(elapsed, 3),
             "events_per_sec": round((end - start + 1) / elapsed, 1) if elapsed else None,
             "lag_events": max(0, hi_total - end),
+            "dlq_events": dlq_events,
             "ts": time.time(),
         }
         with open(self.metrics_path, "a", encoding="utf-8") as f:

@@ -770,6 +770,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup keep-one-per-epsilon-neighborhood over the same IVF cells
+    # and threshold as embedding_neardup (synthetic 64-dim embeddings top
+    # out around cosine 0.51, so 0.35 plays the paper's 1-eps role here).
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.semantic_dedup(
+        emb, threshold=0.35, centroids=ann.seed_centroids(emb, 8)
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
@@ -1481,6 +1491,33 @@ ORACLES: dict[str, str] = {
         FROM assigned a JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.35
     """,
+    "semantic_dedup": """
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings ORDER BY vec_id LIMIT 8
+        ),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                              c.centroid_id ASC
+                   ) AS r
+            FROM embeddings e CROSS JOIN cent c
+          ) WHERE r = 1
+        ),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.35
+        ),
+        keepers AS (
+          SELECT id_b, min(id_a) AS keeper FROM pairs GROUP BY id_b
+        )
+        SELECT e.vec_id, coalesce(k.keeper, e.vec_id) AS keeper_id,
+               k.keeper IS NULL AS kept
+        FROM embeddings e LEFT JOIN keepers k ON e.vec_id = k.id_b
+    """,
     "multimodal_meta": """
         SELECT doc_id AS media_id, 'blob' AS kind,
                octet_length(encode(text)) AS byte_len,
@@ -1756,6 +1793,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_dedup": q_semantic_dedup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_headers": q_multimodal_headers,
     "multimodal_av_headers": q_multimodal_av_headers,

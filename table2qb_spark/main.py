@@ -197,7 +197,7 @@ TASK_DESCRIPTIONS = {
     "cube-pipeline": ("Generates cube RDF-shaped tables for the given input CSV", "Usage: table2qb cube-pipeline --input-csv F --dataset-name N --dataset-slug S --column-config C"),
     "prep-data": ("Runs the training-data preparation composite", "Usage: table2qb prep-data --input DIR --output DIR [stages...]"),
     "cdc-init": ("Creates a lake table", "Usage: table2qb cdc-init --table DIR --buckets N"),
-    "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR"),
+    "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR [--dlq DIR]"),
     "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR"),
     "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR"),
     "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR"),
@@ -472,15 +472,21 @@ def cmd_cdc_replay(args) -> int:
     replayer = ChangeLogReplayer(
         spark, table, args.events, batch_events=args.batch_events,
         two_phase_dedup=args.salted_dedup, events_format=args.events_format,
+        dlq_dir=args.dlq,
     )
     results = replayer.run(max_batches=args.max_batches)
     applied = [r for r in results if not r.skipped]
-    print(json.dumps({
+    out = {
         "batches_applied": len(applied),
         "batches_skipped": len(results) - len(applied),
         "rows": table.row_count(),
         "snapshot": table.current_snapshot_id(),
-    }))
+    }
+    if args.dlq is not None:
+        out["dlq_events"] = sum(
+            r.stats.get("dlq_events", 0) for r in applied
+        )
+    print(json.dumps(out))
     return 0
 
 
@@ -726,6 +732,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--batch-events", type=int, default=1_000_000)
     c.add_argument("--max-batches", type=int, default=None)
     c.add_argument("--salted-dedup", action="store_true")
+    c.add_argument("--dlq", default=None, metavar="DIR",
+                   help="quarantine malformed events (bad op / null key / "
+                        "null seq) to DIR/<commit_id>/ instead of "
+                        "mis-applying or dropping them")
     c.set_defaults(fn=cmd_cdc_replay)
 
     c = sub.add_parser("cdc-stream")

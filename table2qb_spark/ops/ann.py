@@ -307,3 +307,55 @@ def cosine_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    centroids: DataFrame | None = None,
+    n_centroids: int | None = None,
+    target_cell_size: int = 1024,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540 — public
+    method): drop documents whose EMBEDDINGS are near-identical, keeping one
+    representative per epsilon-neighborhood. Lexical dedup (minhash/simhash)
+    misses paraphrases; this catches them via the embedding space.
+
+    Returns one row per corpus vector: ``(id, keeper_id, kept)`` —
+    ``kept`` is false iff a SMALLER-id vector in the same IVF cell has
+    cosine >= threshold (the paper's greedy keep-one, with min-id as the
+    deterministic tie-break instead of its random choice, which keeps the
+    operator SQL-oracle-able); ``keeper_id`` is the smallest such neighbor
+    (the row itself when kept). Like the paper's per-cluster algorithm the
+    keeper link is ONE hop: in an a<b<c chain where (a,b) and (b,c) pair
+    but (a,c) don't, c's keeper is the removed b — pipe the pairs through
+    ``dedup.star_groups`` when a transitive group id is needed.
+
+    Scale shape: exactly ``cosine_neardup_pairs``'s IVF equi-join (the
+    quadratic pairing is confined to one centroid cell; no all-pairs), plus
+    one min-agg on id_b and one left join back to the corpus — both keyed
+    on the vector id, AQE-co-partitioned. Nothing corpus-sized is
+    broadcast or collected."""
+    pairs = cosine_neardup_pairs(
+        corpus,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+        centroids=centroids,
+        n_centroids=n_centroids,
+        target_cell_size=target_cell_size,
+    )
+    keepers = pairs.groupBy("id_b").agg(F.min("id_a").alias("__keeper"))
+    return (
+        corpus.join(keepers, corpus[id_col] == keepers["id_b"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__keeper"), F.col(id_col)).alias("keeper_id"),
+            F.col("__keeper").isNull().alias("kept"),
+        )
+    )

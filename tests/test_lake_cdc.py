@@ -800,3 +800,64 @@ class TestConcurrentCommitSafety:
         monkeypatch.setenv("SPARK_GRAFT_ORPHAN_GRACE_SEC", "0")  # orphan is dead
         merge_upsert(t, b, "b2")
         assert {r["content"] for r in t.read().collect()} == {"v2"}
+
+
+class TestDeadLetterQueue:
+    def test_malformed_events_quarantined_not_applied(self, spark, tmp_path):
+        t = make_table(spark, tmp_path)
+        events = batch_df(
+            spark,
+            [
+                (1, "I", "r1", "a.py", "c1", "py", "v1"),
+                (2, "X", "r1", "b.py", "c2", "py", "v1"),     # bad op
+                (3, "I", None, "c.py", "c3", "py", "v1"),     # null key
+                (4, None, "r1", "d.py", "c4", "py", "v1"),    # null op
+                (None, "I", "r1", "e.py", "c5", "py", "v1"),  # null seq
+                (5, "U", "r1", "a.py", "c6", "py", "v2"),
+            ],
+        )
+        dlq = str(tmp_path / "dlq")
+        r = ChangeLogReplayer(
+            spark, t, events, batch_events=1000, dlq_dir=dlq
+        )
+        results = r.run()
+        assert sum(x.stats.get("dlq_events", 0) for x in results) == 4
+        state = {(row["repo"], row["path"]): row["content"] for row in t.read().collect()}
+        # only the two valid events reached the table: upsert won on a.py,
+        # none of b/c/d/e landed
+        assert state == {("r1", "a.py"): "v2"}
+        bad = spark.read.parquet(os.path.join(dlq, "cdc-00000000"))
+        reasons = {row["path"]: row["dlq_reason"] for row in bad.collect()}
+        assert reasons == {
+            "b.py": "bad_op",
+            "c.py": "null_key:repo",
+            "d.py": "bad_op",
+            "e.py": "null_seq",
+        }
+
+    def test_dlq_rerun_skips_committed_and_does_not_duplicate(self, spark, tmp_path):
+        t = make_table(spark, tmp_path)
+        events = batch_df(
+            spark,
+            [
+                (1, "I", "r1", "a.py", "c1", "py", "v1"),
+                (2, "X", "r1", "b.py", "c2", "py", "v1"),
+            ],
+        )
+        dlq = str(tmp_path / "dlq")
+        ChangeLogReplayer(spark, t, events, batch_events=1000, dlq_dir=dlq).run()
+        # re-replay: committed batch is skipped, DLQ dir untouched
+        res2 = ChangeLogReplayer(spark, t, events, batch_events=1000, dlq_dir=dlq).run()
+        assert all(x.skipped for x in res2)
+        bad = spark.read.parquet(os.path.join(dlq, "cdc-00000000"))
+        assert bad.count() == 1
+
+    def test_dlq_off_preserves_previous_behavior(self, spark, tmp_path):
+        """Without dlq_dir, a bad-op event falls through merge's delete test
+        and upserts (the pre-DLQ contract this feature exists to fix)."""
+        t = make_table(spark, tmp_path)
+        events = batch_df(
+            spark, [(1, "X", "r1", "b.py", "c2", "py", "v1")]
+        )
+        ChangeLogReplayer(spark, t, events, batch_events=1000).run()
+        assert t.read().count() == 1

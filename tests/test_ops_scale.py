@@ -920,3 +920,56 @@ class TestPiiScrub:
         plan = scrub_documents(docs)._jdf.queryExecution().executedPlan().toString()
         for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
             assert bad not in plan
+
+
+class TestSemanticDedup:
+    def test_keeper_semantics_on_planted_neighborhood(self, spark):
+        """Vectors 1/2/3 are near-identical (pairwise cosine ~1), 4 is
+        orthogonal-ish: 2 and 3 collapse onto keeper 1; 1 and 4 are kept."""
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.998, 0.02, 0.0]),
+            (4, [0.0, 1.0, 0.0]),
+        ]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = {
+            r["vec_id"]: (r["keeper_id"], r["kept"])
+            for r in ann.semantic_dedup(
+                corpus, threshold=0.95, centroids=ann.seed_centroids(corpus, 1)
+            ).collect()
+        }
+        assert out == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
+
+    def test_plan_is_ivf_equijoin_no_cartesian(self, spark, emb):
+        """Same scale contract as cosine_neardup_pairs: the quadratic
+        pairing is an equi-join on centroid_id; the only nested-loop nodes
+        are the tiny centroid probes; nothing corpus-sized is collected."""
+        out = ann.semantic_dedup(emb, threshold=0.35, n_centroids=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+    def test_one_hop_keeper_on_chain(self, spark):
+        """Documented one-hop contract: in an a<b<c chain where (a,b) and
+        (b,c) pair but (a,c) don't, c's keeper is the REMOVED b — transitive
+        closure is star_groups' job, not this operator's."""
+        import math
+
+        def unit(theta):
+            return [math.cos(theta), math.sin(theta), 0.0]
+
+        # angles 0, 16, 32 degrees: cos(16deg)~0.961 >= t, cos(32deg)~0.848 < t
+        rows = [(1, unit(0.0)), (2, unit(0.28)), (3, unit(0.56))]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = {
+            r["vec_id"]: (r["keeper_id"], r["kept"])
+            for r in ann.semantic_dedup(
+                corpus, threshold=0.95, centroids=ann.seed_centroids(corpus, 1)
+            ).collect()
+        }
+        assert out == {1: (1, True), 2: (1, False), 3: (2, False)}
