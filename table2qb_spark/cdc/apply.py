@@ -46,6 +46,25 @@ def _leaf_column_index(md, name: str) -> int:
     return -1
 
 
+def malformed_reason_expr(
+    op_col: str,
+    seq_col: str,
+    key_cols: list[str],
+    valid_ops: tuple[str, ...] = ("I", "U", "D"),
+):
+    """Null iff the event is well-formed; else the first failing check
+    ('null_seq' | 'bad_op' | 'null_key:<col>'). Shared by the batch
+    replayer's DLQ and the streaming front-end so both ingest paths
+    quarantine by identical rules."""
+    reason = F.when(F.col(seq_col).isNull(), F.lit("null_seq")).when(
+        F.col(op_col).isNull() | ~F.col(op_col).isin(*valid_ops),
+        F.lit("bad_op"),
+    )
+    for k in key_cols:
+        reason = reason.when(F.col(k).isNull(), F.lit(f"null_key:{k}"))
+    return reason
+
+
 @dataclass
 class BatchResult:
     batch_index: int
@@ -164,15 +183,16 @@ class ChangeLogReplayer:
         never touches its DLQ dir. Null-seq events belong to NO seq range,
         so batch 0 claims them (a resume past batch 0 does not re-scan
         them — their quarantine already happened in the original run).
-        Reported count is a parquet-footer read, not a second scan. Batch
-        path only; the streaming front-end's micro-batches come from
-        readStream and do their own source-level validation."""
-        reason = F.when(F.col(self.seq_col).isNull(), F.lit("null_seq")).when(
-            F.col(self.op_col).isNull() | ~F.col(self.op_col).isin(*self.valid_ops),
-            F.lit("bad_op"),
+        Reported count is a parquet-footer read, not a second scan. The
+        streaming front-end quarantines per micro-batch with the same
+        ``malformed_reason_expr`` (no batch-0 special case there: its
+        micro-batches are file-sliced, so null-seq rows do arrive)."""
+        reason = malformed_reason_expr(
+            self.op_col,
+            self.seq_col,
+            self.table.snapshot().key_columns,
+            self.valid_ops,
         )
-        for k in self.table.snapshot().key_columns:
-            reason = reason.when(F.col(k).isNull(), F.lit(f"null_key:{k}"))
         if batch_index == 0:
             batch = batch.unionByName(
                 self.events.where(F.col(self.seq_col).isNull())

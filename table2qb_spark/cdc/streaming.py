@@ -142,8 +142,18 @@ def start_stream(
     max_files_per_trigger: int | str = 8,
     payload_col: str = "payload_json",
     watermark_prefilter: bool = False,
+    dlq_dir: str | None = None,
 ):
     """Start the streaming ingest. Returns the StreamingQuery.
+
+    ``dlq_dir``: quarantine malformed events (bad op / null key / null seq
+    — ``cdc.apply.malformed_reason_expr``, the same rules as the batch
+    replayer's DLQ) to ``dlq_dir/<commit_id>/`` per micro-batch instead of
+    merging them; adds ``dlq_events`` to the metrics row. Exactly-once: the
+    quarantine write happens before the merge commit and is
+    mode=overwrite keyed by the micro-batch commit_id, so a crash-redelivery
+    rewrites the same directory and an already-committed micro-batch is
+    skipped before any write.
 
     ``watermark_prefilter``: drop duplicate/stale events IN the stream with
     the stateful per-key high-watermark operator (cdc/stateful.py) before
@@ -207,6 +217,20 @@ def start_stream(
             batch_df = batch_df.withColumn(
                 "content_sha", F.sha2(F.col("content"), 256)
             )
+        dlq_events = 0
+        if dlq_dir is not None:
+            from table2qb_spark.cdc.apply import malformed_reason_expr
+            from table2qb_spark.ops.prep import _parquet_rows
+
+            reason = malformed_reason_expr(
+                op_col, seq_col, table.snapshot().key_columns
+            )
+            out_dir = os.path.join(dlq_dir, commit_id)
+            batch_df.where(reason.isNotNull()).withColumn(
+                "dlq_reason", reason
+            ).write.mode("overwrite").parquet(out_dir)
+            dlq_events = _parquet_rows(out_dir)
+            batch_df = batch_df.where(reason.isNull())
         flat = reconcile_and_flatten(table, batch_df, commit_id, payload_col)
         stats = merge_upsert(
             table,
@@ -234,6 +258,7 @@ def start_stream(
             "seconds": round(elapsed, 3),
             "events_per_sec": round(n_events / elapsed, 1) if elapsed else None,
             "max_seq": (table.snapshot().summary or {}).get("max_seq"),
+            "dlq_events": dlq_events,
             "ts": time.time(),
         }
         metrics_path = os.path.join(table.path, "_meta", "metrics.jsonl")

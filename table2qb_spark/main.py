@@ -198,7 +198,7 @@ TASK_DESCRIPTIONS = {
     "prep-data": ("Runs the training-data preparation composite", "Usage: table2qb prep-data --input DIR --output DIR [stages...]"),
     "cdc-init": ("Creates a lake table", "Usage: table2qb cdc-init --table DIR --buckets N"),
     "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR [--dlq DIR]"),
-    "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR"),
+    "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR [--dlq DIR]"),
     "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR"),
     "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR"),
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
@@ -497,7 +497,9 @@ def cmd_cdc_stream(args) -> int:
     _require_table(args.table)
     spark = get_spark("cdc-stream")
     table = LakeTable(spark, args.table)
-    run_stream_to_completion(spark, table, args.events, args.checkpoint)
+    run_stream_to_completion(
+        spark, table, args.events, args.checkpoint, dlq_dir=args.dlq
+    )
     print(json.dumps({"rows": table.row_count(), "snapshot": table.current_snapshot_id()}))
     return 0
 
@@ -742,6 +744,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--table", required=True)
     c.add_argument("--events", required=True)
     c.add_argument("--checkpoint", required=True)
+    c.add_argument("--dlq", default=None, metavar="DIR",
+                   help="quarantine malformed events per micro-batch "
+                        "(same rules as cdc-replay --dlq)")
     c.set_defaults(fn=cmd_cdc_stream)
 
     c = sub.add_parser("cdc-status")

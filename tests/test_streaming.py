@@ -251,3 +251,42 @@ def test_watermark_prefilter_requires_seq_guarded_table(
             spark, plain, stream_events, str(tmp_path / "c3"),
             watermark_prefilter=True,
         )
+
+
+def test_stream_dlq_quarantines_malformed_per_micro_batch(spark, tmp_path):
+    """Malformed events (bad op / null key / null seq) are written to
+    dlq_dir/<commit_id>/ with reasons and excluded from the merged state;
+    the metrics rows carry dlq_events."""
+    import json
+
+    ev = spark.createDataFrame(
+        [
+            (1, "I", "r1", "a.py", "c1", "py", "v1"),
+            (2, "X", "r1", "b.py", "c2", "py", "v1"),
+            (3, "I", None, "c.py", "c3", "py", "v1"),
+            (None, "I", "r1", "d.py", "c4", "py", "v1"),
+            (4, "U", "r1", "a.py", "c5", "py", "v2"),
+        ],
+        "seq long, op string, repo string, path string, commit string, lang string, content string",
+    )
+    events = str(tmp_path / "events")
+    ev.repartition(2, F.xxhash64(F.coalesce("seq", F.lit(-1)))).write.parquet(events)
+    t = create_stream_table(spark, str(tmp_path / "lake"), BASE_SCHEMA, KEYS, n_buckets=4)
+    dlq = str(tmp_path / "dlq")
+    run_stream_to_completion(
+        spark, t, events, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, dlq_dir=dlq,
+    )
+    state = {(r["repo"], r["path"]): r["content"] for r in t.read_live().collect()}
+    assert state == {("r1", "a.py"): "v2"}
+    bad = spark.read.parquet(os.path.join(dlq, "*"))
+    reasons = {r["path"]: r["dlq_reason"] for r in bad.collect()}
+    assert reasons == {
+        "b.py": "bad_op",
+        "c.py": "null_key:repo",
+        "d.py": "null_seq",
+    }
+    metrics_path = os.path.join(t.path, "_meta", "metrics.jsonl")
+    with open(metrics_path) as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    assert sum(r.get("dlq_events", 0) for r in rows) == 3
