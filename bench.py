@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
-# headline analytical queries (subset of the full 25 — the expensive shapes)
+# headline analytical queries (subset of the full 48 — the expensive shapes;
+# dedup_simhash_pairs is in to keep the hash-once signature win measured)
 BENCH_QUERIES = [
     "cube_observations",
     "observation_uri",
@@ -36,6 +37,8 @@ BENCH_QUERIES = [
     "text_analysis",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "semantic_dedup",
     "ann_cosine_topk",
     "pricing_summary",
 ]
