@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from table2qb_spark.session import get_spark
@@ -519,14 +520,25 @@ def cmd_cdc_status(args) -> int:
     spark = get_spark("cdc-status")
     table = LakeTable(spark, args.table)
     snap = table.snapshot()
-    print(json.dumps({
+    out = {
         "snapshot": snap.snapshot_id,
         "schema_version": snap.schema_version,
         "columns": [c["name"] for c in snap.current_schema()],
         "summary": snap.summary,
         "commits": snap.n_commits,
         "buckets_with_data": len(snap.files),
-    }, indent=2))
+    }
+    # DLQ observability: total quarantined events across both ingest paths
+    # (batch + stream metrics rows share the file); omitted when no ingest
+    # ever ran with a DLQ.
+    metrics_path = os.path.join(args.table, "_meta", "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+        dlq = [r["dlq_events"] for r in rows if "dlq_events" in r]
+        if dlq:
+            out["dlq_events_total"] = sum(dlq)
+    print(json.dumps(out, indent=2))
     return 0
 
 
