@@ -388,6 +388,8 @@ def cmd_prep_data(args) -> int:
         fractions=fractions, seq_len=args.seq_len, seed=args.seed,
         scrub_pii=args.scrub_pii, gopher_gates=args.gopher_gates,
         near_dedup_threshold=args.near_dedup,
+        embeddings_path=args.semantic_dedup,
+        semantic_threshold=args.semantic_threshold,
     )
     print(json.dumps(report))
     return 0
@@ -678,6 +680,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--seed", type=int, default=42)
     c.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/IPs/phone numbers with typed tokens")
+    c.add_argument("--semantic-dedup", default=None, metavar="EMB_PARQUET",
+                   help="also SemDeDup against a (doc_id, embedding) "
+                        "parquet: collapse docs whose embeddings share an "
+                        "epsilon-neighborhood (catches paraphrases)")
+    c.add_argument("--semantic-threshold", type=float, default=0.95,
+                   help="cosine threshold for --semantic-dedup")
     c.set_defaults(fn=cmd_prep_data)
 
     c = sub.add_parser("codelist-pipeline")

@@ -50,6 +50,8 @@ def prepare_training_data(
     scrub_pii: bool = False,
     gopher_gates: bool = False,
     near_dedup_threshold: float | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, packed): the filtered+sampled corpus with annotations,
     and its sequence-packing index.
@@ -64,7 +66,15 @@ def prepare_training_data(
     n-gram-Jaccard-verified at this threshold, transitive groups, keep the
     min-id doc per group). NOTE: the connected-components stage is
     iterative, so this option runs actions inside this function (the rest
-    of the pipeline stays one lazy plan per sink)."""
+    of the pipeline stays one lazy plan per sink).
+
+    ``embeddings``: also SEMANTIC-dedup (SemDeDup — ``ann.semantic_dedup``)
+    against a ``(doc_id, embedding)`` DataFrame: documents whose embeddings
+    sit within the same epsilon-neighborhood (cosine >= semantic_threshold
+    inside an IVF cell) collapse to their min-id keeper. Catches
+    paraphrases that lexical near-dedup misses. Runs AFTER the lexical
+    dedup stages; docs without an embedding row are kept (anti-join on the
+    REMOVED set, never a semi-join on embedding coverage)."""
     # keeper set is CORPUS-sized (one id per distinct document): a plain
     # semi-join (AQE picks the strategy) — forcing a broadcast here would
     # collect the whole corpus's ids to the driver
@@ -95,6 +105,21 @@ def prepare_training_data(
             .select("doc_id")
         )
         clean = clean.join(non_keepers, "doc_id", "left_anti")
+
+    if embeddings is not None:
+        # SemDeDup stage: the removed set (kept=false) is corpus-bounded,
+        # so the exclusion is a plain anti-join on doc_id (AQE picks the
+        # strategy; same no-forced-broadcast policy as the stages above).
+        from table2qb_spark.ops.ann import semantic_dedup
+
+        sem_removed = (
+            semantic_dedup(
+                embeddings, threshold=semantic_threshold, id_col="doc_id"
+            )
+            .where(~F.col("kept"))
+            .select("doc_id")
+        )
+        clean = clean.join(sem_removed, "doc_id", "left_anti")
 
     if benchmark is not None:
         contaminated = ngram_contamination(clean, benchmark, n=decontam_n).select(
@@ -161,11 +186,15 @@ def run_prep(
     documents_path: str,
     out_dir: str,
     benchmark_path: str | None = None,
+    embeddings_path: str | None = None,
     **kwargs,
 ) -> dict:
     docs = spark.read.parquet(documents_path)
     bench = spark.read.parquet(benchmark_path) if benchmark_path else None
-    clean, packed = prepare_training_data(docs, benchmark=bench, **kwargs)
+    emb = spark.read.parquet(embeddings_path) if embeddings_path else None
+    clean, packed = prepare_training_data(
+        docs, benchmark=bench, embeddings=emb, **kwargs
+    )
     os.makedirs(out_dir, exist_ok=True)
     clean_path = os.path.join(out_dir, "clean_docs")
     packed_path = os.path.join(out_dir, "packed_index")

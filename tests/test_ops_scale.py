@@ -692,6 +692,37 @@ class TestPrepPipeline:
         ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
         assert 1 in ids and 2 not in ids and 3 not in ids
 
+
+    def test_semantic_dedup_stage_drops_paraphrase_neighbors(self, spark):
+        """With an embeddings side table, SemDeDup collapses docs whose
+        embeddings share an epsilon-neighborhood; docs WITHOUT an embedding
+        row are kept (anti-join on the removed set, not a coverage
+        semi-join)."""
+        from table2qb_spark.ops.prep import prepare_training_data
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "s", "the cat sat on the mat in the sun today", 90),
+                (2, "en", "s", "a feline rested on the rug under sunshine", 90),
+                (3, "en", "s", "completely unrelated quarterly finance text", 90),
+                (4, "en", "s", "no embedding row for this document at all", 90),
+            ],
+            "doc_id long, lang string, source string, text string, n_chars int",
+        )
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),
+                (2, [0.999, 0.01, 0.0]),  # paraphrase of 1 in embedding space
+                (3, [0.0, 1.0, 0.0]),
+            ],
+            "doc_id long, embedding array<double>",
+        )
+        clean, _ = prepare_training_data(
+            docs, min_tokens=1, embeddings=emb, semantic_threshold=0.95
+        )
+        ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+        assert ids == {1, 3, 4}
+
     def test_parquet_rows_matches_spark_count(self, spark, tmp_path):
         from table2qb_spark.ops.prep import _parquet_rows
 
