@@ -692,6 +692,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_span_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-substring-dedup approximation: positions covered by corpus-hot
+    # trigrams (max_df=2 so the synthetic fixture's repeated sentence
+    # templates light up)
+    return dedup.duplicated_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=3, max_df=2
+    )
+
+
 def q_dedup_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-group mapping: every doc -> its group's keeper (min id per
     content hash) — the row-level companion to dedup_exact that a pipeline
@@ -1387,6 +1396,33 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 4) >= 0.2
     """,
+    "dedup_span_metrics": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+          FROM documents
+        ),
+        base AS (SELECT doc_id, len(toks) AS n_tokens FROM toks),
+        pg AS (
+          SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS pos, toks
+          FROM toks WHERE len(toks) >= 3
+        ),
+        grams AS (
+          SELECT doc_id, pos, toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS g
+          FROM pg
+        ),
+        hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 2),
+        cov AS (
+          SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS cpos
+          FROM grams WHERE g IN (SELECT g FROM hot)
+        ),
+        covc AS (SELECT doc_id, count(DISTINCT cpos) AS dup FROM cov GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(c.dup, 0)::BIGINT AS dup_tokens,
+               CASE WHEN b.n_tokens > 0
+                    THEN round(coalesce(c.dup, 0)::DOUBLE / b.n_tokens, 4)
+                    ELSE 0.0 END AS dup_frac
+        FROM base b LEFT JOIN covc c USING (doc_id)
+    """,
     "dedup_mapping": """
         SELECT doc_id,
                min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
@@ -1785,6 +1821,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_span_metrics": q_dedup_span_metrics,
     "dedup_mapping": q_dedup_mapping,
     "dedup_groups": q_dedup_groups,
     "dedup_groups_star": q_dedup_groups_star,

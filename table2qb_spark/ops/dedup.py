@@ -522,3 +522,71 @@ def simhash_candidate_pairs(
         )
         .distinct()
     )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int = 2,
+) -> DataFrame:
+    """Exact-substring-duplication metrics — the scalable approximation of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499 — public method): a
+    token position is DUPLICATED if some word n-gram covering it occurs
+    more than ``max_df`` times corpus-wide. Returns one row per document:
+    ``(id, n_tokens, dup_tokens, dup_frac)`` where dup_tokens counts the
+    positions covered by any hot n-gram. Downstream either drops docs above
+    a dup_frac threshold or strips the flagged spans; unlike whole-doc
+    near-dedup this catches PARTIAL duplication (boilerplate paragraphs,
+    quoted chunks, licence blocks) inside otherwise-unique documents.
+
+    Why not a real suffix array: it needs a global sort over every corpus
+    byte — the n-gram-occurrence form is two df-capped shuffles and matches
+    the suffix array exactly for duplicated runs of >= n tokens (shorter
+    duplications are below the dedup threshold anyway).
+
+    Scale shape: positional n-gram explode (the workload, same cost class
+    as the minhash shingle explode) -> one map-side-combined occurrence
+    count -> equi-join of grams against the hot set (strategy left to AQE —
+    the hot set is corpus-bounded, same no-forced-broadcast policy as
+    ``remove_boilerplate_lines``) -> per-doc distinct covered positions.
+    Nothing corpus-sized touches the driver."""
+    toks = df.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
+    base = toks.select(F.col(id_col), F.size("__toks").alias("n_tokens"))
+    grams = toks.where(F.size("__toks") >= n).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.array_join(F.slice("__toks", i + 1, n), " "),
+            )
+        ).alias("pos", "g"),
+    )
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") > max_df)
+        .select("g")
+    )
+    cov = grams.join(hot, "g").select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cpos"),
+    )
+    covc = cov.groupBy(id_col).agg(F.countDistinct("cpos").alias("__dup"))
+    return base.join(covc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce(F.col("__dup"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

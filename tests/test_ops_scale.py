@@ -1004,3 +1004,56 @@ class TestSemanticDedup:
             ).collect()
         }
         assert out == {1: (1, True), 2: (1, False), 3: (2, False)}
+
+
+class TestDuplicatedNgramSpans:
+    def test_partial_duplication_is_flagged_positionally(self, spark):
+        """A boilerplate sentence shared by 3 docs lights up exactly its
+        token span; unique tails stay unflagged. Doc 4 is fully unique."""
+        boiler = "this block is repeated across many documents verbatim"
+        docs = spark.createDataFrame(
+            [
+                (1, boiler + " unique tail one here"),
+                (2, boiler + " second tail differs entirely"),
+                (3, boiler + " third distinct ending text"),
+                (4, "wholly original content with no repeats at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.duplicated_ngram_spans(docs, n=3, max_df=2).collect()
+        }
+        # boiler = 8 tokens, fully covered by hot trigrams in all 3 docs;
+        # each doc has 12 tokens total
+        for d in (1, 2, 3):
+            assert out[d]["n_tokens"] == 12
+            assert out[d]["dup_tokens"] == 8, out[d]
+            assert abs(out[d]["dup_frac"] - 8 / 12) < 1e-3
+        assert out[4]["dup_tokens"] == 0 and out[4]["dup_frac"] == 0.0
+
+    def test_short_and_empty_docs_survive(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "two words"), (2, ""), (3, "   ")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.duplicated_ngram_spans(docs, n=3, max_df=1).collect()
+        }
+        assert out[1]["dup_tokens"] == 0 and out[1]["n_tokens"] == 2
+        assert out[2]["dup_frac"] == 0.0 and out[3]["dup_frac"] == 0.0
+
+    def test_no_cartesian_and_df_cap_prunes(self, spark):
+        """Plan audit: only equi-joins (gram, doc_id); the hot-set join
+        strategy is AQE's choice — no forced broadcast, no nested loop."""
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta tail{i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        plan = (
+            dedup.duplicated_ngram_spans(docs, n=3, max_df=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
