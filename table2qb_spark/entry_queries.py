@@ -789,6 +789,72 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup (ops/dedup.cross_dedup): the batch
+    slice (doc_id % 3 == 0) deduped against the rest of the corpus over
+    the canonical fingerprint — distinct-hash anti-join + within-batch
+    min-id collapse, the per-batch dedup stage of a continuously-ingesting
+    CDC pipeline."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.fingerprint_expr(F.col("text")).alias("text")
+    )
+    incoming = docs.where(F.col("doc_id") % 3 == 0)
+    existing = docs.where(F.col("doc_id") % 3 != 0)
+    return dedup.cross_dedup(incoming, existing)
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-paragraph removal (ops/text.dedup_paragraphs,
+    CCNet/RefinedWeb prep stage): keep only the FIRST occurrence of every
+    paragraph corpus-wide and rebuild each doc's text. The synthetic docs
+    are one-line word soup, so paragraph breaks are derived at ' a '
+    (same trick as boilerplate_removal) in both engines."""
+    from table2qb_spark.ops.text import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    structured = docs.select(
+        "doc_id", F.regexp_replace(F.col("text"), " a ", "\n").alias("text")
+    )
+    return dedup_paragraphs(structured, sep="\n")
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary report (ops/text.vocab_topk): top-30 tokens by
+    corpus term frequency with document frequency — two map-side-combined
+    aggregates + TakeOrderedAndProject, total (tf, df, token) order so the
+    k-boundary is deterministic."""
+    from table2qb_spark.ops.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=30)
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data export
+    (ops/sampling.assign_shards): md5-draw shard in [0,8) + in-shard
+    position, a pure function of (doc_id, seed) — reproducible sharding
+    on any engine at any parallelism."""
+    from table2qb_spark.ops.sampling import assign_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_shards(docs, n_shards=8, key_col="doc_id", seed=7)
+
+
+def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (ops/decontam.embedding_contamination): corpus vectors (vec_id % 10
+    != 0) within cosine 0.35 of any 'benchmark' vector (vec_id % 10 == 0),
+    matched through the same 8 seed-centroid IVF cells as
+    embedding_neardup — semantic leakage that n-gram collision misses."""
+    from table2qb_spark.ops.decontam import embedding_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 10 == 0)
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    return embedding_contamination(
+        corpus, bench, threshold=0.35, centroids=ann.seed_centroids(emb, 8)
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
@@ -1682,6 +1748,85 @@ ORACLES: dict[str, str] = {
                CASE kind WHEN 'audio' THEN 8000 * (1 + ('0x' || substr(h, 5, 2))::INT % 6) END AS sample_rate
         FROM m
     """,
+    "dedup_cross": f"""
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(md5(array_to_string(list_sort(list_distinct({SQL_TOKENS.format(x='text')})), ' '))) AS content_hash
+          FROM documents
+        ),
+        incoming AS (SELECT * FROM fp WHERE doc_id % 3 = 0),
+        existing AS (SELECT DISTINCT content_hash FROM fp WHERE doc_id % 3 <> 0)
+        SELECT min(i.doc_id) AS doc_id, i.content_hash, count(*) AS batch_copies
+        FROM incoming i ANTI JOIN existing e ON i.content_hash = e.content_hash
+        GROUP BY i.content_hash
+    """,
+    "dedup_paragraphs": """
+        WITH s AS (
+          SELECT doc_id,
+                 str_split(regexp_replace(text, ' a ', chr(10), 'g'), chr(10)) AS arr
+          FROM documents
+        ),
+        px AS (
+          SELECT doc_id, len(arr) AS n_paras,
+                 unnest(list_transform(arr, (x, i) -> {'idx': i - 1, 'para': x})) AS p
+          FROM s
+        ),
+        ranked AS (
+          SELECT doc_id, n_paras, p.idx AS idx, p.para AS para,
+                 row_number() OVER (PARTITION BY md5(p.para) ORDER BY doc_id, p.idx) AS rn
+          FROM px
+        )
+        SELECT doc_id,
+               string_agg(para, chr(10) ORDER BY idx) AS text,
+               max(n_paras)::BIGINT AS n_paras,
+               count(*) AS n_kept
+        FROM ranked WHERE rn = 1
+        GROUP BY doc_id
+    """,
+    "vocab_topk": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({SQL_TOKENS.format(x='text')}) AS token
+          FROM documents
+        ),
+        per_doc AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+        SELECT token, sum(tf)::BIGINT AS tf, count(*) AS df
+        FROM per_doc GROUP BY token
+        ORDER BY tf DESC, df DESC, token ASC
+        LIMIT 30
+    """,
+    "shard_assignment": """
+        WITH u AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR || '|7'), 1, 15))::BIGINT % 1000000 AS u
+          FROM documents
+        )
+        SELECT doc_id,
+               (u % 8)::INTEGER AS shard,
+               (row_number() OVER (PARTITION BY u % 8 ORDER BY u, doc_id) - 1)::BIGINT AS pos
+        FROM u
+    """,
+    "embedding_decontam": """
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings ORDER BY vec_id LIMIT 8
+        ),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                              c.centroid_id ASC
+                   ) AS r
+            FROM embeddings e CROSS JOIN cent c
+          ) WHERE r = 1
+        )
+        SELECT c.vec_id, count(*) AS n_hits,
+               max(round(list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)) AS max_cosine
+        FROM assigned c JOIN assigned b ON c.centroid_id = b.centroid_id
+        WHERE c.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+          AND round(list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.35
+        GROUP BY c.vec_id
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -1819,6 +1964,11 @@ QUERIES = {
     "text_analysis": q_text_analysis,
     "prep_composite": q_prep_composite,
     "dedup_exact": q_dedup_exact,
+    "dedup_cross": q_dedup_cross,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "vocab_topk": q_vocab_topk,
+    "shard_assignment": q_shard_assignment,
+    "embedding_decontam": q_embedding_decontam,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_span_metrics": q_dedup_span_metrics,

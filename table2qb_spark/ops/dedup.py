@@ -590,3 +590,45 @@ def duplicated_ngram_spans(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+def cross_dedup(
+    incoming: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    within_batch: bool = True,
+) -> DataFrame:
+    """Incremental (cross-corpus) exact dedup — the CDC-ingest twin of
+    ``exact_dedup``: given a NEW batch of documents and the EXISTING corpus,
+    return the incoming rows whose content does not already exist, with
+    within-batch duplicates collapsed to the min-id keeper. This is the
+    dedup stage a continuously-ingesting pipeline runs per batch, instead of
+    re-deduplicating the whole corpus.
+
+    Output: one row per surviving incoming document — ``(id, content_hash,
+    batch_copies)`` where ``batch_copies`` counts how many times the content
+    appeared within the incoming batch itself.
+
+    Scale shape (100 TB corpus, much smaller batch): the existing side
+    collapses to DISTINCT 32-hex hashes before the join (map-side combined
+    — the shuffled corpus bytes are 16B/row, not the text), then a
+    hash-keyed LEFT ANTI join drops already-seen content. No side is
+    force-broadcast: the batch's hash set usually fits and AQE will
+    broadcast it; a backfill-sized batch degrades gracefully to a shuffle
+    join. In steady state the distinct corpus hash set should be maintained
+    incrementally (it is exactly the keeper index ``exact_dedup`` emits)
+    rather than recomputed — this operator only requires *some* relation of
+    existing hashes."""
+    h_in = incoming.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    h_ex = existing.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    fresh = h_in.join(h_ex, "content_hash", "left_anti")
+    if within_batch:
+        fresh = fresh.groupBy("content_hash").agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("batch_copies"),
+        )
+        return fresh.select(id_col, "content_hash", "batch_copies")
+    return fresh.select(id_col, "content_hash")

@@ -97,3 +97,40 @@ def stratum_stats(
         F.min(metric_col).cast("long").alias(f"min_{metric_col}"),
         F.max(metric_col).cast("long").alias(f"max_{metric_col}"),
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the training-data
+    EXPORT primitive: every example gets a pseudo-random shard in
+    [0, n_shards) and a position within that shard, both pure functions of
+    (key, seed), so the same corpus always shards identically on any
+    engine at any parallelism (reproducible data loading), and changing
+    ``seed`` reshuffles globally.
+
+    Output: input columns + ``(shard, pos)``; ``pos`` is 0-based dense
+    within each shard, ordered by the same uniform draw (with the key as
+    the collision tie-break) — i.e. examples land in shards AND in an
+    order uncorrelated with their source order, which is what breaks
+    source locality before training.
+
+    Scale shape: the draw is one md5 projection (whole-stage codegen); the
+    only shuffle is the implicit exchange under the per-shard window
+    (row_number over n_shards keys — each shard sorts corpus/n_shards rows
+    with spill, the same sort a shard writer needs anyway). Pick n_shards
+    >= executor count so shard sorting parallelizes; pos stays correct for
+    any choice."""
+    from pyspark.sql.window import Window
+
+    u = uniform_hash(F.col(key_col), seed)
+    w = Window.partitionBy("shard").orderBy("u", key_col)
+    return (
+        df.select("*", u.alias("u"))
+        .withColumn("shard", F.pmod(F.col("u"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        .drop("u")
+    )

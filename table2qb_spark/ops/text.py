@@ -300,3 +300,94 @@ def analyze_documents(
     if keep_input:
         return df.select("*", *metrics)
     return df.select("doc_id", *metrics)
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level duplicate-paragraph removal (the CCNet/RefinedWeb prep
+    stage): every paragraph that occurs more than once ACROSS THE CORPUS
+    keeps only its first occurrence — ordered by (doc id, position) — and
+    each document's text is rebuilt from its surviving paragraphs in their
+    original order. Unlike ``remove_boilerplate_lines`` (drop EVERY copy of
+    lines hotter than a df threshold) this keeps exactly one copy of each
+    duplicated span, df-agnostic — the exact-substring-dedup semantics at
+    paragraph granularity.
+
+    Output: ``(id, text, n_paras, n_kept)`` — a document whose EVERY
+    paragraph first appeared in a lower-id document is fully redundant and
+    vanishes from the output entirely (the paragraph-granular analog of
+    dropping a duplicate document).
+
+    Scale shape: posexplode paragraphs → groupBy md5(paragraph) computing
+    ``min(struct(id, idx))`` (map-side combinable — a boilerplate paragraph
+    shared by 10^9 docs partially aggregates inside each map task, unlike a
+    row_number window, which would sort the entire hot key in ONE task) →
+    equi-join back on the hash (AQE co-partitions both sides of the
+    self-shaped join) → one ordered rebuild agg per doc. Nothing is
+    collected or broadcast."""
+    arr = F.split(F.col(text_col), sep)
+    paras = df.select(
+        F.col(id_col),
+        F.size(arr).alias("n_paras"),
+        F.posexplode(arr).alias("idx", "para"),
+    )
+    first = (
+        paras.groupBy(F.md5(F.col("para")).alias("h"))
+        .agg(F.min(F.struct(id_col, "idx")).alias("first"))
+    )
+    kept = paras.join(
+        first,
+        (F.md5(F.col("para")) == F.col("h"))
+        & (F.col(id_col) == F.col("first")[id_col])
+        & (F.col("idx") == F.col("first")["idx"]),
+        "left_semi",
+    )
+    return (
+        kept.groupBy(id_col, "n_paras")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .select(id_col, "text", F.col("n_paras").cast("long"), F.col("n_kept"))
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary report: the top-k tokens by corpus term frequency,
+    with document frequency — the first aggregate anyone runs before
+    building a tokenizer or a stopword list over a new corpus.
+
+    Output: ``(token, tf, df)`` ordered by (tf desc, df desc, token asc) —
+    a TOTAL order, so the k-boundary is deterministic and oracle-stable.
+
+    Scale shape: explode tokens → groupBy (token, doc) — the first partial
+    aggregate collapses within-document repeats map-side, so the shuffle
+    carries one row per (token, doc), not per occurrence → groupBy token
+    (again map-side combined) → global top-k via orderBy+limit, which
+    Catalyst executes as TakeOrderedAndProject (per-partition heaps of k
+    rows; only n_partitions * k rows ever move). Two map-side-combined
+    shuffles, no expand (count + count_distinct in ONE agg would expand
+    every row 2x pre-shuffle)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
+    )
+    per_doc = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    agg = per_doc.groupBy("token").agg(
+        F.sum("tf").alias("tf"), F.count(F.lit(1)).alias("df")
+    )
+    return agg.orderBy(F.desc("tf"), F.desc("df"), F.asc("token")).limit(k)

@@ -1,0 +1,208 @@
+"""Round-5 training-data operators: incremental cross-corpus dedup,
+corpus-level paragraph dedup, vocabulary top-k, deterministic shard
+export, and embedding-space decontamination — semantics plus the
+scale-shape plan audits (map-side-combinable aggregates, equi-joins only,
+top-k as TakeOrderedAndProject, no corpus-sized window keys)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from table2qb_spark.ops import ann, dedup
+from table2qb_spark.ops.decontam import embedding_contamination
+from table2qb_spark.ops.sampling import assign_shards
+from table2qb_spark.ops.text import dedup_paragraphs, vocab_topk
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+class TestCrossDedup:
+    def fixture(self, spark):
+        incoming = spark.createDataFrame(
+            [
+                (10, "alpha beta"),     # already in corpus -> dropped
+                (11, "fresh one"),      # fresh, unique
+                (12, "fresh two"),      # fresh, duplicated within batch
+                (13, "fresh two"),      #   -> collapsed to keeper 12
+                (14, "gamma delta"),    # already in corpus -> dropped
+            ],
+            "doc_id long, text string",
+        )
+        existing = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon")],
+            "doc_id long, text string",
+        )
+        return incoming, existing
+
+    def test_drops_seen_and_collapses_batch(self, spark):
+        incoming, existing = self.fixture(spark)
+        out = dedup.cross_dedup(incoming, existing)
+        rows = {r["doc_id"]: r["batch_copies"] for r in out.collect()}
+        assert rows == {11: 1, 12: 2}
+
+    def test_row_level_mode(self, spark):
+        incoming, existing = self.fixture(spark)
+        out = dedup.cross_dedup(incoming, existing, within_batch=False)
+        assert sorted(r["doc_id"] for r in out.collect()) == [11, 12, 13]
+
+    def test_no_forced_broadcast_no_cartesian(self, spark):
+        incoming, existing = self.fixture(spark)
+        plan = (
+            dedup.cross_dedup(incoming, existing)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDedupParagraphs:
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "shared para\nunique one\nshared para"),  # in-doc repeat
+                (2, "unique two\nshared para"),               # cross-doc repeat
+                (3, "shared para"),                           # fully redundant
+                (4, "unique three"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_keeps_first_occurrence_only(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in dedup_paragraphs(self.docs(spark)).collect()
+        }
+        # doc 1 owns the first 'shared para' (idx 0); its idx-2 repeat drops
+        assert out[1]["text"] == "shared para\nunique one"
+        assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 2)
+        assert out[2]["text"] == "unique two"
+        assert out[4]["text"] == "unique three"
+        # doc 3 is fully redundant -> absent
+        assert 3 not in out
+
+    def test_rebuild_preserves_original_order(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "z last\na first\nm middle")], "doc_id long, text string"
+        )
+        out = dedup_paragraphs(docs).collect()[0]
+        assert out["text"] == "z last\na first\nm middle"
+
+    def test_plan_is_agg_join_not_window(self, spark):
+        """First-occurrence selection must be the map-side-combinable
+        min(struct) aggregate + semi-join, NEVER a row_number window over
+        md5(para): a boilerplate paragraph shared by 10^9 docs is ONE
+        window key = one straggler task, while partial min aggregates
+        shrink it inside every map task."""
+        plan = (
+            dedup_paragraphs(self.docs(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "partial_min" in plan.lower() or "partialmerge" in plan.lower() or plan.count("HashAggregate") >= 2
+
+
+class TestVocabTopk:
+    def test_counts_and_total_order(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "apple apple banana"),
+                (2, "apple cherry"),
+                (3, "banana apple"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = vocab_topk(docs, k=2).collect()
+        assert [(r["token"], r["tf"], r["df"]) for r in rows] == [
+            ("apple", 4, 3),
+            ("banana", 2, 2),
+        ]
+
+    def test_topk_is_take_ordered(self, spark):
+        docs = spark.range(10).select(
+            F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+        )
+        plan = vocab_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+        # global top-k must be per-partition heaps, not a full global sort,
+        # and the (tf, df) pair must come from two partial aggs, not expand
+        assert "TakeOrderedAndProject" in plan
+        assert "Expand" not in plan
+
+
+class TestAssignShards:
+    def docs(self, spark, n=200):
+        return spark.range(n).select(F.col("id").alias("doc_id"))
+
+    def test_deterministic_and_partitioning_independent(self, spark):
+        a = assign_shards(self.docs(spark), 8, "doc_id", seed=7).collect()
+        b = assign_shards(
+            self.docs(spark).repartition(13), 8, "doc_id", seed=7
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_pos_dense_per_shard(self, spark):
+        rows = assign_shards(self.docs(spark), 4, "doc_id", seed=7).collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) <= set(range(4))
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(len(positions)))
+
+    def test_seed_reshuffles(self, spark):
+        a = {r["doc_id"]: r["shard"] for r in assign_shards(self.docs(spark), 8, "doc_id", seed=7).collect()}
+        b = {r["doc_id"]: r["shard"] for r in assign_shards(self.docs(spark), 8, "doc_id", seed=8).collect()}
+        assert a != b
+
+
+class TestEmbeddingDecontam:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(EMB)
+
+    def test_subset_of_exact_with_identical_hits(self, spark, emb):
+        """IVF recall sanity: every flagged (id, max_cosine) also appears
+        under brute force, and the approximation only MISSES cross-cell
+        contamination (never invents hits)."""
+        bench = emb.where(F.col("vec_id") % 10 == 0)
+        corpus = emb.where(F.col("vec_id") % 10 != 0)
+        cents = ann.seed_centroids(emb, 8)
+        ivf = {
+            r["vec_id"]: (r["n_hits"], r["max_cosine"])
+            for r in embedding_contamination(
+                corpus, bench, threshold=0.3, centroids=cents
+            ).collect()
+        }
+        b = bench.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+        exact = {
+            r["vec_id"]: (r["n_hits"], r["max_cosine"])
+            for r in corpus.join(b)
+            .select(
+                "vec_id",
+                F.round(ann.cosine_expr(F.col("embedding"), F.col("bv")), 4).alias("c"),
+            )
+            .where(F.col("c") >= 0.3)
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"), F.max("c").alias("max_cosine"))
+            .collect()
+        }
+        assert ivf, "fixture threshold should flag something"
+        assert set(ivf) <= set(exact)
+        for vid, (n, mc) in ivf.items():
+            # IVF sees a SUBSET of each id's benchmark neighbors (same-cell
+            # only), so its hit count and strongest-match cosine are lower
+            # bounds of the exact ones — never higher, never fabricated
+            assert mc <= exact[vid][1]
+            assert n <= exact[vid][0]
+
+    def test_match_is_equijoin(self, spark, emb):
+        bench = emb.where(F.col("vec_id") % 10 == 0)
+        corpus = emb.where(F.col("vec_id") % 10 != 0)
+        plan = (
+            embedding_contamination(
+                corpus, bench, threshold=0.3, centroids=ann.seed_centroids(emb, 8)
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        # the only nested-loop joins are the two tiny centroid probes
+        assert plan.count("BroadcastNestedLoopJoin") <= 2
