@@ -176,10 +176,36 @@ def host_probe(sample_sec: float = 1.0) -> dict:
     return {"load1": load1, "cpu_busy": busy, "mem_avail_gb": mem_avail_gb}
 
 
+def wait_quiet(threshold: float, timeout_sec: float, poll_sec: float = 15.0) -> bool:
+    """Optionally hold a ladder level until the HOST is quiet (load1 below
+    ``threshold``), so unattended windows don't burn 45 minutes measuring a
+    co-tenant (rounds 4-5: every sub-0.8 4v16 carried a loaded-host probe
+    signature). Returns True if quiet was reached, False on timeout — the
+    level runs either way; the probe records the state it actually ran in."""
+    import time as _t
+
+    deadline = _t.time() + timeout_sec
+    while _t.time() < deadline:
+        try:
+            if os.getloadavg()[0] < threshold:
+                return True
+        except OSError:
+            return True
+        _t.sleep(poll_sec)
+    return False
+
+
 def run_level(cores: int, flat: str, bucketed: str, n_events: int, which: str = "shuffle") -> dict:
     """Run one parallelism level in a fresh JVM, hard-pinned to `cores` CPUs
     with taskset — local[8] alone would still let GC/JIT/shuffle-IO threads
     use all 32 host cores, overstating the small level's throughput."""
+    quiet_thresh = float(os.environ.get("SCALING_WAIT_QUIET_LOAD1", "0") or 0)
+    waited_quiet = None
+    if quiet_thresh > 0:
+        waited_quiet = wait_quiet(
+            quiet_thresh,
+            float(os.environ.get("SCALING_WAIT_QUIET_TIMEOUT_SEC", "900")),
+        )
     cmd = [sys.executable, "-c", CHILD.format(repo=REPO),
            str(cores), flat, bucketed, str(n_events), which]
     import shutil as _sh
@@ -190,6 +216,8 @@ def run_level(cores: int, flat: str, bucketed: str, n_events: int, which: str = 
     env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     env.setdefault("SPARK_DRIVER_MEMORY", "24g")
     probe = host_probe()
+    if waited_quiet is not None:
+        probe["waited_quiet"] = waited_quiet
     proc = subprocess.run(cmd, capture_output=True, text=True, check=True, env=env)
     for line in proc.stdout.splitlines():
         if line.startswith("CHILD_RESULT "):

@@ -390,6 +390,7 @@ def cmd_prep_data(args) -> int:
         near_dedup_threshold=args.near_dedup,
         embeddings_path=args.semantic_dedup,
         semantic_threshold=args.semantic_threshold,
+        existing_path=args.dedup_against,
     )
     print(json.dumps(report))
     return 0
@@ -686,6 +687,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "epsilon-neighborhood (catches paraphrases)")
     c.add_argument("--semantic-threshold", type=float, default=0.95,
                    help="cosine threshold for --semantic-dedup")
+    c.add_argument("--dedup-against", default=None, metavar="CORPUS_PARQUET",
+                   help="incremental-ingest mode: treat --documents as a "
+                        "NEW batch and drop content already present in this "
+                        "existing corpus (cross-corpus anti-join dedup)")
     c.set_defaults(fn=cmd_prep_data)
 
     c = sub.add_parser("codelist-pipeline")

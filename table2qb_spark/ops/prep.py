@@ -52,6 +52,7 @@ def prepare_training_data(
     near_dedup_threshold: float | None = None,
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.95,
+    existing: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, packed): the filtered+sampled corpus with annotations,
     and its sequence-packing index.
@@ -74,11 +75,22 @@ def prepare_training_data(
     inside an IVF cell) collapse to their min-id keeper. Catches
     paraphrases that lexical near-dedup misses. Runs AFTER the lexical
     dedup stages; docs without an embedding row are kept (anti-join on the
-    REMOVED set, never a semi-join on embedding coverage)."""
+    REMOVED set, never a semi-join on embedding coverage).
+
+    ``existing``: incremental-ingest mode — ``docs`` is a NEW batch and
+    ``existing`` is the already-prepared corpus; the exact-dedup stage
+    becomes ``dedup.cross_dedup`` (drop content already in the corpus AND
+    collapse within-batch duplicates), so a continuously-ingesting
+    pipeline deduplicates per batch instead of re-running over 100 TB."""
     # keeper set is CORPUS-sized (one id per distinct document): a plain
     # semi-join (AQE picks the strategy) — forcing a broadcast here would
     # collect the whole corpus's ids to the driver
-    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    if existing is not None:
+        from table2qb_spark.ops.dedup import cross_dedup
+
+        keepers = cross_dedup(docs, existing).select("doc_id")
+    else:
+        keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     clean = docs.join(keepers, "doc_id", "left_semi")
 
     if near_dedup_threshold is not None:
@@ -187,13 +199,15 @@ def run_prep(
     out_dir: str,
     benchmark_path: str | None = None,
     embeddings_path: str | None = None,
+    existing_path: str | None = None,
     **kwargs,
 ) -> dict:
     docs = spark.read.parquet(documents_path)
     bench = spark.read.parquet(benchmark_path) if benchmark_path else None
     emb = spark.read.parquet(embeddings_path) if embeddings_path else None
+    existing = spark.read.parquet(existing_path) if existing_path else None
     clean, packed = prepare_training_data(
-        docs, benchmark=bench, embeddings=emb, **kwargs
+        docs, benchmark=bench, embeddings=emb, existing=existing, **kwargs
     )
     os.makedirs(out_dir, exist_ok=True)
     clean_path = os.path.join(out_dir, "clean_docs")

@@ -206,3 +206,27 @@ class TestEmbeddingDecontam:
         assert "CartesianProduct" not in plan
         # the only nested-loop joins are the two tiny centroid probes
         assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+class TestPrepIncrementalIngest:
+    def test_existing_corpus_filters_batch(self, spark):
+        """prep-data --dedup-against: batch content already present in the
+        existing corpus is dropped; fresh content flows through the rest
+        of the composite untouched; within-batch dupes collapse."""
+        from table2qb_spark.ops.prep import prepare_training_data
+
+        filler = " ".join(f"w{i}" for i in range(20))
+        existing = spark.createDataFrame(
+            [(1, f"seen before {filler}", "en", "s0", 10)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        batch = spark.createDataFrame(
+            [
+                (100, f"seen before {filler}", "en", "s1", 10),   # in corpus
+                (101, f"brand new text {filler}", "en", "s1", 10),
+                (102, f"brand new text {filler}", "en", "s1", 10),  # batch dup
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        clean, _ = prepare_training_data(batch, existing=existing, min_tokens=1)
+        assert sorted(r["doc_id"] for r in clean.select("doc_id").collect()) == [101]
