@@ -205,7 +205,7 @@ TASK_DESCRIPTIONS = {
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
     "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot N [--to-snapshot M]"),
     "cdc-verify": ("Prints a distributed content digest of the table", "Usage: table2qb cdc-verify --table DIR"),
-    "cdc-export": ("Exports table state (current or a snapshot) to parquet/CSV", "Usage: table2qb cdc-export --table DIR --out DIR [--snapshot N] [--buckets 0,1] [--columns a,b] [--format parquet|csv]"),
+    "cdc-export": ("Exports table state (current or a snapshot) to parquet/CSV", "Usage: table2qb cdc-export --table DIR --out DIR [--snapshot N] [--buckets 0,1] [--columns a,b] [--format parquet|csv] [--shards N --shard-key COL]"),
     "datagen": ("Writes a deterministic synthetic change log", "Usage: table2qb datagen --out DIR --events-n N"),
 }
 
@@ -391,6 +391,7 @@ def cmd_prep_data(args) -> int:
         embeddings_path=args.semantic_dedup,
         semantic_threshold=args.semantic_threshold,
         existing_path=args.dedup_against,
+        snapshot_id=args.snapshot,
     )
     print(json.dumps(report))
     return 0
@@ -565,9 +566,27 @@ def cmd_cdc_export(args) -> int:
     df = table.read(snapshot_id=args.snapshot, buckets=buckets)
     if args.columns:
         df = df.select(*[c.strip() for c in args.columns.split(",")])
+    if args.shards:
+        # deterministic training-shard layout: md5-draw shard + in-shard
+        # position (ops/sampling.assign_shards), written as shard=K
+        # partition dirs — the same export re-shards identically on any
+        # engine at any parallelism
+        from table2qb_spark.ops.sampling import assign_shards
+
+        if not args.shard_key:
+            print("error: --shards requires --shard-key", file=sys.stderr)
+            return 1
+        if args.shard_key not in df.columns:
+            print(f"error: --shard-key {args.shard_key!r} not in export "
+                  f"columns {df.columns}", file=sys.stderr)
+            return 1
+        df = assign_shards(df, args.shards, args.shard_key)
     rows = None
     if args.format == "parquet":
-        df.write.mode("overwrite").parquet(args.out)
+        w = df.write.mode("overwrite")
+        if args.shards:
+            w = w.partitionBy("shard")
+        w.parquet(args.out)
         rows = _parquet_rows(args.out)
     else:
         # CSV has no footer metadata; counting would cost a second pass
@@ -581,6 +600,7 @@ def cmd_cdc_export(args) -> int:
         "snapshot": (args.snapshot if args.snapshot is not None
                      else table.current_snapshot_id()),
         "buckets": buckets,
+        "shards": args.shards,
     }))
     return 0
 
@@ -658,10 +678,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--columns", default=None,
                    help="comma-separated column projection")
     c.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    c.add_argument("--shards", type=int, default=None,
+                   help="deterministic training-shard export: add md5-drawn "
+                        "shard + in-shard pos columns and write shard=K "
+                        "partition dirs (parquet)")
+    c.add_argument("--shard-key", default=None,
+                   help="column the shard draw is keyed on (required with "
+                        "--shards)")
     c.set_defaults(fn=cmd_cdc_export)
 
     c = sub.add_parser("prep-data")
-    c.add_argument("--documents", required=True, help="input documents parquet")
+    c.add_argument("--documents", required=True,
+                   help="input documents parquet, or a CDC lake table root "
+                        "(VERSION pointer detected; reads live state)")
     c.add_argument("--near-dedup", type=float, default=None, metavar="JACCARD",
                    help="also near-dedup: LSH candidates verified by n-gram "
                         "jaccard at this threshold, transitive groups, keep "
@@ -690,7 +719,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--dedup-against", default=None, metavar="CORPUS_PARQUET",
                    help="incremental-ingest mode: treat --documents as a "
                         "NEW batch and drop content already present in this "
-                        "existing corpus (cross-corpus anti-join dedup)")
+                        "existing corpus (cross-corpus anti-join dedup; "
+                        "plain parquet or a lake table root)")
+    c.add_argument("--snapshot", type=int, default=None,
+                   help="when --documents is a CDC lake table root, prep "
+                        "that snapshot's live state (time-travel) instead "
+                        "of the current one")
     c.set_defaults(fn=cmd_prep_data)
 
     c = sub.add_parser("codelist-pipeline")

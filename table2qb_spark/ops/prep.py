@@ -193,6 +193,27 @@ def _parquet_rows(path: str) -> int:
     return sum(pq.read_metadata(f).num_rows for f in files)
 
 
+def _is_lake_table(path: str) -> bool:
+    from table2qb_spark.lake.table import LakeTable
+
+    return os.path.isdir(path) and LakeTable.exists(path)
+
+
+def _read_corpus(spark, path: str, snapshot_id: int | None = None):
+    """Read a corpus input that is either a plain parquet path or a CDC
+    lake table root (detected by its VERSION pointer) — the integration
+    point between the two halves of the engine: `prep-data` can consume
+    the continuously-ingested, MERGE-maintained corpus directly, with
+    time-travel (``snapshot_id``), instead of requiring a cdc-export hop.
+    Lake reads use read_live (tombstones filtered, bookkeeping columns
+    dropped) so a deleted document never reaches the training set."""
+    if _is_lake_table(path):
+        from table2qb_spark.lake.table import LakeTable
+
+        return LakeTable(spark, path).read_live(snapshot_id=snapshot_id)
+    return spark.read.parquet(path)
+
+
 def run_prep(
     spark,
     documents_path: str,
@@ -200,12 +221,13 @@ def run_prep(
     benchmark_path: str | None = None,
     embeddings_path: str | None = None,
     existing_path: str | None = None,
+    snapshot_id: int | None = None,
     **kwargs,
 ) -> dict:
-    docs = spark.read.parquet(documents_path)
+    docs = _read_corpus(spark, documents_path, snapshot_id)
     bench = spark.read.parquet(benchmark_path) if benchmark_path else None
     emb = spark.read.parquet(embeddings_path) if embeddings_path else None
-    existing = spark.read.parquet(existing_path) if existing_path else None
+    existing = _read_corpus(spark, existing_path) if existing_path else None
     clean, packed = prepare_training_data(
         docs, benchmark=bench, embeddings=emb, existing=existing, **kwargs
     )
@@ -214,11 +236,22 @@ def run_prep(
     packed_path = os.path.join(out_dir, "packed_index")
     clean.write.mode("overwrite").parquet(clean_path)
     packed.write.mode("overwrite").parquet(packed_path)
-    # all three counts come from parquet footers: the two sinks were just
-    # written (their footers are authoritative), the input was never scanned
-    # for counting at all
+    # all three counts are metadata-only: the two sinks' parquet footers
+    # were just written (authoritative), and a lake input's count comes
+    # from the read snapshot's summary — a _parquet_rows glob over a lake
+    # root would double-count every retained snapshot's files. The summary
+    # counts STORED rows, so for a lake input input_docs can exceed the
+    # live documents prep actually read by the table's tombstone count —
+    # the price of never paying a counting scan.
+    if _is_lake_table(documents_path):
+        from table2qb_spark.lake.table import LakeTable
+
+        snap = LakeTable(spark, documents_path).snapshot(snapshot_id)
+        n_input = int(snap.summary.get("row_count", 0))
+    else:
+        n_input = _parquet_rows(documents_path)
     report = {
-        "input_docs": _parquet_rows(documents_path),
+        "input_docs": n_input,
         "clean_docs": _parquet_rows(clean_path),
         "packed_rows": _parquet_rows(packed_path),
         "clean_path": clean_path,

@@ -85,6 +85,30 @@ def test_cli_datagen_and_replay(tmp_path):
     ).names
     assert cols == ["repo", "path"]
 
+    # --shards: deterministic training-shard export — shard=K partition
+    # dirs, every live row present exactly once, pos dense per shard
+    exp_sh = str(tmp_path / "export_sharded")
+    out = subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "cdc-export",
+         "--table", table, "--out", exp_sh, "--shards", "4",
+         "--shard-key", "path"],
+        capture_output=True, text=True, cwd="/root/repo", check=True, env=env,
+    ).stdout
+    e_sh = json.loads(out.strip().splitlines()[-1])
+    assert e_sh["rows"] == e["rows"] and e_sh["shards"] == 4
+    shard_dirs = sorted(
+        p.split("=")[-1] for p in _glob.glob(f"{exp_sh}/shard=*")
+    )
+    assert set(shard_dirs) <= {"0", "1", "2", "3"} and len(shard_dirs) > 1
+
+    # --shards without --shard-key fails loudly
+    bad = subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "cdc-export",
+         "--table", table, "--out", str(tmp_path / "x"), "--shards", "4"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert bad.returncode == 1 and "--shard-key" in bad.stderr
+
 
 def test_typed_view(spark, default_config, reference_available):
     src = example_csv("regional-trade", "input.csv")

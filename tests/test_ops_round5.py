@@ -230,3 +230,102 @@ class TestPrepIncrementalIngest:
         )
         clean, _ = prepare_training_data(batch, existing=existing, min_tokens=1)
         assert sorted(r["doc_id"] for r in clean.select("doc_id").collect()) == [101]
+
+
+class TestPrepFromLake:
+    def make_doc_table(self, spark, tmp_path):
+        from table2qb_spark.lake.merge import merge_upsert
+        from table2qb_spark.lake.table import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "doclake"),
+            [("doc_id", "long"), ("text", "string"), ("lang", "string"),
+             ("source", "string"), ("n_chars", "long")],
+            ["doc_id"], n_buckets=4,
+        )
+        filler = " ".join(f"w{i}" for i in range(20))
+        b1 = spark.createDataFrame(
+            [
+                (1, "I", 1, f"doc one {filler}", "en", "s0", 10),
+                (2, "I", 2, f"doc two {filler}", "en", "s0", 10),
+                (3, "I", 3, f"doc three {filler}", "en", "s0", 10),
+            ],
+            "seq long, op string, doc_id long, text string, lang string, source string, n_chars long",
+        )
+        merge_upsert(t, b1, "b1")
+        b2 = spark.createDataFrame(
+            [
+                (4, "U", 2, f"doc two rewritten {filler}", "en", "s0", 10),
+                (5, "D", 3, None, None, None, None),
+            ],
+            "seq long, op string, doc_id long, text string, lang string, source string, n_chars long",
+        )
+        merge_upsert(t, b2, "b2")
+        return t
+
+    def test_prep_reads_live_lake_state(self, spark, tmp_path):
+        """prep-data --documents <lake root>: the corpus is the
+        MERGE-maintained live state — the deleted doc never reaches the
+        training set, the updated doc contributes its NEW text."""
+        from table2qb_spark.ops.prep import run_prep
+
+        t = self.make_doc_table(spark, tmp_path)
+        report = run_prep(spark, t.path, str(tmp_path / "out"), min_tokens=1)
+        clean = spark.read.parquet(report["clean_path"])
+        rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+        assert set(rows) == {1, 2}
+        assert rows[2].startswith("doc two rewritten")
+
+    def test_prep_time_travel_snapshot(self, spark, tmp_path):
+        """--snapshot N preps the corpus as of that snapshot: before the
+        second merge, doc 3 still exists and doc 2 has its old text."""
+        from table2qb_spark.ops.prep import run_prep
+
+        t = self.make_doc_table(spark, tmp_path)
+        # snapshot 1 = empty created table; first merge lands as snapshot 2
+        report = run_prep(
+            spark, t.path, str(tmp_path / "out2"), min_tokens=1, snapshot_id=2
+        )
+        clean = spark.read.parquet(report["clean_path"])
+        rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[2].startswith("doc two ") and "rewritten" not in rows[2]
+
+
+class TestAllQueryPlansScaleGuard:
+    """Blanket scale audit over the ENTIRE driver-contract query catalog:
+    no query's physical plan may contain a Cartesian product or a
+    row-at-a-time Python UDF (BatchEvalPython). Arrow-vectorized Python
+    (ArrowEvalPython / MapInPandas) is allowed only where no Catalyst
+    equivalent exists (multimodal codec decode; the slug_transforms query
+    deliberately exercises the pandas twins against their Catalyst forms).
+    This pins the repo-wide invariant the per-op plan tests check locally:
+    adding query #55 with an accidental cross join or per-row Python fails
+    here, not at 100 TB."""
+
+    # queries whose CONTRACT is to run the Arrow-vectorized pandas twins
+    ARROW_OK = {
+        "slug_transforms",      # pandas twins fuzz-pinned vs Catalyst
+        "uri_expand",           # pct-encode pandas twin
+        "multimodal_decode",    # codec decode: no Catalyst equivalent
+        "multimodal_headers",   # container-header parse in mapInPandas
+        "multimodal_av_headers",
+    }
+
+    def test_no_cartesian_no_row_python_anywhere(self, spark):
+        from table2qb_spark import entry_queries as eq
+
+        sf_dir = "/root/testdata/sf0.001"
+        failures = []
+        for name, fn in sorted(eq.QUERIES.items()):
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "CartesianProduct" in plan:
+                failures.append(f"{name}: CartesianProduct")
+            if "BatchEvalPython" in plan:
+                failures.append(f"{name}: row-at-a-time BatchEvalPython")
+            if name not in self.ARROW_OK and (
+                "ArrowEvalPython" in plan or "MapInPandas" in plan
+            ):
+                failures.append(f"{name}: unexpected Python stage")
+        assert not failures, failures
