@@ -460,6 +460,25 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture materialization (ops.sampling.mix_corpus):
+    per-lang epoch weights — en x1.5 (one full epoch + a half), de x2.0
+    (two full epochs), fr x0.25 (quarter subsample), everything else
+    dropped. The oracle reproduces the exact (row, epoch) multiset."""
+    from table2qb_spark.ops.sampling import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_corpus(
+        docs,
+        strata_col="lang",
+        weights={"en": 1.5, "de": 2.0, "fr": 0.25},
+        key_col="doc_id",
+        seed=11,
+        default_weight=0.0,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars", "epoch")
+
+
 def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction invariance (lake/compact.py): replay the event
     stream in two batches (two file generations per touched bucket), compact
@@ -1302,6 +1321,25 @@ ORACLES: dict[str, str] = {
         WHERE u < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                             WHEN 'fr' THEN 100000 ELSE 50000 END
     """,
+    "corpus_mixture": """
+        WITH drawn AS (
+          SELECT doc_id, lang, source, n_chars,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|11'), 1, 15))::BIGINT
+                   % 1000000 AS u
+          FROM documents
+        ), copies AS (
+          SELECT doc_id, lang, source, n_chars,
+                 CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 ELSE 0 END
+                 + CASE WHEN u < (CASE lang WHEN 'en' THEN 500000
+                                            WHEN 'fr' THEN 250000
+                                            ELSE 0 END)
+                        THEN 1 ELSE 0 END AS n_copies
+          FROM drawn
+        )
+        SELECT doc_id, lang, source, n_chars,
+               CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS epoch
+        FROM copies WHERE n_copies > 0
+    """,
     "cdc_compact": """
         SELECT user_id, seq, op, value FROM (
           SELECT user_id, event_id AS seq,
@@ -1957,6 +1995,7 @@ QUERIES = {
     "decontamination": q_decontamination,
     "bm25_topk": q_bm25_topk,
     "sample_stratified": q_sample_stratified,
+    "corpus_mixture": q_corpus_mixture,
     "cdc_compact": q_cdc_compact,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_sessionize": q_cdc_sessionize,

@@ -375,12 +375,15 @@ def cmd_prep_data(args) -> int:
 
     _require_file(args.documents, "documents parquet")
     spark = get_spark("prep-data")
-    fractions = None
-    if args.sample:
-        fractions = {}
-        for part in args.sample.split(","):
-            lang, frac = part.split("=", 1)
-            fractions[lang.strip()] = float(frac)
+    def _lang_floats(spec: str) -> dict[str, float]:
+        out = {}
+        for part in spec.split(","):
+            lang, v = part.split("=", 1)
+            out[lang.strip()] = float(v)
+        return out
+
+    fractions = _lang_floats(args.sample) if args.sample else None
+    mixture = _lang_floats(args.mixture) if args.mixture else None
     report = run_prep(
         spark, args.documents, args.out,
         benchmark_path=args.benchmark,
@@ -392,6 +395,7 @@ def cmd_prep_data(args) -> int:
         semantic_threshold=args.semantic_threshold,
         existing_path=args.dedup_against,
         snapshot_id=args.snapshot,
+        mixture_weights=mixture,
     )
     print(json.dumps(report))
     return 0
@@ -706,6 +710,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--min-tokens", type=int, default=5)
     c.add_argument("--sample", default=None,
                    help="per-language keep fractions, e.g. en=0.5,de=0.25")
+    c.add_argument("--mixture", default=None,
+                   help="per-language epoch weights (up- AND down-sampling "
+                        "with repetition), e.g. en=1.5,de=2.0,fr=0.25; "
+                        "output rows carry an epoch copy index; strata not "
+                        "listed are dropped")
     c.add_argument("--seq-len", type=int, default=1024)
     c.add_argument("--seed", type=int, default=42)
     c.add_argument("--scrub-pii", action="store_true",

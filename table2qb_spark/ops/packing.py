@@ -32,15 +32,23 @@ def pack_sequences(
     seq_len: int,
     n_tokens_col: str,
     shard_col: str,
-    order_col: str = "doc_id",
+    order_col: str | list[str] = "doc_id",
     id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(shard, seq_id, doc_id, begin, end): for every document, the packed
     sequences it occupies and its token span [begin, end) within each.
-    Documents with zero/NULL token counts are dropped (nothing to pack)."""
+    Documents with zero/NULL token counts are dropped (nothing to pack).
+
+    ``order_col`` may be a list when one column is not a total order (e.g.
+    a mixture corpus where (doc_id, epoch) identifies a copy — a tied
+    window order would make the running sum nondeterministic);
+    ``passthrough`` appends extra input columns (e.g. ``epoch``) to the
+    output index."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = (
         Window.partitionBy(shard_col)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     n = F.col(n_tokens_col).cast("long")
@@ -62,6 +70,7 @@ def pack_sequences(
         F.col(shard_col).alias("shard"),
         "seq_id",
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         begin_in_seq.cast("long").alias("begin"),
         end_in_seq.cast("long").alias("end"),
     )

@@ -53,6 +53,7 @@ def prepare_training_data(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.95,
     existing: DataFrame | None = None,
+    mixture_weights: dict[str, float] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, packed): the filtered+sampled corpus with annotations,
     and its sequence-packing index.
@@ -170,6 +171,24 @@ def prepare_training_data(
             clean, strata_col="lang", fractions=fractions, key_col="doc_id",
             seed=seed, default_fraction=0.0,
         )
+
+    if mixture_weights:
+        # epoch-weighted mixture (up- AND down-sampling): each copy is a
+        # distinct (doc_id, epoch) row, so packing orders on the pair (a
+        # doc_id-only window order would tie across copies and make the
+        # running sum nondeterministic) and the index carries epoch.
+        from table2qb_spark.ops.sampling import mix_corpus
+
+        clean = mix_corpus(
+            clean, strata_col="lang", weights=mixture_weights,
+            key_col="doc_id", seed=seed, default_weight=0.0,
+        )
+        packed = pack_sequences(
+            clean, seq_len=seq_len, n_tokens_col="n_tokens",
+            shard_col="source", order_col=["doc_id", "epoch"],
+            passthrough=("epoch",),
+        )
+        return clean, packed
 
     packed = pack_sequences(
         clean, seq_len=seq_len, n_tokens_col="n_tokens", shard_col="source"

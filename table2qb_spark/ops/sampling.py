@@ -134,3 +134,87 @@ def assign_shards(
         .withColumn("pos", F.row_number().over(w).cast("long") - 1)
         .drop("u")
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic corpus mixing with up- AND down-sampling: each stratum
+    row appears ``weight`` times in expectation, exactly reproducibly.
+
+    A training mixture is rarely a pure subsample: common recipes REPEAT
+    high-value strata (e.g. "wiki x2.0, books x1.5") while downsampling
+    bulk web text ("cc x0.25"). Weight w decomposes as
+
+        floor(w) guaranteed copies (full epochs)
+      + one extra copy iff the row's deterministic uniform draw falls
+        under frac(w) (the fractional epoch).
+
+    The fractional draw is the same ``uniform_hash`` as
+    ``sample_stratified``, so the same stability law holds: raising a
+    stratum's weight only ADDS copies — the mixture at w=1.2 contains the
+    mixture at w=0.7 row-for-row. Output = input columns + ``epoch``
+    (0-based bigint copy index; feed (key, epoch) to ``assign_shards`` so
+    repeated copies scatter across shards instead of clumping).
+
+    Scale shape: one Catalyst projection computing n_copies, then a
+    generator expansion (explode over ``sequence``) — a pure map stage, no
+    shuffle, no state; output volume is exactly sum_s w_s * |s|. Rows with
+    n_copies = 0 never leave the scan (explode drops empty arrays).
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be >= 0")
+    full = F.lit(int(default_weight))
+    frac = F.lit(int(round((default_weight % 1.0) * SCALE)))
+    for stratum, w in sorted(weights.items()):
+        full = F.when(F.col(strata_col) == stratum, F.lit(int(w))).otherwise(full)
+        frac = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round((w % 1.0) * SCALE)))
+        ).otherwise(frac)
+    n = full + F.when(uniform_hash(F.col(key_col), seed) < frac, 1).otherwise(0)
+    epochs = F.when(n >= 1, F.sequence(F.lit(0), (n - 1).cast("int")))
+    # a generator cannot be nested in expressions (no cast around explode);
+    # widen the epoch index in a follow-up projection instead
+    out = df.select("*", F.explode(epochs).alias("__epoch"))
+    return out.select(*df.columns, F.col("__epoch").cast("long").alias("epoch"))
+
+
+def plan_mixture(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    target_shares: dict[str, float],
+    total_tokens: int,
+) -> dict[str, float]:
+    """Solve for the ``mix_corpus`` weights that hit a token budget: given
+    target SHARES per stratum (fractions of the final mixture's tokens,
+    summing to <= 1) and the desired mixture size ``total_tokens``, return
+    ``{stratum: weight}`` with weight_s = share_s * total_tokens /
+    measured_tokens_s.
+
+    One tiny aggregate (|strata| rows to the driver) — the standard
+    recipe-planning step before materializing a mixture. Strata with no
+    rows (or zero measured tokens) are dropped from the plan rather than
+    producing inf/NaN weights."""
+    if total_tokens <= 0:
+        raise ValueError("total_tokens must be > 0")
+    bad = {s: v for s, v in target_shares.items() if v < 0}
+    if bad:
+        raise ValueError(f"negative target shares: {bad}")
+    measured = {
+        r[strata_col]: int(r["toks"])
+        for r in df.where(F.col(strata_col).isin(list(target_shares)))
+        .groupBy(strata_col)
+        .agg(F.sum(token_col).cast("long").alias("toks"))
+        .collect()
+    }
+    return {
+        s: (share * total_tokens) / measured[s]
+        for s, share in target_shares.items()
+        if measured.get(s)
+    }

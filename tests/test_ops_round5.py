@@ -329,3 +329,104 @@ class TestAllQueryPlansScaleGuard:
             ):
                 failures.append(f"{name}: unexpected Python stage")
         assert not failures, failures
+
+
+class TestMixCorpus:
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"), 100 + i)
+             for i in range(60)],
+            "doc_id long, lang string, n_chars long",
+        )
+
+    def test_full_epochs_exact(self, spark):
+        from table2qb_spark.ops.sampling import mix_corpus
+
+        out = mix_corpus(
+            self.docs(spark), "lang", {"de": 2.0}, "doc_id", seed=5
+        ).collect()
+        # de rows appear exactly twice (epochs 0 and 1); everything else dropped
+        assert all(r["lang"] == "de" for r in out)
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+        assert all(sorted(v) == [0, 1] for v in per_doc.values())
+        assert len(per_doc) == 20
+
+    def test_monotone_in_weight(self, spark):
+        """copies(w) is monotone in w: raising a weight only ADDS copies."""
+        from table2qb_spark.ops.sampling import mix_corpus
+
+        docs = self.docs(spark)
+        for lo, hi in [(0.3, 0.9), (0.9, 1.0), (0.7, 1.2), (1.5, 2.0)]:
+            a = mix_corpus(docs, "lang", {"en": lo}, "doc_id", seed=5)
+            b = mix_corpus(docs, "lang", {"en": hi}, "doc_id", seed=5)
+            ca = {r["doc_id"]: r["cnt"] for r in a.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+            cb = {r["doc_id"]: r["cnt"] for r in b.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+            assert all(cb.get(k, 0) >= v for k, v in ca.items()), (lo, hi)
+
+    def test_fractional_rate(self, spark):
+        from table2qb_spark.ops.sampling import mix_corpus
+
+        big = spark.range(0, 5000).select(
+            F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+        )
+        n = mix_corpus(big, "lang", {"en": 1.5}, "doc_id", seed=9).count()
+        assert 5000 * 1.4 < n < 5000 * 1.6
+
+    def test_shuffle_free_plan(self, spark):
+        from table2qb_spark.ops.sampling import mix_corpus
+
+        plan = (
+            mix_corpus(self.docs(spark), "lang", {"en": 1.5}, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_negative_weight_rejected(self, spark):
+        from table2qb_spark.ops.sampling import mix_corpus
+
+        with pytest.raises(ValueError):
+            mix_corpus(self.docs(spark), "lang", {"en": -0.5}, "doc_id")
+
+    def test_plan_mixture_weights(self, spark):
+        from table2qb_spark.ops.sampling import plan_mixture
+
+        docs = self.docs(spark)
+        # measured tokens: en docs are ids 0,3,..57 -> sum(100+i); compute directly
+        toks = {r["lang"]: r["t"] for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("t")).collect()}
+        plan = plan_mixture(docs, "lang", "n_chars", {"en": 0.6, "fr": 0.4}, 10_000)
+        assert plan["en"] == pytest.approx(0.6 * 10_000 / toks["en"])
+        assert plan["fr"] == pytest.approx(0.4 * 10_000 / toks["fr"])
+        # stratum absent from the corpus never yields an inf weight
+        plan2 = plan_mixture(docs, "lang", "n_chars", {"xx": 1.0}, 10_000)
+        assert plan2 == {}
+
+
+class TestPrepMixture:
+    def test_mixture_stage_epochs_and_packed_index(self, spark):
+        """prep-data --mixture: copies carry epoch, the packed index keys on
+        (doc_id, epoch), and per-lang multiplicities follow the weights."""
+        from table2qb_spark.ops.prep import prepare_training_data
+
+        filler = " ".join(f"w{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} {filler}", "en" if i % 2 == 0 else "de", f"s{i % 2}", 50)
+             for i in range(40)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        clean, packed = prepare_training_data(
+            docs, min_tokens=1, mixture_weights={"en": 2.0, "de": 0.5}, seed=3
+        )
+        rows = clean.select("doc_id", "lang", "epoch").collect()
+        en = [r for r in rows if r["lang"] == "en"]
+        de = [r for r in rows if r["lang"] == "de"]
+        assert len(en) == 40  # 20 docs x 2 full epochs
+        assert {r["epoch"] for r in en} == {0, 1}
+        assert 0 < len(de) < 20 and all(r["epoch"] == 0 for r in de)
+        p = packed.collect()
+        assert "epoch" in packed.columns
+        # every (doc_id, epoch) copy that survived is packed at least once
+        assert {(r["doc_id"], r["epoch"]) for r in p} >= {
+            (r["doc_id"], r["epoch"]) for r in rows
+        }
