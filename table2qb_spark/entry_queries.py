@@ -516,6 +516,43 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned incremental read (lake/skipping.py): replay the event
+    stream into a lake table in two seq-ranged batches, then read back only
+    the rows past the midpoint via read(where=...) — file-level manifest
+    min/max pruning at plan time plus the real filter over survivors. The
+    oracle recomputes the same slice of the latest state in SQL, so the
+    pruned read must be indistinguishable from a full filtered scan."""
+    import tempfile
+
+    from table2qb_spark.lake.merge import merge_upsert
+    from table2qb_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round("value", 4).alias("value"),
+    )
+    b = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    mid = (int(b["lo"]) + int(b["hi"])) // 2
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="q_increread_"),
+        [("user_id", "long"), ("seq", "long"), ("op", "string"), ("value", "double")],
+        ["user_id"],
+        n_buckets=8,
+    )
+    merge_upsert(t, ev.where(F.col("seq") <= mid), "c1")
+    merge_upsert(t, ev.where(F.col("seq") > mid), "c2", batch_size_hint=1)
+    return t.read(where=[("seq", ">", mid)]).select(
+        "user_id", "seq", "op", "value"
+    )
+
+
 def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental change reader (lake/diff.py) driven end-to-end: replay the
     event stream into a REAL lake table in two seq-ranged batches, then
@@ -1349,6 +1386,19 @@ ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1 AND op <> 'D'
     """,
+    "cdc_incremental_read": """
+        WITH latest AS (
+          SELECT user_id, seq, op, value FROM (
+            SELECT user_id, event_id AS seq,
+                   CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+                   round(value, 4) AS value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events
+          ) WHERE rn = 1 AND op <> 'D'
+        )
+        SELECT user_id, seq, op, value FROM latest
+        WHERE seq > (SELECT (min(event_id) + max(event_id)) // 2 FROM events)
+    """,
     "cdc_snapshot_diff": """
         WITH ev AS (
           SELECT user_id, event_id AS seq,
@@ -1997,6 +2047,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "corpus_mixture": q_corpus_mixture,
     "cdc_compact": q_cdc_compact,
+    "cdc_incremental_read": q_cdc_incremental_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_sessionize": q_cdc_sessionize,
     "cdc_metrics": q_cdc_metrics,

@@ -546,16 +546,50 @@ class LakeTable:
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
         with_bucket_col: bool = False,
+        where: "list[tuple] | str | None" = None,
+        prune_report: dict | None = None,
     ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame.
 
         Files are grouped by the schema version they were written under and
         column-id-mapped to the current names; missing (later-added) columns
         are filled with nulls. Bucket pruning: pass ``buckets`` to read only
-        those directories (the MERGE fast path)."""
+        those directories (the MERGE fast path).
+
+        ``where`` — simple predicate conjunction (``"seq>=900,repo=alpha"``
+        or ``[("seq", ">=", 900)]``): files whose manifest min/max ranges
+        cannot satisfy it are skipped at PLAN time (never listed, opened or
+        footer-read by Spark), then the same predicates run as a real
+        filter over the survivors — identical results to a full filtered
+        scan, minus the dead I/O. Pass a dict as ``prune_report`` to
+        receive {"files_total", "files_kept"}."""
+        from table2qb_spark.lake.skipping import (
+            parse_predicates,
+            predicates_to_column,
+            rename_predicates,
+            stats_admit,
+        )
+
+        preds = parse_predicates(where) if isinstance(where, str) else (
+            list(where) if where else None
+        )
         snap = self.snapshot(snapshot_id)
         current = snap.current_schema()
 
+        # current-name -> written-name map per schema version (renames)
+        c2w_cache: dict[str, dict[str, str]] = {}
+
+        def c2w(version: str) -> dict[str, str]:
+            if version not in c2w_cache:
+                w_by_id = {c["id"]: c for c in snap.schemas[version]}
+                c2w_cache[version] = {
+                    c["name"]: w_by_id[c["id"]]["name"]
+                    for c in current
+                    if c["id"] in w_by_id
+                }
+            return c2w_cache[version]
+
+        n_total = n_kept = 0
         wanted = set(buckets) if buckets is not None else None
         by_version: dict[str, list[str]] = {}
         for b in snap.files:  # key iteration is free (pointer map)
@@ -563,7 +597,16 @@ class LakeTable:
                 continue
             # only wanted buckets' manifests are actually opened
             for e in snap.files[b]:
-                by_version.setdefault(str(e["schema_version"]), []).append(e["path"])
+                version = str(e["schema_version"])
+                n_total += 1
+                if preds and not stats_admit(
+                    e.get("stats"), rename_predicates(preds, c2w(version))
+                ):
+                    continue
+                n_kept += 1
+                by_version.setdefault(version, []).append(e["path"])
+        if prune_report is not None:
+            prune_report.update(files_total=n_total, files_kept=n_kept)
 
         parts: list[DataFrame] = []
         for version, rel_paths in by_version.items():
@@ -591,10 +634,15 @@ class LakeTable:
             schema = self.spark_schema(snap)
             if with_bucket_col:
                 schema = schema.add("__bucket", "int")
-            return self.spark.createDataFrame([], schema)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+            out = self.spark.createDataFrame([], schema)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if preds:
+            # the stats only pruned files; the real filter enforces the
+            # predicate row-by-row over the survivors
+            out = out.where(predicates_to_column(preds))
         return out
 
     # ----- commits -----------------------------------------------------------
@@ -698,10 +746,16 @@ class LakeTable:
             .partitionBy("b")
             .parquet(out_dir)
         )
-        # enumerate written files; row counts come from parquet footers
-        # (driver-side metadata read — no data scan, no extra Spark job)
+        # enumerate written files; row counts AND per-column min/max come
+        # from parquet footers (driver-side metadata read — no data scan,
+        # no extra Spark job). The stats land in the manifest so reads can
+        # prune whole files without listing/opening them (lake/skipping.py)
+        # — the Iceberg/Delta data-skipping layer.
         import pyarrow.parquet as pq
 
+        from table2qb_spark.lake.skipping import file_column_stats
+
+        stats_cols = {c["name"] for c in snap.current_schema()}
         result: dict[int, list[dict]] = {}
         for b_dir in os.listdir(out_dir):
             if not b_dir.startswith("b="):
@@ -711,20 +765,29 @@ class LakeTable:
             for fn in sorted(os.listdir(os.path.join(out_dir, b_dir))):
                 if fn.endswith(".parquet"):
                     full = os.path.join(out_dir, b_dir, fn)
-                    entries.append(
-                        {
-                            "path": os.path.relpath(full, self.path),
-                            "schema_version": snap.schema_version,
-                            "rows": pq.ParquetFile(full).metadata.num_rows,
-                        }
-                    )
+                    md = pq.ParquetFile(full).metadata
+                    entry = {
+                        "path": os.path.relpath(full, self.path),
+                        "schema_version": snap.schema_version,
+                        "rows": md.num_rows,
+                    }
+                    stats = file_column_stats(md, stats_cols)
+                    if stats:
+                        entry["stats"] = stats
+                    entries.append(entry)
             result[b] = entries
         return result
 
-    def read_live(self, snapshot_id: int | None = None) -> DataFrame:
+    def read_live(
+        self,
+        snapshot_id: int | None = None,
+        where: "list[tuple] | str | None" = None,
+        prune_report: dict | None = None,
+    ) -> DataFrame:
         """Like read(), but with tombstoned rows filtered out and the
-        bookkeeping columns (_seq, _deleted) dropped."""
-        df = self.read(snapshot_id)
+        bookkeeping columns (_seq, _deleted) dropped. ``where`` prunes
+        files via manifest stats exactly as in read()."""
+        df = self.read(snapshot_id, where=where, prune_report=prune_report)
         if "_deleted" in df.columns:
             df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df.drop("_seq", "_deleted")

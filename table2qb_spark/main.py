@@ -567,7 +567,11 @@ def cmd_cdc_export(args) -> int:
     buckets = (
         [int(b) for b in args.buckets.split(",")] if args.buckets else None
     )
-    df = table.read(snapshot_id=args.snapshot, buckets=buckets)
+    prune: dict = {}
+    df = table.read(
+        snapshot_id=args.snapshot, buckets=buckets,
+        where=args.where, prune_report=prune if args.where else None,
+    )
     if args.columns:
         df = df.select(*[c.strip() for c in args.columns.split(",")])
     if args.shards:
@@ -605,6 +609,9 @@ def cmd_cdc_export(args) -> int:
                      else table.current_snapshot_id()),
         "buckets": buckets,
         "shards": args.shards,
+        **({"where": args.where, "files_pruned":
+            prune.get("files_total", 0) - prune.get("files_kept", 0),
+            "files_total": prune.get("files_total", 0)} if args.where else {}),
     }))
     return 0
 
@@ -681,6 +688,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated bucket ids (prunes the read)")
     c.add_argument("--columns", default=None,
                    help="comma-separated column projection")
+    c.add_argument("--where", default=None,
+                   help="predicate conjunction over table columns, e.g. "
+                        "'repo=org/repo-00003' or 'lang=py,commit>=c900' "
+                        "(ops: = < <= > >=) — prunes whole files via the "
+                        "manifest min/max stats before filtering")
     c.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     c.add_argument("--shards", type=int, default=None,
                    help="deterministic training-shard export: add md5-drawn "
