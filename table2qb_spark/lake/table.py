@@ -462,6 +462,31 @@ class LakeTable:
         snap.manifest_pointers = pointers
         return snap
 
+    def snapshot_as_of(self, ts_ms: int) -> Snapshot:
+        """Time travel by TIMESTAMP: the latest snapshot committed at or
+        before ``ts_ms`` (epoch millis) — what "the table as of last
+        Tuesday" means when the caller has a wall clock, not a snapshot id.
+        Walks the current ancestry (id-ordered headers, newest first), so
+        cost is O(snapshots-newer-than-ts) header reads, not O(history).
+        Raises if the timestamp predates the oldest retained snapshot
+        (expired history cannot be reconstructed)."""
+        snap = self.snapshot()
+        while snap.timestamp_ms > ts_ms:
+            if snap.parent_id is None:
+                raise ValueError(
+                    f"no snapshot at or before ts={ts_ms}: oldest retained "
+                    f"snapshot {snap.snapshot_id} was committed at "
+                    f"{snap.timestamp_ms}"
+                )
+            try:
+                snap = self.snapshot(snap.parent_id)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"no snapshot at or before ts={ts_ms}: history older "
+                    f"than snapshot {snap.snapshot_id} has been expired"
+                ) from None
+        return snap
+
     def history(self) -> list[Snapshot]:
         """Current snapshot's ancestry, oldest first — truncated at the
         oldest RETAINED snapshot when older ones were expired

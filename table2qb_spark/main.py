@@ -384,6 +384,20 @@ def cmd_prep_data(args) -> int:
 
     fractions = _lang_floats(args.sample) if args.sample else None
     mixture = _lang_floats(args.mixture) if args.mixture else None
+    if args.as_of is not None:
+        if args.snapshot is not None:
+            print("error: --snapshot and --as-of are mutually exclusive",
+                  file=sys.stderr)
+            return 1
+        from table2qb_spark.lake.table import LakeTable
+
+        if not LakeTable.exists(args.documents):
+            print("error: --as-of requires --documents to be a CDC lake "
+                  "table root", file=sys.stderr)
+            return 1
+        args.snapshot = LakeTable(spark, args.documents).snapshot_as_of(
+            _parse_ts_ms(args.as_of)
+        ).snapshot_id
     report = run_prep(
         spark, args.documents, args.out,
         benchmark_path=args.benchmark,
@@ -550,6 +564,21 @@ def cmd_cdc_status(args) -> int:
     return 0
 
 
+def _parse_ts_ms(spec: str) -> int:
+    """A --as-of value: integer epoch millis, or an ISO 8601 date/datetime
+    (naive values are taken as UTC — the engine's session timezone)."""
+    try:
+        return int(spec)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(spec)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def cmd_cdc_export(args) -> int:
     """Dump the lake table state — current or time-travel (--snapshot),
     optionally bucket-pruned and column-pruned — to parquet or CSV. The
@@ -564,6 +593,12 @@ def cmd_cdc_export(args) -> int:
     _require_table(args.table)
     spark = get_spark("cdc-export")
     table = LakeTable(spark, args.table)
+    if args.as_of is not None:
+        if args.snapshot is not None:
+            print("error: --snapshot and --as-of are mutually exclusive",
+                  file=sys.stderr)
+            return 1
+        args.snapshot = table.snapshot_as_of(_parse_ts_ms(args.as_of)).snapshot_id
     buckets = (
         [int(b) for b in args.buckets.split(",")] if args.buckets else None
     )
@@ -684,6 +719,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--out", required=True)
     c.add_argument("--snapshot", type=int, default=None,
                    help="time-travel: export the table as of this snapshot")
+    c.add_argument("--as-of", default=None, metavar="TS",
+                   help="time-travel by timestamp: epoch millis or ISO 8601 "
+                        "(naive = UTC); exports the latest snapshot "
+                        "committed at or before TS")
     c.add_argument("--buckets", default=None,
                    help="comma-separated bucket ids (prunes the read)")
     c.add_argument("--columns", default=None,
@@ -746,6 +785,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="when --documents is a CDC lake table root, prep "
                         "that snapshot's live state (time-travel) instead "
                         "of the current one")
+    c.add_argument("--as-of", default=None, metavar="TS",
+                   help="time-travel by timestamp instead of snapshot id: "
+                        "epoch millis or ISO 8601 (naive = UTC)")
     c.set_defaults(fn=cmd_prep_data)
 
     c = sub.add_parser("codelist-pipeline")

@@ -109,6 +109,40 @@ def test_cli_datagen_and_replay(tmp_path):
     )
     assert bad.returncode == 1 and "--shard-key" in bad.stderr
 
+    # --as-of: time travel by timestamp — snapshot 2's commit time must
+    # resolve back to snapshot 2 (ms-granularity commits: use its exact ts)
+    ts2 = json.loads(
+        open(f"{table}/_meta/v00000002.json").read()
+    )["timestamp_ms"]
+    out = subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "cdc-export",
+         "--table", table, "--out", str(tmp_path / "export_asof"),
+         "--as-of", str(ts2)],
+        capture_output=True, text=True, cwd="/root/repo", check=True, env=env,
+    ).stdout
+    e_asof = json.loads(out.strip().splitlines()[-1])
+    assert e_asof["snapshot"] == 2 and e_asof["rows"] == e_old["rows"]
+
+    # --as-of + --snapshot together fails loudly
+    bad2 = subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "cdc-export",
+         "--table", table, "--out", str(tmp_path / "y"),
+         "--as-of", str(ts2), "--snapshot", "2"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert bad2.returncode == 1 and "mutually exclusive" in bad2.stderr
+
+    # --where: predicate-pruned export (value outside every file's range
+    # prunes ALL files at plan time and yields an empty, correct export)
+    out = subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "cdc-export",
+         "--table", table, "--out", str(tmp_path / "export_none"),
+         "--where", "repo=zzz-no-such-repo"],
+        capture_output=True, text=True, cwd="/root/repo", check=True, env=env,
+    ).stdout
+    e_none = json.loads(out.strip().splitlines()[-1])
+    assert e_none["rows"] == 0 and e_none["files_pruned"] == e_none["files_total"] > 0
+
 
 def test_typed_view(spark, default_config, reference_available):
     src = example_csv("regional-trade", "input.csv")

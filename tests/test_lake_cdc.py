@@ -861,3 +861,32 @@ class TestDeadLetterQueue:
         )
         ChangeLogReplayer(spark, t, events, batch_events=1000).run()
         assert t.read().count() == 1
+
+
+class TestSnapshotAsOf:
+    def test_resolution_and_errors(self, spark, tmp_path):
+        t = make_table(spark, tmp_path)
+        merge_upsert(t, batch_df(spark, [
+            (1, "U", "r1", "p1", "c1", "py", "a"),
+        ]), "b1")
+        merge_upsert(t, batch_df(spark, [
+            (2, "U", "r1", "p1", "c2", "py", "b"),
+        ]), "b2")
+        hist = t.history()
+        assert len(hist) == 3  # create + 2 merges
+        s2, s3 = hist[1], hist[2]
+        # exact commit ts resolves to that snapshot
+        assert t.snapshot_as_of(s2.timestamp_ms).snapshot_id in (
+            s2.snapshot_id,
+            # ms-equal commits legitimately resolve to the later one
+            *( [s3.snapshot_id] if s3.timestamp_ms == s2.timestamp_ms else [] ),
+        )
+        # far future -> current; in-between -> earlier snapshot
+        assert t.snapshot_as_of(s3.timestamp_ms + 10**9).snapshot_id == s3.snapshot_id
+        if s3.timestamp_ms > s2.timestamp_ms:
+            assert t.snapshot_as_of(
+                s3.timestamp_ms - 1
+            ).snapshot_id == s2.snapshot_id
+        # before table creation -> loud error
+        with pytest.raises(ValueError, match="no snapshot at or before"):
+            t.snapshot_as_of(hist[0].timestamp_ms - 1)
