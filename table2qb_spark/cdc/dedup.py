@@ -43,3 +43,37 @@ def dedup_max_seq(
         winners = df.groupBy(*key_cols).agg(F.max(payload).alias("__p"))
 
     return winners.select(*key_cols, *[F.col(f"__p.{c}").alias(c) for c in ordered])
+
+
+def hot_keys(df: DataFrame, key_cols: list[str], top_k: int = 20) -> DataFrame:
+    """Skew diagnostic: the top-k hottest keys by event count — the report
+    read before deciding ``two_phase``/``n_salt`` (or AQE skew-join limits)
+    for a stream whose key distribution is unknown.
+
+    Scale shape: ONE map-side-combined count aggregate (a hot key combines
+    locally on every input partition — the diagnostic itself cannot be
+    skewed by the skew it measures), then a global top-k that compiles to
+    TakeOrderedAndProject: per-partition bounded heaps, only k rows per
+    partition ever move. Key columns break count ties so the result is
+    deterministic on every engine.
+
+    Output: key columns + ``n_events`` (desc) + ``pct_of_batch`` (share of
+    the batch, 4 decimals). The total comes from summing the SAME count
+    aggregate (one broadcast row crossJoined back): both branches share the
+    count's shuffle, which AQE deduplicates at runtime (ReusedExchange —
+    verified in the executed plan), so the raw input is scanned and
+    partially aggregated exactly once."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n_events"))
+    total = counts.agg(F.sum("n_events").alias("__total"))  # one tiny row
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_events",
+            F.round(F.col("n_events") / F.col("__total") * 100.0, 4).alias(
+                "pct_of_batch"
+            ),
+        )
+        .orderBy(F.desc("n_events"), *key_cols)
+        .limit(top_k)
+    )

@@ -340,6 +340,15 @@ def q_cdc_latest_state_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_max_seq(ev, ["user_id"], seq_col="seq", two_phase=True)
 
 
+def q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic (cdc.dedup.hot_keys): top-25 hottest keys by event
+    count with batch share — ties at the cut broken by key so the set is
+    deterministic on every engine."""
+    from table2qb_spark.cdc.dedup import hot_keys
+
+    return hot_keys(_t(spark, sf_dir, "events"), ["user_id"], top_k=25)
+
+
 def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE semantics on the event stream: signup=I, error=D, rest=U keyed
     by user_id; final state excludes keys whose last event is a delete."""
@@ -458,6 +467,18 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("doc_id", "lang", "source", "n_chars")
 
+
+
+def q_cap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source volume cap (ops.sampling.cap_sources): domain balancing —
+    each source keeps ~15 rows in expectation via the per-source integer
+    threshold min(SCALE, 15*SCALE div n_s) over the deterministic md5 draw.
+    The oracle reproduces the exact kept set."""
+    from table2qb_spark.ops.sampling import cap_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    out = cap_sources(docs, source_col="source", max_rows=15, key_col="doc_id", seed=13)
+    return out.select("doc_id", "lang", "source", "n_chars")
 
 
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,6 +1247,15 @@ ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1
     """,
+    "cdc_hot_keys": """
+        WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+        t AS (SELECT sum(n_events) AS total FROM c)
+        SELECT user_id, n_events,
+               round(n_events / total * 100.0, 4) AS pct_of_batch
+        FROM c CROSS JOIN t
+        ORDER BY n_events DESC, user_id
+        LIMIT 25
+    """,
     "cdc_merge_upsert": """
         SELECT user_id, seq, op, value FROM (
           SELECT user_id, event_id AS seq,
@@ -1357,6 +1387,18 @@ ORACLES: dict[str, str] = {
         )
         WHERE u < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                             WHEN 'fr' THEN 100000 ELSE 50000 END
+    """,
+    "cap_sources": """
+        WITH n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        d AS (
+          SELECT doc_id, lang, source, n_chars,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|13'), 1, 15))::BIGINT
+                   % 1000000 AS u
+          FROM documents
+        )
+        SELECT doc_id, lang, source, n_chars
+        FROM d JOIN n USING (source)
+        WHERE u < least(1000000, (15 * 1000000) // cnt)
     """,
     "corpus_mixture": """
         WITH drawn AS (
@@ -2035,6 +2077,7 @@ QUERIES = {
     "cdc_latest_state": q_cdc_latest_state,
     "cdc_latest_state_salted": q_cdc_latest_state_salted,
     "cdc_merge_upsert": q_cdc_merge_upsert,
+    "cdc_hot_keys": q_cdc_hot_keys,
     "pii_scrub": q_pii_scrub,
     "text_repetition": q_text_repetition,
     "web_quality": q_web_quality,
@@ -2045,6 +2088,7 @@ QUERIES = {
     "decontamination": q_decontamination,
     "bm25_topk": q_bm25_topk,
     "sample_stratified": q_sample_stratified,
+    "cap_sources": q_cap_sources,
     "corpus_mixture": q_corpus_mixture,
     "cdc_compact": q_cdc_compact,
     "cdc_incremental_read": q_cdc_incremental_read,

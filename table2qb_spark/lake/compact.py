@@ -27,10 +27,35 @@ def compact(
     buckets: list[int] | None = None,
     purge_below_seq: int | None = None,
     min_files: int = 2,
+    sort_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> dict:
     """Rewrite buckets with >= min_files files (or all listed buckets).
-    Returns {compacted_buckets, files_before, files_after, skipped}."""
+    Returns {compacted_buckets, files_before, files_after, skipped}.
+
+    ``sort_by`` produces a SORTED rewrite (Iceberg's sorted compaction):
+    rows are clustered by the given columns within each bucket, so the
+    rewritten files' manifest min/max stats become tight — and with
+    ``max_records_per_file`` each bucket splits into several files with
+    disjoint ``sort_by`` ranges, letting ``read(where=...)`` prune at file
+    granularity inside a bucket (see lake/skipping.py). The sort is
+    per-task (sortWithinPartitions under the existing bucket exchange), no
+    extra shuffle; a bucket whose rows exceed task memory spills, it never
+    becomes one global sort. Pick sort columns to match the dominant read
+    predicates (e.g. ``_seq`` for incremental tails, a repo/path prefix for
+    point lookups). A compact with sort_by always rewrites the listed
+    buckets (min_files is ignored for selection only when a sort or purge
+    was requested — a single unsorted file still benefits from the
+    rewrite)."""
     snap = table.snapshot()
+    if sort_by:
+        known = {c["name"] for c in snap.current_schema()}
+        bad = [c for c in sort_by if c not in known]
+        if bad:
+            raise ValueError(
+                f"sort_by columns not in table schema: {bad} "
+                f"(available: {sorted(known)})"
+            )
     commit_id = f"compact-{snap.snapshot_id}"
     if table.has_commit(commit_id):
         return {"skipped": True, "commit_id": commit_id}
@@ -40,7 +65,11 @@ def compact(
         bi = int(b)
         if buckets is not None and bi not in buckets:
             continue
-        if len(entries) >= min_files or purge_below_seq is not None:
+        if (
+            len(entries) >= min_files
+            or purge_below_seq is not None
+            or sort_by is not None
+        ):
             candidates.append(bi)
     if not candidates:
         return {"skipped": True, "reason": "nothing to compact"}
@@ -54,16 +83,24 @@ def compact(
         df = df.where(~purgeable)
     df = df.withColumn("__bucket", key_bucket_expr(snap.key_columns, snap.n_buckets))
 
-    new_files = table.write_data_files(df, snapshot_hint=f"c{snap.snapshot_id + 1:07d}")
+    new_files = table.write_data_files(
+        df,
+        snapshot_hint=f"c{snap.snapshot_id + 1:07d}",
+        sort_by=sort_by,
+        max_records_per_file=max_records_per_file,
+    )
     for b in candidates:
         new_files.setdefault(b, [])
     files_before = sum(len(snap.files.get(str(b), [])) for b in candidates)
     files_after = sum(len(v) for v in new_files.values())
+    summary: dict = {"compacted": candidates}
+    if sort_by:
+        summary["sort_by"] = list(sort_by)
     table.commit_files(
         commit_id,
         candidates,
         new_files,
-        {"compacted": candidates},
+        summary,
         base_snapshot_id=snap.snapshot_id,
     )
     return {

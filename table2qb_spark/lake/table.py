@@ -747,14 +747,29 @@ class LakeTable:
         return new_snap
 
     def write_data_files(
-        self, df: DataFrame, snapshot_hint: str, repartition: bool = True
+        self,
+        df: DataFrame,
+        snapshot_hint: str,
+        repartition: bool = True,
+        sort_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict[int, list[dict]]:
         """Write a DataFrame that carries a ``__bucket`` column into new
         immutable parquet files under data/, partitioned by bucket. Returns
         {bucket: [file entries]} for ``commit_files``. With ``repartition``
         the rows are shuffled so each bucket writes one file; pass False when
         the input partitions already align 1:1 with buckets (bucketed
-        shuffle-free apply) — each task then writes its own directory."""
+        shuffle-free apply) — each task then writes its own directory.
+
+        ``sort_by`` clusters rows WITHIN each bucket (sortWithinPartitions —
+        a per-task sort, no extra shuffle: the bucket exchange above already
+        co-located the rows). Combined with ``max_records_per_file`` (maps to
+        Spark's maxRecordsPerFile, which splits a task's output sequentially,
+        preserving the sort) each bucket lands as several files with DISJOINT
+        ``sort_by`` ranges — exactly what makes the manifest min/max stats
+        (lake/skipping.py) prune at file granularity instead of bucket
+        granularity. This is Iceberg's sorted-compaction + data-skipping
+        story re-expressed over this format."""
         snap = self.snapshot()
         # attempt-unique directory: two writers racing toward the same
         # snapshot id never overwrite each other's parquet files — only the
@@ -765,12 +780,15 @@ class LakeTable:
         out = df
         if repartition:
             out = df.repartition(max(1, min(snap.n_buckets, 256)), F.col("__bucket"))
-        (
-            out.withColumnRenamed("__bucket", "b")
-            .write.mode("overwrite")
-            .partitionBy("b")
-            .parquet(out_dir)
-        )
+        if sort_by:
+            # __bucket leads the sort keys: with n_buckets > partition count
+            # several buckets share a task, and the partitionBy("b") writer
+            # below must still see each bucket's rows contiguous and sorted
+            out = out.sortWithinPartitions("__bucket", *sort_by)
+        writer = out.withColumnRenamed("__bucket", "b").write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.partitionBy("b").parquet(out_dir)
         # enumerate written files; row counts AND per-column min/max come
         # from parquet footers (driver-side metadata read — no data scan,
         # no extra Spark job). The stats land in the manifest so reads can

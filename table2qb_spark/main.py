@@ -201,7 +201,8 @@ TASK_DESCRIPTIONS = {
     "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR [--dlq DIR]"),
     "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR [--dlq DIR]"),
     "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR"),
-    "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR"),
+    "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
+    "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS] [--max-records-per-file N] [--purge-below-seq N]"),
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
     "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot N [--to-snapshot M]"),
     "cdc-verify": ("Prints a distributed content digest of the table", "Usage: table2qb cdc-verify --table DIR"),
@@ -313,7 +314,16 @@ def cmd_compact(args) -> int:
     _require_table(args.table)
     spark = get_spark("cdc-compact")
     table = LakeTable(spark, args.table)
-    res = compact(table, purge_below_seq=args.purge_below_seq)
+    try:
+        res = compact(
+            table,
+            purge_below_seq=args.purge_below_seq,
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
+            max_records_per_file=args.max_records_per_file,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     print(json.dumps(res))
     return 0
 
@@ -398,6 +408,13 @@ def cmd_prep_data(args) -> int:
         args.snapshot = LakeTable(spark, args.documents).snapshot_as_of(
             _parse_ts_ms(args.as_of)
         ).snapshot_id
+    if args.since_snapshot is not None:
+        from table2qb_spark.lake.table import LakeTable
+
+        if not LakeTable.exists(args.documents):
+            print("error: --since-snapshot requires --documents to be a CDC "
+                  "lake table root", file=sys.stderr)
+            return 1
     report = run_prep(
         spark, args.documents, args.out,
         benchmark_path=args.benchmark,
@@ -409,7 +426,9 @@ def cmd_prep_data(args) -> int:
         semantic_threshold=args.semantic_threshold,
         existing_path=args.dedup_against,
         snapshot_id=args.snapshot,
+        since_snapshot=args.since_snapshot,
         mixture_weights=mixture,
+        source_cap=args.cap_source,
     )
     print(json.dumps(report))
     return 0
@@ -510,6 +529,34 @@ def cmd_cdc_replay(args) -> int:
             r.stats.get("dlq_events", 0) for r in applied
         )
     print(json.dumps(out))
+    return 0
+
+
+def cmd_cdc_hotkeys(args) -> int:
+    """Skew diagnostic: top-k hottest merge keys in a change-event source —
+    the report read before picking --salted-dedup / n_salt for a stream
+    whose key distribution is unknown."""
+    from table2qb_spark.cdc.dedup import hot_keys
+
+    spark = get_spark("cdc-hotkeys")
+    if args.events_format == "parquet":
+        ev = spark.read.parquet(args.events)
+    elif args.events_format == "json":
+        ev = spark.read.json(args.events)
+    elif args.events_format == "csv":
+        ev = spark.read.options(header=True, inferSchema=True).csv(args.events)
+    else:
+        print(f"error: unknown events format {args.events_format!r}",
+              file=sys.stderr)
+        return 1
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    missing = [k for k in keys if k not in ev.columns]
+    if not keys or missing:
+        print(f"error: key columns not in events: {missing or '(none given)'}",
+              file=sys.stderr)
+        return 1
+    for r in hot_keys(ev, keys, top_k=args.top).collect():
+        print(json.dumps(r.asDict()))
     return 0
 
 
@@ -692,6 +739,8 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("cdc-compact")
     c.add_argument("--table", required=True)
     c.add_argument("--purge-below-seq", type=int, default=None)
+    c.add_argument("--sort-by", default=None, help="sorted rewrite: comma-separated cluster columns (tight file stats for data skipping)")
+    c.add_argument("--max-records-per-file", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
 
     c = sub.add_parser("cdc-expire")
@@ -788,6 +837,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--as-of", default=None, metavar="TS",
                    help="time-travel by timestamp instead of snapshot id: "
                         "epoch millis or ISO 8601 (naive = UTC)")
+    c.add_argument("--cap-source", type=int, default=None, metavar="N",
+                   help="domain balancing: cap each source's contribution "
+                        "at ~N docs (deterministic per-source downsample; "
+                        "sources under the cap pass through untouched)")
+    c.add_argument("--since-snapshot", type=int, default=None, metavar="ID",
+                   help="incremental prep (lake input only): prep ONLY the "
+                        "documents inserted/updated since this snapshot "
+                        "(bucket-pruned snapshot diff), not the whole "
+                        "corpus; pair with --dedup-against to skip "
+                        "re-ingested identical content")
     c.set_defaults(fn=cmd_prep_data)
 
     c = sub.add_parser("codelist-pipeline")
@@ -874,6 +933,15 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("cdc-status")
     c.add_argument("--table", required=True)
     c.set_defaults(fn=cmd_cdc_status)
+
+    c = sub.add_parser("cdc-hotkeys")
+    c.add_argument("--events", required=True)
+    c.add_argument("--keys", required=True,
+                   help="comma-separated merge key columns, e.g. repo,path")
+    c.add_argument("--top", type=int, default=20)
+    c.add_argument("--events-format", default="parquet",
+                   choices=["parquet", "json", "csv"])
+    c.set_defaults(fn=cmd_cdc_hotkeys)
 
     c = sub.add_parser("datagen")
     c.add_argument("--out", required=True)

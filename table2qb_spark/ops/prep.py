@@ -54,6 +54,7 @@ def prepare_training_data(
     semantic_threshold: float = 0.95,
     existing: DataFrame | None = None,
     mixture_weights: dict[str, float] | None = None,
+    source_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, packed): the filtered+sampled corpus with annotations,
     and its sequence-packing index.
@@ -166,6 +167,17 @@ def prepare_training_data(
         others = [c for c in clean.columns if c != "text"]
         clean = clean.select(*others, red.alias("text"), *counts)
 
+    if source_cap is not None:
+        # domain balancing before the mixing stages: no source contributes
+        # more than ~source_cap docs (deterministic md5 draw; the per-source
+        # count agg is map-side combined, join strategy left to AQE)
+        from table2qb_spark.ops.sampling import cap_sources
+
+        clean = cap_sources(
+            clean, source_col="source", max_rows=source_cap,
+            key_col="doc_id", seed=seed,
+        )
+
     if fractions:
         clean = sample_stratified(
             clean, strata_col="lang", fractions=fractions, key_col="doc_id",
@@ -241,9 +253,39 @@ def run_prep(
     embeddings_path: str | None = None,
     existing_path: str | None = None,
     snapshot_id: int | None = None,
+    since_snapshot: int | None = None,
     **kwargs,
 ) -> dict:
+    """One prep run. ``since_snapshot`` switches to INCREMENTAL mode (lake
+    input only): instead of re-prepping the whole corpus, read the
+    bucket-pruned snapshot_diff between ``since_snapshot`` and the target
+    snapshot and prep only the documents inserted or updated in that window
+    (live post-images — a doc deleted in the window never reaches the
+    output). This is the steady-state shape at 100 TB: each ingest cycle
+    prepares a diff-sized slice, not the table. Pair it with
+    ``existing_path`` (--dedup-against) so re-ingested but content-identical
+    docs are dropped against the already-prepped corpus; REMOVING stale
+    output for updated/deleted docs is the downstream merge's job (the
+    output carries doc_id — apply it as a MERGE key), not this function's.
+    """
     docs = _read_corpus(spark, documents_path, snapshot_id)
+    if since_snapshot is not None:
+        if not _is_lake_table(documents_path):
+            raise ValueError("since_snapshot requires a CDC lake-table input")
+        from table2qb_spark.lake.diff import snapshot_diff
+        from table2qb_spark.lake.table import LakeTable
+
+        table = LakeTable(spark, documents_path)
+        to_id = (
+            snapshot_id if snapshot_id is not None
+            else table.current_snapshot_id()
+        )
+        delta = snapshot_diff(table, since_snapshot, to_id).where(
+            F.col("change_type").isin("insert", "update")
+        )
+        if "_deleted" in delta.columns:
+            delta = delta.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        docs = delta.drop("change_type", "_seq", "_deleted")
     bench = spark.read.parquet(benchmark_path) if benchmark_path else None
     emb = spark.read.parquet(embeddings_path) if embeddings_path else None
     existing = _read_corpus(spark, existing_path) if existing_path else None
@@ -276,6 +318,11 @@ def run_prep(
         "clean_path": clean_path,
         "packed_path": packed_path,
     }
+    if since_snapshot is not None:
+        # incremental mode: input_docs (the snapshot's STORED row count)
+        # describes the table, not the diff-sized slice actually prepped
+        report["mode"] = "incremental"
+        report["since_snapshot"] = since_snapshot
     with open(os.path.join(out_dir, "report.json"), "w", encoding="utf-8") as f:
         json.dump(report, f)
     return report

@@ -136,6 +136,57 @@ def assign_shards(
     )
 
 
+def cap_sources(
+    df: DataFrame,
+    source_col: str,
+    max_rows: int,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-source volume cap (RefinedWeb-style domain balancing): no single
+    source/domain contributes more than ~``max_rows`` rows (in expectation)
+    to the corpus, chosen deterministically.
+
+    Web-scale corpora are dominated by a few mega-domains; the standard fix
+    caps each domain's contribution so the long tail isn't drowned out. The
+    obvious SQL — ``row_number() OVER (PARTITION BY source) <= cap`` — is
+    hot-key-unsafe at scale: one 10^9-row domain becomes ONE window
+    partition (a single task sorting a billion rows). Instead:
+
+    1. one map-side-combined count per source (tiny result: one row per
+       distinct source),
+    2. per-source keep threshold  min(SCALE, (max_rows*SCALE) div n_s)  —
+       integer arithmetic end-to-end so every engine computes the identical
+       threshold,
+    3. equi-join the counts back and filter on the same deterministic
+       ``uniform_hash`` draw as ``sample_stratified``.
+
+    The join strategy is deliberately left to AQE: the distinct-source dim
+    is NOT broadcast-safe by construction (a web crawl has ~10^8 registered
+    domains), so forcing a broadcast here would repeat the exact failure
+    mode of an unbounded forced hint — AQE broadcasts when the measured
+    size fits and shuffles otherwise.
+
+    Semantics: the cap holds in expectation (each row of source s keeps
+    with probability min(1, max_rows/n_s)); the kept set is a pure function
+    of (key, seed, counts) — reproducible across engines and parallelism —
+    and monotone: raising ``max_rows`` only ADDS rows. Sources already
+    under the cap pass through untouched (threshold saturates at SCALE).
+    """
+    if max_rows <= 0:
+        raise ValueError("max_rows must be > 0")
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__src_n"))
+    thr = F.least(
+        F.lit(SCALE).cast("long"),
+        F.expr(f"CAST({int(max_rows) * SCALE} AS BIGINT) div __src_n"),
+    )
+    return (
+        df.join(counts, source_col)
+        .where(uniform_hash(F.col(key_col), seed) < thr)
+        .select(*df.columns)
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     strata_col: str,

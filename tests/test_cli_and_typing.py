@@ -369,3 +369,31 @@ class TestUrisAndHelpTasks:
         assert "Usage: table2qb uris pipeline-name" in capsys.readouterr().out
         assert self._run("help", "wat") == 2
         assert "Unknown task name wat" in capsys.readouterr().err
+
+
+class TestCdcHotkeysCLI:
+    def _main(self, argv):
+        from table2qb_spark.main import main
+
+        return main(argv)
+
+    def test_hotkeys_reports_top_keys(self, spark, tmp_path, capsys):
+        import json as _json
+
+        ev = str(tmp_path / "events.parquet")
+        rows = [(i, "hot", "a.py") for i in range(30)] + [(100, "cold", "b.py")]
+        spark.createDataFrame(rows, "seq long, repo string, path string") \
+            .write.parquet(ev)
+        rc = self._main(["cdc-hotkeys", "--events", ev,
+                         "--keys", "repo,path", "--top", "1"])
+        assert rc == 0
+        out = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        assert out == [{"repo": "hot", "path": "a.py", "n_events": 30,
+                        "pct_of_batch": round(30 / 31 * 100, 4)}]
+
+    def test_hotkeys_bad_key_column(self, spark, tmp_path, capsys):
+        ev = str(tmp_path / "e.parquet")
+        spark.createDataFrame([(1, "r")], "seq long, repo string").write.parquet(ev)
+        rc = self._main(["cdc-hotkeys", "--events", ev, "--keys", "nope"])
+        assert rc == 1
+        assert "key columns not in events" in capsys.readouterr().err

@@ -295,3 +295,40 @@ def test_orphan_sweep_removes_losing_racers_files(spark, tmp_path, monkeypatch):
     n_after = len(glob.glob(os.path.join(t.path, "data", "**", "*.parquet"), recursive=True))
     assert n_after < n_before
     assert {r["content"] for r in t.read().collect()} == {"X"}
+
+
+def test_sorted_compaction_tightens_file_stats_for_skipping(spark, tmp_path):
+    """compact(sort_by=..., max_records_per_file=...) rewrites each bucket as
+    several files with DISJOINT sort-key ranges, so read(where=...) prunes at
+    file granularity inside a bucket (the Iceberg sorted-compaction story)."""
+    t = create_stream_table(spark, str(tmp_path / "t"), SCHEMA, KEYS, n_buckets=1)
+    # 200 keys arriving in scattered seq order -> one unsorted file
+    rows = [((i * 37) % 200 + 1, "I", "r", f"f{(i * 37) % 200}.py", f"v{i}")
+            for i in range(200)]
+    merge_upsert(t, batch(spark, rows), "b1", batch_size_hint=1)
+    sha_before = table_sha256(t.read())
+
+    res = compact(t, sort_by=["_seq"], max_records_per_file=50)
+    assert not res["skipped"]
+    assert res["files_after"] >= 4  # 200 rows split at 50/file
+    assert table_sha256(t.read()) == sha_before  # state preserved exactly
+
+    # manifest stats: the _seq ranges of the rewritten files are disjoint
+    snap = t.snapshot()
+    ranges = sorted(
+        tuple(e["stats"]["_seq"]) for e in snap.files["0"] if "stats" in e
+    )
+    assert len(ranges) == res["files_after"]
+    assert all(a[1] < b[0] for a, b in zip(ranges, ranges[1:]))
+
+    # and read(where=) now prunes most files at plan time
+    report = {}
+    tail = t.read(where="_seq>=180", prune_report=report)
+    assert report["files_total"] >= 4 and report["files_kept"] == 1
+    assert tail.count() == 21  # seqs 180..200
+
+    # re-running the sorted rewrite (new snapshot, new commit id) is a
+    # state-level no-op; the commit summary records the cluster columns
+    assert compact(t, sort_by=["_seq"], max_records_per_file=50)["skipped"] is False
+    assert table_sha256(t.read()) == sha_before
+    assert t.snapshot().summary.get("sort_by") == ["_seq"]

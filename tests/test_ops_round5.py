@@ -292,6 +292,38 @@ class TestPrepFromLake:
         assert rows[2].startswith("doc two ") and "rewritten" not in rows[2]
 
 
+    def test_prep_incremental_since_snapshot(self, spark, tmp_path):
+        """--since-snapshot: only the docs inserted/updated since that
+        snapshot are prepped (bucket-pruned diff); a doc DELETED in the
+        window never reaches the output, untouched docs are not re-prepped."""
+        from table2qb_spark.ops.prep import run_prep
+
+        t = self.make_doc_table(spark, tmp_path)
+        # snapshots: 1 empty, 2 after b1, 3 after b2
+        report = run_prep(
+            spark, t.path, str(tmp_path / "out3"), min_tokens=1, since_snapshot=2
+        )
+        clean = spark.read.parquet(report["clean_path"])
+        rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+        assert set(rows) == {2}  # updated; doc 3 deleted, doc 1 unchanged
+        assert rows[2].startswith("doc two rewritten")
+        assert report["mode"] == "incremental"
+        assert report["since_snapshot"] == 2
+
+    def test_prep_incremental_requires_lake_input(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from table2qb_spark.ops.prep import run_prep
+
+        plain = str(tmp_path / "plain.parquet")
+        spark.createDataFrame(
+            [(1, "t", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(plain)
+        with _pytest.raises(ValueError, match="lake-table"):
+            run_prep(spark, plain, str(tmp_path / "o"), since_snapshot=1)
+
+
 class TestAllQueryPlansScaleGuard:
     """Blanket scale audit over the ENTIRE driver-contract query catalog:
     no query's physical plan may contain a Cartesian product or a
@@ -430,3 +462,78 @@ class TestPrepMixture:
         assert {(r["doc_id"], r["epoch"]) for r in p} >= {
             (r["doc_id"], r["epoch"]) for r in rows
         }
+
+
+class TestCapSources:
+    def docs(self, spark):
+        # source "big" has 300 rows, "mid" 40, "tiny" 5
+        rows = (
+            [(i, "big") for i in range(300)]
+            + [(1000 + i, "mid") for i in range(40)]
+            + [(2000 + i, "tiny") for i in range(5)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_under_cap_pass_through_and_big_capped(self, spark):
+        from table2qb_spark.ops.sampling import cap_sources
+
+        out = cap_sources(self.docs(spark), "source", 40, "doc_id", seed=3)
+        per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        # sources at or under the cap keep EVERY row (threshold saturates)
+        assert per["mid"] == 40 and per["tiny"] == 5
+        # the hot source is capped in expectation (40/300 keep rate)
+        assert 15 <= per["big"] <= 70
+
+    def test_monotone_and_deterministic(self, spark):
+        from table2qb_spark.ops.sampling import cap_sources
+
+        docs = self.docs(spark)
+        a = {r["doc_id"] for r in cap_sources(docs, "source", 20, "doc_id", seed=3).collect()}
+        b = {r["doc_id"] for r in cap_sources(docs, "source", 80, "doc_id", seed=3).collect()}
+        assert a <= b  # raising the cap only ADDS rows
+        a2 = {r["doc_id"] for r in cap_sources(docs, "source", 20, "doc_id", seed=3).collect()}
+        assert a == a2
+
+    def test_plan_no_window_no_forced_broadcast(self, spark):
+        from table2qb_spark.ops.sampling import cap_sources
+
+        df = cap_sources(self.docs(spark), "source", 40, "doc_id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # hot-key-safe: no per-source window sort anywhere in the plan
+        assert "Window" not in plan
+        # join strategy left to AQE: the LOGICAL plan carries no broadcast hint
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical
+
+    def test_invalid_cap_rejected(self, spark):
+        from table2qb_spark.ops.sampling import cap_sources
+
+        with pytest.raises(ValueError):
+            cap_sources(self.docs(spark), "source", 0, "doc_id")
+
+
+class TestHotKeys:
+    def events(self, spark):
+        rows = [(i, "hot", "a.py") for i in range(50)] + [
+            (100 + i, f"r{i % 5}", "b.py") for i in range(25)
+        ]
+        return spark.createDataFrame(rows, "seq long, repo string, path string")
+
+    def test_counts_share_and_order(self, spark):
+        from table2qb_spark.cdc.dedup import hot_keys
+
+        out = hot_keys(self.events(spark), ["repo", "path"], top_k=3).collect()
+        assert (out[0]["repo"], out[0]["n_events"]) == ("hot", 50)
+        assert out[0]["pct_of_batch"] == round(50 / 75 * 100, 4)
+        # ties (r0..r4 all have 5 events) break by key: r0, r1 fill the top-3
+        assert [(r["repo"], r["n_events"]) for r in out[1:]] == [("r0", 5), ("r1", 5)]
+
+    def test_plan_topk_and_partial_agg(self, spark):
+        from table2qb_spark.cdc.dedup import hot_keys
+
+        plan = (
+            hot_keys(self.events(spark), ["repo", "path"], top_k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "partial_count" in plan  # map-side combine on the hot key
