@@ -469,6 +469,30 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit bigram LM quality proxy (ops.text.bigram_logprob): mean
+    -log2 P(w2|w1) per doc with a 500-token vocab and add-0.5 smoothing —
+    the CCNet perplexity-filter shape, self-contained. The oracle refits
+    the identical model in DuckDB."""
+    from table2qb_spark.ops.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, vocab_k=500, alpha=0.5)
+
+
+def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus selection (ops.sampling.select_token_budget):
+    best docs by quality until a 10k-token budget; the histogram+boundary
+    two-phase plan must select the EXACT rows of the oracle's global
+    running-sum window."""
+    from table2qb_spark.ops.sampling import select_token_budget
+    from table2qb_spark.ops.text import analyze_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    ann = analyze_documents(docs).select("doc_id", "quality", "n_tokens")
+    return select_token_budget(ann, budget_tokens=10_000)
+
+
 def q_cap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source volume cap (ops.sampling.cap_sources): domain balancing —
     each source keeps ~15 rows in expectation via the per-source integer
@@ -1388,6 +1412,57 @@ ORACLES: dict[str, str] = {
         WHERE u < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                             WHEN 'fr' THEN 100000 ELSE 50000 END
     """,
+    "bigram_logprob": f"""
+        WITH toks AS (
+          SELECT doc_id, {SQL_TOKENS.format(x='text')} AS toks FROM documents
+        ), uni AS (
+          SELECT tok, count(*) AS c
+          FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY tok
+        ), vocab AS (
+          SELECT list(tok) AS vl
+          FROM (SELECT tok FROM uni ORDER BY c DESC, tok LIMIT 500)
+        ), mapped AS (
+          SELECT doc_id,
+                 list_transform(
+                   toks,
+                   t -> CASE WHEN list_contains(vl, t)
+                             THEN t ELSE '<unk>' END) AS m
+          FROM toks CROSS JOIN vocab
+        ), bg AS (
+          SELECT doc_id,
+                 unnest(m[1:len(m) - 1]) AS w1,
+                 unnest(m[2:len(m)]) AS w2
+          FROM mapped WHERE len(m) >= 2
+        ), bc AS (
+          SELECT w1, w2, count(*) AS c_big FROM bg GROUP BY 1, 2
+        ), oc AS (
+          SELECT w1, sum(c_big) AS c_w1 FROM bc GROUP BY 1
+        ), s AS (
+          SELECT doc_id,
+                 round(avg(-log2((c_big + 0.5) / (c_w1 + 0.5 * 501))), 4)
+                   AS bits_per_bigram,
+                 count(*) AS n_bigrams
+          FROM bg JOIN bc USING (w1, w2) JOIN oc USING (w1)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id, s.bits_per_bigram, s.n_bigrams
+        FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+    "select_token_budget": f"""
+        WITH a AS (
+          SELECT doc_id,
+                 round(
+                   least(CASE WHEN len({SQL_TOKENS.format(x='text')}) > 0 THEN len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|it|for|on)\\b'))::DOUBLE / len({SQL_TOKENS.format(x='text')}) ELSE 0 END * 2.5, 1.0) * 0.4
+                   + least(len({SQL_TOKENS.format(x='text')}) / 64.0, 1.0) * 0.3
+                   + CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) ELSE 0 END * 0.3
+                 , 4) AS quality,
+                 len({SQL_TOKENS.format(x='text')}) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum FROM a
+        )
+        SELECT doc_id, quality, n_tokens FROM c WHERE cum <= 10000
+    """,
     "cap_sources": """
         WITH n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
         d AS (
@@ -2089,6 +2164,8 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "sample_stratified": q_sample_stratified,
     "cap_sources": q_cap_sources,
+    "select_token_budget": q_select_token_budget,
+    "bigram_logprob": q_bigram_logprob,
     "corpus_mixture": q_corpus_mixture,
     "cdc_compact": q_cdc_compact,
     "cdc_incremental_read": q_cdc_incremental_read,

@@ -235,6 +235,73 @@ def mix_corpus(
     return out.select(*df.columns, F.col("__epoch").cast("long").alias("epoch"))
 
 
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: str = "quality",
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-constrained corpus selection: keep the BEST documents (by
+    ``quality_col``, descending; ``key_col`` ascending breaks ties) until
+    adding the next one would exceed ``budget_tokens`` — i.e. rows whose
+    running token sum in (quality DESC, key ASC) order stays <= budget.
+
+    The naive plan — ``sum(tokens) OVER (ORDER BY quality DESC, key)`` —
+    is a GLOBAL ordered window: one task sorts and scans the entire corpus.
+    The budget boundary is inherently sequential, but only AT the boundary;
+    everything else is a histogram question. So, two phases:
+
+    1. per-quality-value token totals (map-side-combined agg; quality
+       scores are rounded to 4 decimals upstream, so the domain is bounded
+       at ~10^4 distinct values — a tiny histogram collects to the driver
+       regardless of corpus size);
+    2. the driver prefix-sums the histogram in quality-descending order:
+       every value whose whole bucket fits is admitted with a plain filter
+       (one codegen scan), and ONLY the single boundary value runs a
+       running-sum window — partitioned on that one quality value, sized
+       corpus/|score domain| in expectation, never the corpus.
+
+    Assumes a bounded score domain (round continuous scores upstream —
+    ``quality_score_expr`` already does); result is deterministic and
+    engine-independent: the DuckDB global-window oracle selects the exact
+    same rows."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be > 0")
+    from pyspark.sql.window import Window
+
+    hist = sorted(
+        df.groupBy(quality_col).agg(F.sum(token_col).alias("__t")).collect(),
+        key=lambda r: r[quality_col],
+        reverse=True,
+    )
+    running = 0
+    boundary_q = None
+    remaining = 0
+    for r in hist:
+        if running + (r["__t"] or 0) <= budget_tokens:
+            running += r["__t"] or 0
+        else:
+            boundary_q = r[quality_col]
+            remaining = budget_tokens - running
+            break
+    if boundary_q is None:  # whole corpus fits
+        return df
+    full = df.where(F.col(quality_col) > F.lit(boundary_q))
+    w = (
+        Window.partitionBy(quality_col)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bnd = (
+        df.where(F.col(quality_col) == F.lit(boundary_q))
+        .withColumn("__cum", F.sum(token_col).over(w))
+        .where(F.col("__cum") <= remaining)
+        .drop("__cum")
+    )
+    return full.unionByName(bnd)
+
+
 def plan_mixture(
     df: DataFrame,
     strata_col: str,

@@ -391,3 +391,90 @@ def vocab_topk(
         F.sum("tf").alias("tf"), F.count(F.lit(1)).alias("df")
     )
     return agg.orderBy(F.desc("tf"), F.desc("df"), F.asc("token")).limit(k)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 5000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-fit bigram language-model quality proxy — the shape of
+    CCNet's perplexity filter (Wenzek et al. 2020 §3.3: docs are bucketed
+    by LM perplexity and the worst tail dropped) with the external wiki LM
+    replaced by a bigram model fit on the corpus itself, so the operator is
+    self-contained and exactly reproducible.
+
+    Model: top-``vocab_k`` unigrams form the vocabulary (ties broken by
+    token so the vocab is deterministic); everything else maps to
+    ``<unk>``. Add-alpha smoothing:
+
+        P(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * V),  V = vocab+1
+
+    Score per doc: mean -log2 P over its (mapped) bigrams, rounded to 4
+    (``bits_per_bigram``; higher = less corpus-like). Docs with < 2 tokens
+    score NULL.
+
+    Scale shape — fit and score are both corpus-bounded joins, never a
+    collect or a forced broadcast of model tables:
+    - unigram counts: one map-side-combined agg over exploded tokens; the
+      vocab is TakeOrderedAndProject(k) of it (per-partition heaps);
+    - the vocab (k rows) IS broadcast-safe by construction — an explicit
+      k-row bound, unlike a corpus-derived set — and joins the token
+      stream to apply the <unk> mapping;
+    - bigram counts: second map-side-combined agg; up to vocab_k^2 rows,
+      NOT broadcast — scoring joins doc bigrams to the count table as a
+      plain equi-join (AQE picks the strategy);
+    - per-doc score: one final agg keyed on the doc id.
+    """
+    if vocab_k <= 0:
+        raise ValueError("vocab_k must be > 0")
+    v = vocab_k + 1  # + <unk>
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "tok")
+    )
+    uni_all = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    vocab = uni_all.orderBy(F.desc("c_tok"), "tok").limit(vocab_k).select("tok")
+    mapped = (
+        toks.join(F.broadcast(vocab.withColumn("__in_v", F.lit(1))), "tok", "left")
+        .select(
+            id_col,
+            "pos",
+            F.when(F.col("__in_v").isNotNull(), F.col("tok"))
+            .otherwise(F.lit("<unk>"))
+            .alias("w"),
+        )
+    )
+    # adjacent-pair join on (doc, pos+1): partitioned by doc id, positions
+    # are dense from posexplode, so this is a co-partitioned self-join
+    nxt = mapped.select(
+        F.col(id_col), (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    bigrams = mapped.join(nxt, [id_col, "pos"]).select(
+        id_col, F.col("w").alias("w1"), "w2"
+    )
+    big_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
+    # last token of every doc never opens a bigram; c(w1) must count only
+    # bigram openers or the conditional P would not normalize — derive it
+    # from the bigram table itself (sum over w2), keeping both engines and
+    # the math consistent
+    opener_counts = big_counts.groupBy("w1").agg(F.sum("c_big").alias("c_w1"))
+    scored = (
+        bigrams.join(big_counts, ["w1", "w2"])
+        .join(opener_counts, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log2(
+                        (F.col("c_big") + F.lit(float(alpha)))
+                        / (F.col("c_w1") + F.lit(float(alpha * v)))
+                    )
+                ),
+                4,
+            ).alias("bits_per_bigram"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left")

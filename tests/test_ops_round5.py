@@ -537,3 +537,95 @@ class TestHotKeys:
         )
         assert "TakeOrderedAndProject" in plan
         assert "partial_count" in plan  # map-side combine on the hot key
+
+
+class TestSelectTokenBudget:
+    def fixture(self, spark):
+        # (doc_id, quality, n_tokens); quality buckets with ties
+        rows = [
+            (1, 0.9, 100), (2, 0.9, 100),            # bucket 0.9: 200
+            (3, 0.8, 150), (4, 0.8, 150), (5, 0.8, 150),  # bucket 0.8: 450
+            (6, 0.5, 300),                            # bucket 0.5: 300
+        ]
+        return spark.createDataFrame(rows, "doc_id long, quality double, n_tokens long")
+
+    def brute(self, rows, budget):
+        out, cum = [], 0
+        for r in sorted(rows, key=lambda r: (-r[1], r[0])):
+            cum += r[2]
+            if cum <= budget:
+                out.append(r[0])
+        return sorted(out)
+
+    def test_matches_global_running_sum_at_many_budgets(self, spark):
+        from table2qb_spark.ops.sampling import select_token_budget
+
+        df = self.fixture(spark)
+        rows = [(r["doc_id"], r["quality"], r["n_tokens"]) for r in df.collect()]
+        for budget in (50, 100, 200, 350, 500, 650, 649, 651, 950, 2000):
+            got = sorted(
+                r["doc_id"]
+                for r in select_token_budget(df, budget).collect()
+            )
+            assert got == self.brute(rows, budget), budget
+
+    def test_boundary_partial_bucket_in_key_order(self, spark):
+        from table2qb_spark.ops.sampling import select_token_budget
+
+        # budget 500: full 0.9 bucket (200) + docs 3,4 of the 0.8 bucket
+        got = sorted(
+            r["doc_id"] for r in select_token_budget(self.fixture(spark), 500).collect()
+        )
+        assert got == [1, 2, 3, 4]
+
+    def test_whole_corpus_fits(self, spark):
+        from table2qb_spark.ops.sampling import select_token_budget
+
+        assert select_token_budget(self.fixture(spark), 10_000).count() == 6
+
+    def test_invalid_budget(self, spark):
+        from table2qb_spark.ops.sampling import select_token_budget
+
+        with pytest.raises(ValueError):
+            select_token_budget(self.fixture(spark), 0)
+
+
+class TestBigramLogprob:
+    def test_hand_computed_model(self, spark):
+        """vocab_k=2 on {a,b,z}: z -> <unk>; bigram counts (a,b)=2 (b,a)=1
+        (a,a)=1; openers a=3 b=1; V=3, alpha=.5 — scores check by hand."""
+        import math
+
+        from table2qb_spark.ops.text import bigram_logprob
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a a"), (3, "z")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in bigram_logprob(docs, vocab_k=2).collect()}
+        p_ab = 2.5 / 4.5
+        p_ba = 1.5 / 2.5
+        p_aa = 1.5 / 4.5
+        exp1 = round(-(2 * math.log2(p_ab) + math.log2(p_ba)) / 3, 4)
+        assert out[1]["bits_per_bigram"] == pytest.approx(exp1)
+        assert out[1]["n_bigrams"] == 3
+        assert out[2]["bits_per_bigram"] == pytest.approx(round(-math.log2(p_aa), 4))
+        # single-token doc: no bigrams, NULL score (never dropped)
+        assert out[3]["bits_per_bigram"] is None and out[3]["n_bigrams"] is None
+
+    def test_repetitive_doc_scores_lower_than_random(self, spark):
+        from table2qb_spark.ops.text import bigram_logprob
+
+        docs = spark.createDataFrame(
+            [(1, "the cat sat " * 30), (2, "q98 zz7 kfj w0x mnb vvq a1 b2 c3 d4")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["bits_per_bigram"] for r in bigram_logprob(docs, vocab_k=5).collect()}
+        assert out[1] < out[2]  # corpus-like repetition beats OOV noise
+
+    def test_plan_no_cartesian_no_python(self, spark):
+        from table2qb_spark.ops.text import bigram_logprob
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = bigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
