@@ -469,6 +469,15 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per doc (ops.retrieval.tfidf_keywords); the
+    ranking orders on the ROUNDED score so both engines resolve ties
+    identically (term ascending breaks exact ties)."""
+    from table2qb_spark.ops.retrieval import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), m=3)
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-fit bigram LM quality proxy (ops.text.bigram_logprob): mean
     -log2 P(w2|w1) per doc with a 500-token vocab and add-0.5 smoothing —
@@ -1412,6 +1421,26 @@ ORACLES: dict[str, str] = {
         WHERE u < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                             WHEN 'fr' THEN 100000 ELSE 50000 END
     """,
+    "tfidf_keywords": """
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), s AS (
+          SELECT doc_id, term,
+                 round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+          FROM s
+        )
+        SELECT doc_id, term, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+    """,
     "bigram_logprob": f"""
         WITH toks AS (
           SELECT doc_id, {SQL_TOKENS.format(x='text')} AS toks FROM documents
@@ -2166,6 +2195,7 @@ QUERIES = {
     "cap_sources": q_cap_sources,
     "select_token_budget": q_select_token_budget,
     "bigram_logprob": q_bigram_logprob,
+    "tfidf_keywords": q_tfidf_keywords,
     "corpus_mixture": q_corpus_mixture,
     "cdc_compact": q_cdc_compact,
     "cdc_incremental_read": q_cdc_incremental_read,

@@ -202,11 +202,12 @@ TASK_DESCRIPTIONS = {
     "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR [--dlq DIR]"),
     "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR"),
     "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
+    "cdc-schema": ("Prints the table schema; --history adds version-by-version column lineage", "Usage: table2qb cdc-schema --table DIR [--history]"),
     "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS] [--max-records-per-file N] [--purge-below-seq N]"),
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
     "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot N [--to-snapshot M]"),
     "cdc-verify": ("Prints a distributed content digest of the table", "Usage: table2qb cdc-verify --table DIR"),
-    "cdc-export": ("Exports table state (current or a snapshot) to parquet/CSV", "Usage: table2qb cdc-export --table DIR --out DIR [--snapshot N] [--buckets 0,1] [--columns a,b] [--format parquet|csv] [--shards N --shard-key COL]"),
+    "cdc-export": ("Exports table state (current or a snapshot) to parquet/CSV/JSONL", "Usage: table2qb cdc-export --table DIR --out DIR [--snapshot N] [--buckets 0,1] [--columns a,b] [--format parquet|csv|jsonl] [--shards N --shard-key COL]"),
     "datagen": ("Writes a deterministic synthetic change log", "Usage: table2qb datagen --out DIR --events-n N"),
 }
 
@@ -611,6 +612,46 @@ def cmd_cdc_status(args) -> int:
     return 0
 
 
+def cmd_cdc_schema(args) -> int:
+    """Schema-evolution audit: the table's current column set and, with
+    --history, every schema version with per-column lineage — columns are
+    tracked by immutable id, so a rename shows as the same id under a new
+    name (the column-id mapping read() uses to stitch old files onto the
+    current schema)."""
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-schema")
+    snap = LakeTable(spark, args.table).snapshot()
+    out: dict = {
+        "snapshot": snap.snapshot_id,
+        "schema_version": snap.schema_version,
+        "columns": snap.current_schema(),
+    }
+    if args.history:
+        versions = sorted(snap.schemas, key=int)
+        out["versions"] = {v: snap.schemas[v] for v in versions}
+        # per-column lineage across versions, keyed by immutable id
+        lineage: dict[int, dict] = {}
+        for v in versions:
+            for c in snap.schemas[v]:
+                ent = lineage.setdefault(
+                    c["id"], {"names": [], "first_version": int(v)}
+                )
+                if not ent["names"] or ent["names"][-1] != c["name"]:
+                    ent["names"].append(c["name"])
+        out["column_lineage"] = {
+            str(cid): {
+                "first_version": ent["first_version"],
+                "names": ent["names"],
+                "renamed": len(ent["names"]) > 1,
+            }
+            for cid, ent in sorted(lineage.items())
+        }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def _parse_ts_ms(spec: str) -> int:
     """A --as-of value: integer epoch millis, or an ISO 8601 date/datetime
     (naive values are taken as UTC — the engine's session timezone)."""
@@ -678,6 +719,14 @@ def cmd_cdc_export(args) -> int:
             w = w.partitionBy("shard")
         w.parquet(args.out)
         rows = _parquet_rows(args.out)
+    elif args.format == "jsonl":
+        # JSON Lines — the training-pipeline interchange format (one JSON
+        # object per line; Spark's json sink IS jsonl). Shard dirs apply
+        # as for parquet; no footer metadata, so rows stays null.
+        w = df.write.mode("overwrite")
+        if args.shards:
+            w = w.partitionBy("shard")
+        w.json(args.out)
     else:
         # CSV has no footer metadata; counting would cost a second pass
         # over the export, so rows stays null (same principle as prep's
@@ -781,7 +830,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "'repo=org/repo-00003' or 'lang=py,commit>=c900' "
                         "(ops: = < <= > >=) — prunes whole files via the "
                         "manifest min/max stats before filtering")
-    c.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    c.add_argument("--format", choices=["parquet", "csv", "jsonl"], default="parquet")
     c.add_argument("--shards", type=int, default=None,
                    help="deterministic training-shard export: add md5-drawn "
                         "shard + in-shard pos columns and write shard=K "
@@ -933,6 +982,13 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("cdc-status")
     c.add_argument("--table", required=True)
     c.set_defaults(fn=cmd_cdc_status)
+
+    c = sub.add_parser("cdc-schema")
+    c.add_argument("--table", required=True)
+    c.add_argument("--history", action="store_true",
+                   help="include every schema version and per-column-id "
+                        "lineage (renames)")
+    c.set_defaults(fn=cmd_cdc_schema)
 
     c = sub.add_parser("cdc-hotkeys")
     c.add_argument("--events", required=True)

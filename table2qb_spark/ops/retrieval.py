@@ -80,3 +80,57 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    m: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``m`` TF-IDF keywords per document — corpus summarization /
+    labeling / near-dup triage primitive (what is this doc about, without
+    a model). Smoothed idf: score = tf · (ln((N+1)/(df+1)) + 1), rounded
+    to 4 (the ROUNDED score orders the ranking so ties resolve identically
+    on every engine; term ascending breaks exact ties).
+
+    Scale shape: tf = one map-side-combined (doc, term) count; df derives
+    from the tf table (second map-side agg — never a countDistinct over
+    raw tokens); N is a one-row aggregate crossJoined back (broadcast).
+    The final top-m window partitions by DOCUMENT — partition size is a
+    doc's distinct-term count, bounded by document length, never by the
+    corpus (unlike a per-term or global window).
+
+    Output: (doc_id, term, score, rank), rank 1..m per doc.
+    """
+    if m <= 0:
+        raise ValueError("m must be > 0")
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= m)
+    )

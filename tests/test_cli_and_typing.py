@@ -143,6 +143,23 @@ def test_cli_datagen_and_replay(tmp_path):
     e_none = json.loads(out.strip().splitlines()[-1])
     assert e_none["rows"] == 0 and e_none["files_pruned"] == e_none["files_total"] > 0
 
+    # --format jsonl: one JSON object per line, every live row exported
+    exp_jl = str(tmp_path / "export_jsonl")
+    out = subprocess.run(
+        [sys.executable, "-m", "table2qb_spark.main", "cdc-export",
+         "--table", table, "--out", exp_jl, "--format", "jsonl",
+         "--columns", "repo,path"],
+        capture_output=True, text=True, cwd="/root/repo", check=True, env=env,
+    ).stdout
+    e_jl = json.loads(out.strip().splitlines()[-1])
+    assert e_jl["format"] == "jsonl" and e_jl["rows"] is None
+    lines = []
+    for p in _glob.glob(f"{exp_jl}/part-*"):
+        with open(p, encoding="utf-8") as f:
+            lines += [json.loads(l) for l in f if l.strip()]
+    assert len(lines) == e["rows"]
+    assert all(set(l) == {"repo", "path"} for l in lines)
+
 
 def test_typed_view(spark, default_config, reference_available):
     src = example_csv("regional-trade", "input.csv")
@@ -397,3 +414,38 @@ class TestCdcHotkeysCLI:
         rc = self._main(["cdc-hotkeys", "--events", ev, "--keys", "nope"])
         assert rc == 1
         assert "key columns not in events" in capsys.readouterr().err
+
+
+class TestCdcSchemaCLI:
+    def _main(self, argv):
+        from table2qb_spark.main import main
+
+        return main(argv)
+
+    def test_schema_history_shows_rename_lineage(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from table2qb_spark.lake.table import LakeTable
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            [("repo", "string"), ("path", "string"), ("license", "string")],
+            ["repo", "path"], n_buckets=2,
+        )
+        t.evolve_schema(add_columns=[("lang", "string")])
+        t.evolve_schema(rename_columns={"license": "licence"})
+
+        rc = self._main(["cdc-schema", "--table", t.path, "--history"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out)
+        assert out["schema_version"] == 3
+        assert [c["name"] for c in out["columns"]] == [
+            "repo", "path", "licence", "lang"
+        ]
+        assert sorted(out["versions"]) == ["1", "2", "3"]
+        lineage = out["column_lineage"]
+        renamed = [e for e in lineage.values() if e["renamed"]]
+        assert len(renamed) == 1
+        assert renamed[0]["names"] == ["license", "licence"]
+        lang = [e for e in lineage.values() if e["names"] == ["lang"]]
+        assert lang and lang[0]["first_version"] == 2

@@ -629,3 +629,50 @@ class TestBigramLogprob:
         plan = bigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestTfidfKeywords:
+    def test_idf_favors_distinctive_terms(self, spark):
+        from table2qb_spark.ops.retrieval import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [
+                (1, "common common zebra zebra zebra"),
+                (2, "common unique"),
+                (3, "common filler words here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {(r["doc_id"], r["rank"]): r["term"] for r in tfidf_keywords(docs, m=2).collect()}
+        # 'zebra' (df=1, tf=3) must outrank 'common' (df=3) for doc 1
+        assert out[(1, 1)] == "zebra" and out[(1, 2)] == "common"
+        assert out[(2, 1)] == "unique"
+
+    def test_rank_bounded_and_deterministic_ties(self, spark):
+        from table2qb_spark.ops.retrieval import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "b a c"), (2, "x")], "doc_id long, text string"
+        )
+        rows = tfidf_keywords(docs, m=2).collect()
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+        # equal scores (all df=1, tf=1) tie-break alphabetically
+        assert sorted(per_doc[1]) == [(1, "a"), (2, "b")]
+        assert per_doc[2] == [(1, "x")]
+
+    def test_plan_no_per_term_window(self, spark):
+        """The ONLY window partitions by doc id (bounded by doc length);
+        df must come from an aggregate of the tf table, not a
+        countDistinct over raw tokens (no Expand)."""
+        from table2qb_spark.ops.retrieval import tfidf_keywords
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = tfidf_keywords(docs)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window [") == 1
+        # Spark's group-limit pushdown: a PARTIAL per-partition top-m runs
+        # before the exchange, so a huge doc never ships all its terms
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+        assert "Expand" not in plan
+        assert "CartesianProduct" not in plan
