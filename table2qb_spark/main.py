@@ -430,6 +430,8 @@ def cmd_prep_data(args) -> int:
         since_snapshot=args.since_snapshot,
         mixture_weights=mixture,
         source_cap=args.cap_source,
+        max_bits_per_bigram=args.max_bits_per_bigram,
+        bigram_vocab_k=args.bigram_vocab_k,
     )
     print(json.dumps(report))
     return 0
@@ -886,6 +888,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--as-of", default=None, metavar="TS",
                    help="time-travel by timestamp instead of snapshot id: "
                         "epoch millis or ISO 8601 (naive = UTC)")
+    c.add_argument("--max-bits-per-bigram", type=float, default=None,
+                   metavar="BITS",
+                   help="CCNet-style LM gate: drop docs whose mean "
+                        "-log2 P(w2|w1) under a corpus-fit bigram model "
+                        "exceeds BITS (noisy/OOV-heavy text)")
+    c.add_argument("--bigram-vocab-k", type=int, default=5000,
+                   help="vocabulary size for --max-bits-per-bigram")
     c.add_argument("--cap-source", type=int, default=None, metavar="N",
                    help="domain balancing: cap each source's contribution "
                         "at ~N docs (deterministic per-source downsample; "

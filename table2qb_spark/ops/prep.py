@@ -55,6 +55,8 @@ def prepare_training_data(
     existing: DataFrame | None = None,
     mixture_weights: dict[str, float] | None = None,
     source_cap: int | None = None,
+    max_bits_per_bigram: float | None = None,
+    bigram_vocab_k: int = 5000,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, packed): the filtered+sampled corpus with annotations,
     and its sequence-packing index.
@@ -159,6 +161,22 @@ def prepare_training_data(
             & (F.col("ellipsis_line_frac") < 0.3)
             & ~F.col("has_lorem_ipsum")
         )
+
+    if max_bits_per_bigram is not None:
+        # CCNet-style LM gate (Wenzek et al. 2020 §3.3) with the corpus-fit
+        # bigram model: drop docs whose mean -log2 P(w2|w1) exceeds the
+        # threshold (less corpus-like = noisier). The model is fit on the
+        # post-dedup corpus itself — still one lazy plan (the fit is joins
+        # and aggregates, no driver action); docs too short to have bigrams
+        # score NULL and PASS (length gates are min_tokens' job).
+        from table2qb_spark.ops.text import bigram_logprob
+
+        noisy = (
+            bigram_logprob(clean, vocab_k=bigram_vocab_k)
+            .where(F.col("bits_per_bigram") > max_bits_per_bigram)
+            .select("doc_id")
+        )
+        clean = clean.join(noisy, "doc_id", "left_anti")
 
     if scrub_pii:
         from table2qb_spark.ops.scrub import scrub_exprs

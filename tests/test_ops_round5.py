@@ -676,3 +676,34 @@ class TestTfidfKeywords:
         assert "WindowGroupLimit" in plan and "Partial" in plan
         assert "Expand" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestPrepBigramGate:
+    def test_lm_gate_drops_noisy_doc(self, spark):
+        """--max-bits-per-bigram: the OOV-noise doc scores far above the
+        corpus-like docs and is gated; short docs (NULL score) pass."""
+        from table2qb_spark.ops.prep import prepare_training_data
+
+        body = "the cat sat on the mat and the dog ran " * 4
+        docs = spark.createDataFrame(
+            [
+                (1, body + "one", "en", "s0", 10),
+                (2, body + "two", "en", "s0", 10),
+                (3, "zq9 xj2 wv7 kp4 mn8 bc5 fg1 hd3 lt6 rs0 " * 4, "en", "s0", 10),
+                (4, "tiny", "en", "s0", 10),  # no bigrams -> NULL -> passes
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        from table2qb_spark.ops.text import bigram_logprob
+
+        scores = {
+            r["doc_id"]: r["bits_per_bigram"]
+            for r in bigram_logprob(docs, vocab_k=20).collect()
+        }
+        # threshold between the corpus-like docs and the noise doc
+        thr = (max(scores[1], scores[2]) + scores[3]) / 2
+        clean, _ = prepare_training_data(
+            docs, min_tokens=1, max_bits_per_bigram=thr, bigram_vocab_k=20
+        )
+        kept = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
+        assert kept == [1, 2, 4]
