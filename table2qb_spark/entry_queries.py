@@ -754,6 +754,44 @@ def q_web_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *web_quality_exprs(structured))
 
 
+def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level cleaning (ops/text.clean_lines_exprs): keep lines
+    with terminal punctuation, >= 5 words, and no banned word — one
+    shuffle-free projection. Like web_quality, both engines first derive
+    structured text deterministically so every branch fires: a bullet line
+    (dropped: no terminal punct), sentence breaks at ' a ', a
+    javascript-bait line on doc_id%5 (dropped: banned word), a short
+    trailing line on doc_id%7 (dropped: < 5 words)."""
+    from table2qb_spark.ops.text import clean_lines_exprs
+
+    docs = _t(spark, sf_dir, "documents")
+    structured = F.concat(
+        F.lit("- item one\n"),
+        F.regexp_replace(F.col("text"), " a ", ".\n"),
+        F.lit("."),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\nplease enable javascript to view this page."),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\nto be continued.")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select("doc_id", *clean_lines_exprs(structured))
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (ops/text.token_entropy_expr) —
+    run-length counts over the sorted token array, one shuffle-free
+    projection; a classic repetitive-noise quality signal."""
+    from table2qb_spark.ops.text import token_entropy_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_entropy_expr(F.col("text")).alias("entropy_bits")
+    )
+
+
 def q_prep_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END prep composite (round-4 verdict #3): exact-dedup ->
     benchmark decontamination -> quality/length gates -> stratified sample
@@ -1950,6 +1988,59 @@ ORACLES: dict[str, str] = {
           contains(t, '{') AS has_curly_brace
         FROM base
     """,
+    "clean_lines": """
+        WITH s AS (
+          SELECT doc_id,
+                 '- item one' || chr(10)
+                 || regexp_replace(text, ' a ', '.' || chr(10), 'g') || '.'
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN chr(10) || 'please enable javascript to view this page.'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN chr(10) || 'to be continued.' ELSE '' END AS t
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(t, chr(10)),
+                             x -> trim(x)), x -> x <> '') AS lines
+          FROM s
+        ),
+        k AS (
+          SELECT doc_id, lines,
+                 list_filter(lines, x ->
+                   len(list_filter(str_split_regex(x, '\\s+'), w -> w <> '')) >= 5
+                   AND regexp_matches(x, '[.!?"]$')
+                   AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM base
+        )
+        SELECT doc_id,
+               array_to_string(kept, chr(10)) AS clean_text,
+               CAST(len(kept) AS INT) AS n_lines_kept,
+               CAST(len(lines) AS INT) AS n_lines_total
+        FROM k
+    """,
+    "token_entropy": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_sort(list_filter(str_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS toks
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, len(toks) AS n,
+                 list_filter(generate_series(1, len(toks)),
+                             i -> i = len(toks) OR toks[i] <> toks[i + 1]) AS ends
+          FROM t
+        )
+        SELECT doc_id,
+               round(CASE WHEN n > 0 THEN -list_sum(list_transform(
+                 list_transform(ends, (e, j) -> e - CASE WHEN j = 1 THEN 0
+                                                        ELSE ends[j - 1] END),
+                 l -> (CAST(l AS DOUBLE) / n) * log2(CAST(l AS DOUBLE) / n)))
+               ELSE 0.0 END, 4) AS entropy_bits
+        FROM r
+    """,
     "multimodal_headers": """
         SELECT doc_id AS media_id,
                CAST(doc_id % 192 + 1 AS BIGINT) AS width,
@@ -2185,6 +2276,8 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "text_repetition": q_text_repetition,
     "web_quality": q_web_quality,
+    "clean_lines": q_clean_lines,
+    "token_entropy": q_token_entropy,
     "stratum_stats": q_stratum_stats,
     "chunk_documents": q_chunk_documents,
     "boilerplate_removal": q_boilerplate_removal,

@@ -29,6 +29,8 @@ def compact(
     min_files: int = 2,
     sort_by: list[str] | None = None,
     max_records_per_file: int | None = None,
+    zorder: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> dict:
     """Rewrite buckets with >= min_files files (or all listed buckets).
     Returns {compacted_buckets, files_before, files_after, skipped}.
@@ -46,15 +48,29 @@ def compact(
     point lookups). A compact with sort_by always rewrites the listed
     buckets (min_files is ignored for selection only when a sort or purge
     was requested — a single unsorted file still benefits from the
-    rewrite)."""
+    rewrite).
+
+    ``zorder`` produces a Z-ORDERED rewrite instead (lake/zorder.py —
+    Delta's OPTIMIZE ZORDER BY analog): rows cluster along a Morton curve
+    over the given columns' quantile ranks, so ``read(where=...)`` prunes
+    files on predicates over ANY z-ordered column, not just a leading sort
+    column. Costs one extra narrow aggregate pass (the quantile fit over
+    only those columns) on top of the rewrite the compaction pays anyway;
+    mutually exclusive with ``sort_by`` (a rewrite has one physical
+    order)."""
     snap = table.snapshot()
-    if sort_by:
+    if sort_by and zorder:
+        raise ValueError(
+            "sort_by and zorder are mutually exclusive: one rewrite has one "
+            "physical row order (use zorder alone for multi-column skipping)"
+        )
+    if sort_by or zorder:
         known = {c["name"] for c in snap.current_schema()}
-        bad = [c for c in sort_by if c not in known]
+        bad = [c for c in (sort_by or zorder) if c not in known]
         if bad:
             raise ValueError(
-                f"sort_by columns not in table schema: {bad} "
-                f"(available: {sorted(known)})"
+                f"{'sort_by' if sort_by else 'zorder'} columns not in table "
+                f"schema: {bad} (available: {sorted(known)})"
             )
     commit_id = f"compact-{snap.snapshot_id}"
     if table.has_commit(commit_id):
@@ -69,6 +85,7 @@ def compact(
             len(entries) >= min_files
             or purge_below_seq is not None
             or sort_by is not None
+            or zorder is not None
         ):
             candidates.append(bi)
     if not candidates:
@@ -83,10 +100,17 @@ def compact(
         df = df.where(~purgeable)
     df = df.withColumn("__bucket", key_bucket_expr(snap.key_columns, snap.n_buckets))
 
+    effective_sort = sort_by
+    if zorder:
+        from table2qb_spark.lake.zorder import zorder_value
+
+        df = df.withColumn("__z", zorder_value(df, zorder, zorder_bits))
+        effective_sort = ["__z"]  # ephemeral: dropped after the sort
+
     new_files = table.write_data_files(
         df,
         snapshot_hint=f"c{snap.snapshot_id + 1:07d}",
-        sort_by=sort_by,
+        sort_by=effective_sort,
         max_records_per_file=max_records_per_file,
     )
     for b in candidates:
@@ -96,6 +120,8 @@ def compact(
     summary: dict = {"compacted": candidates}
     if sort_by:
         summary["sort_by"] = list(sort_by)
+    if zorder:
+        summary["zorder"] = list(zorder)
     table.commit_files(
         commit_id,
         candidates,

@@ -785,6 +785,13 @@ class LakeTable:
             # several buckets share a task, and the partitionBy("b") writer
             # below must still see each bucket's rows contiguous and sorted
             out = out.sortWithinPartitions("__bucket", *sort_by)
+            # "__"-prefixed sort keys are ephemeral clustering computations
+            # (e.g. compaction's z-order key) — they order the rows but must
+            # not land in the files; a projection preserves per-partition
+            # order, so the sort survives the drop
+            ephemeral = [c for c in sort_by if c.startswith("__")]
+            if ephemeral:
+                out = out.drop(*ephemeral)
         writer = out.withColumnRenamed("__bucket", "b").write.mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))

@@ -203,7 +203,7 @@ TASK_DESCRIPTIONS = {
     "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR"),
     "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
     "cdc-schema": ("Prints the table schema; --history adds version-by-version column lineage", "Usage: table2qb cdc-schema --table DIR [--history]"),
-    "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS] [--max-records-per-file N] [--purge-below-seq N]"),
+    "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS | --zorder COLS] [--max-records-per-file N] [--purge-below-seq N]"),
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
     "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot N [--to-snapshot M]"),
     "cdc-verify": ("Prints a distributed content digest of the table", "Usage: table2qb cdc-verify --table DIR"),
@@ -321,6 +321,8 @@ def cmd_compact(args) -> int:
             purge_below_seq=args.purge_below_seq,
             sort_by=args.sort_by.split(",") if args.sort_by else None,
             max_records_per_file=args.max_records_per_file,
+            zorder=args.zorder.split(",") if args.zorder else None,
+            zorder_bits=args.zorder_bits,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -792,6 +794,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--purge-below-seq", type=int, default=None)
     c.add_argument("--sort-by", default=None, help="sorted rewrite: comma-separated cluster columns (tight file stats for data skipping)")
     c.add_argument("--max-records-per-file", type=int, default=None)
+    c.add_argument("--zorder", default=None,
+                   help="z-ordered rewrite: comma-separated columns — "
+                        "Morton-curve clustering over quantile ranks, so "
+                        "reads prune files on predicates over ANY listed "
+                        "column (mutually exclusive with --sort-by)")
+    c.add_argument("--zorder-bits", type=int, default=8,
+                   help="rank bits per z-order column (ncols x bits <= 32)")
     c.set_defaults(fn=cmd_compact)
 
     c = sub.add_parser("cdc-expire")

@@ -205,6 +205,80 @@ def remove_boilerplate_lines(
     )
 
 
+def clean_lines_exprs(
+    c: Column, min_words: int = 5, banned_words: list[str] | None = None
+) -> list[Column]:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2 — distinct from
+    the page-level gates in ``web_quality_exprs``): keep only lines that end
+    in a terminal punctuation mark, contain at least ``min_words``
+    whitespace words, and mention no banned word (C4 drops lines containing
+    "javascript"). Returns ``[clean_text, n_lines_kept, n_lines_total]``.
+
+    Pure per-row Catalyst expressions (array filter + join) — the whole op
+    is one projection over the corpus scan, ZERO shuffle, unlike the
+    corpus-level ``remove_boilerplate_lines`` which must aggregate line
+    document-frequencies. Documents whose every line is dropped yield an
+    empty string (callers gate on n_lines_kept).
+
+    Reference analog: none (the reference is a stats-cube transformer);
+    this op is part of the training-data surface, modeled on C4's public
+    recipe."""
+    banned = banned_words if banned_words is not None else ["javascript"]
+    lines = line_units_expr(c)
+
+    def keep(line: Column) -> Column:
+        words_ok = F.size(F.filter(F.split(line, r"\s+"), lambda t: t != "")) >= min_words
+        punct_ok = line.rlike('[.!?"]$')
+        ban_ok = F.lit(True)
+        for w in banned:
+            ban_ok = ban_ok & ~F.lower(line).contains(w.lower())
+        return words_ok & punct_ok & ban_ok
+
+    kept = F.filter(lines, keep)
+    return [
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        F.size(lines).cast("int").alias("n_lines_total"),
+    ]
+
+
+def token_entropy_expr(c: Column) -> Column:
+    """Per-document unigram Shannon entropy in bits/token — a classic
+    noise/repetition quality signal (low entropy = highly repetitive
+    keyboard-mash or template text; used alongside the Gopher gates).
+
+    Scale shape: ONE per-row expression, zero shuffle. Token counts come
+    from run lengths of the SORTED token array (O(n log n) per row), not a
+    distinct×tokens nested loop (O(n·d) — quadratic on pathological docs):
+    run boundaries are the positions where sorted[i] != sorted[i+1]; run
+    lengths are adjacent differences of the boundary positions; entropy is
+    a fold over the run lengths. Rounded to 4 decimals for cross-engine
+    oracle stability; empty docs score 0.0."""
+    sorted_toks = F.array_sort(tokens_expr(c))
+    n = F.size(sorted_toks)
+    # 1-indexed end position of every run: i where t[i] != t[i+1], plus n
+    ends = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == n)
+        # try_element_at: i+1 is out of bounds at i==n and ANSI mode is on —
+        # OR does short-circuit, but don't bet the job on eval order
+        | (F.try_element_at(sorted_toks, i) != F.try_element_at(sorted_toks, i + 1)),
+    )
+    # run lengths = ends[j] - ends[j-1] (ends[0] diffs against 0)
+    lens = F.zip_with(
+        ends,
+        F.concat(F.array(F.lit(0)), F.slice(ends, 1, F.greatest(F.size(ends) - 1, F.lit(0)))),
+        lambda e, p: e - p,
+    )
+    nd = n.cast("double")
+    h = F.aggregate(
+        lens,
+        F.lit(0.0),
+        lambda acc, l: acc - (l.cast("double") / nd) * F.log2(l.cast("double") / nd),
+    )
+    return F.round(F.when(n > 0, h).otherwise(F.lit(0.0)), 4)
+
+
 def web_quality_exprs(c: Column) -> list[Column]:
     """C4 + Gopher web-quality gate signals (Raffel et al. 2020 §2.2;
     Rae et al. 2021 §A1.1) as pure per-row Catalyst expressions — the whole

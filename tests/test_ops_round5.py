@@ -707,3 +707,84 @@ class TestPrepBigramGate:
         )
         kept = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
         assert kept == [1, 2, 4]
+
+
+class TestCleanLines:
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (
+                    1,
+                    "- bullet nav item\n"
+                    "This sentence has plenty of words and ends well.\n"
+                    "please enable javascript to view this page.\n"
+                    "too short.\n"
+                    "Another proper sentence with enough words here!\n"
+                    "no terminal punctuation on this longer line here",
+                ),
+                (2, ""),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_c4_line_rules(self, spark):
+        from table2qb_spark.ops.text import clean_lines_exprs
+
+        rows = {
+            r["doc_id"]: r
+            for r in self.docs(spark)
+            .select("doc_id", *clean_lines_exprs(F.col("text")))
+            .collect()
+        }
+        assert rows[1]["clean_text"] == (
+            "This sentence has plenty of words and ends well.\n"
+            "Another proper sentence with enough words here!"
+        )
+        assert rows[1]["n_lines_kept"] == 2
+        assert rows[1]["n_lines_total"] == 6
+        # empty doc: zero lines, empty clean text — caller gates on kept
+        assert rows[2]["clean_text"] == "" and rows[2]["n_lines_kept"] == 0
+
+    def test_shuffle_free_plan(self, spark):
+        from table2qb_spark.ops.text import clean_lines_exprs
+
+        plan = (
+            self.docs(spark)
+            .select("doc_id", *clean_lines_exprs(F.col("text")))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestTokenEntropy:
+    def test_known_distributions(self, spark):
+        from table2qb_spark.ops.text import token_entropy_expr
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a a"),          # one symbol -> 0 bits
+                (2, "a b a b"),          # uniform over 2 -> 1 bit
+                (3, "a b c d"),          # uniform over 4 -> 2 bits
+                (4, "a a a b"),          # H(3/4,1/4) = 0.8113
+                (5, ""),                 # empty -> 0.0, must not error (ANSI)
+                (6, "solo"),             # single token -> 0 bits
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["entropy_bits"]
+            for r in docs.select(
+                "doc_id", token_entropy_expr(F.col("text")).alias("entropy_bits")
+            ).collect()
+        }
+        assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 0.8113, 5: 0.0, 6: 0.0}
+
+    def test_shuffle_free_plan(self, spark):
+        from table2qb_spark.ops.text import token_entropy_expr
+
+        docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+        plan = (
+            docs.select("doc_id", token_entropy_expr(F.col("text")).alias("h"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
