@@ -88,6 +88,7 @@ class ChangeLogReplayer:
         events_format: str = "parquet",
         dlq_dir: str | None = None,
         valid_ops: tuple[str, ...] = ("I", "U", "D"),
+        merge_on_read: bool = False,
     ):
         self.spark = spark
         self.table = table
@@ -114,6 +115,10 @@ class ChangeLogReplayer:
         self.payload_col = payload_col
         self.dlq_dir = dlq_dir
         self.valid_ops = tuple(valid_ops)
+        # merge-on-read: append winners + equality-delete files instead of
+        # rewriting touched buckets (lake/mor.py) — the update-heavy-stream
+        # write-amplification escape; pair with periodic cdc-compact
+        self.merge_on_read = merge_on_read
         self.metrics_path = os.path.join(table.path, "_meta", "metrics.jsonl")
 
     # ----- checkpointing -----------------------------------------------------
@@ -227,19 +232,31 @@ class ChangeLogReplayer:
             batch = batch.withColumn("content_sha", F.sha2(F.col("content"), 256))
         # schema evolution first (metadata-only commits), then flat MERGE
         batch = reconcile_and_flatten(self.table, batch, commit_id, self.payload_col)
-        stats = merge_upsert(
-            self.table,
-            batch,
-            commit_id,
-            op_col=self.op_col,
-            seq_col=self.seq_col,
-            two_phase_dedup=self.two_phase_dedup,
-            # max_seq is NOT pinned to the range end here: merge records the
-            # actually-observed max sequence (ops truth); resume keys off
-            # last_batch, which is range-based
-            summary_update={"last_batch": batch_index, "range_end": end},
-            batch_size_hint=end - start + 1,
-        )
+        if self.merge_on_read:
+            from table2qb_spark.lake.mor import merge_mor
+
+            stats = merge_mor(
+                self.table,
+                batch,
+                commit_id,
+                op_col=self.op_col,
+                seq_col=self.seq_col,
+                summary_update={"last_batch": batch_index, "range_end": end},
+            )
+        else:
+            stats = merge_upsert(
+                self.table,
+                batch,
+                commit_id,
+                op_col=self.op_col,
+                seq_col=self.seq_col,
+                two_phase_dedup=self.two_phase_dedup,
+                # max_seq is NOT pinned to the range end here: merge records
+                # the actually-observed max sequence (ops truth); resume keys
+                # off last_batch, which is range-based
+                summary_update={"last_batch": batch_index, "range_end": end},
+                batch_size_hint=end - start + 1,
+            )
         elapsed = time.time() - t0
         n_events = int(stats.get("upserts", 0)) + int(stats.get("deletes", 0))
         metrics = {

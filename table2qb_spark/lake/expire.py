@@ -59,6 +59,8 @@ def _referenced_paths(table: LakeTable, snapshot_id: int) -> tuple[set, set]:
     for b in snap.files:
         for e in snap.files[b]:
             data.add(e["path"])
+        for e in snap.delete_files(b):
+            data.add(e["path"])  # MOR equality-delete files are live data
     return data, manifests
 
 

@@ -91,15 +91,22 @@ class _BucketFiles(Mapping):
     def __init__(self, root: str, pointers: dict[str, dict]):
         self._root = root
         self._ptr = pointers
-        self._cache: dict[str, list[dict]] = {}
+        self._cache: dict[str, dict] = {}
 
-    def __getitem__(self, b) -> list[dict]:
-        b = str(b)
+    def _doc(self, b: str) -> dict:
         if b not in self._cache:
             ptr = self._ptr[b]  # KeyError for unknown buckets, like a dict
             with open(os.path.join(self._root, ptr["path"])) as f:
-                self._cache[b] = json.load(f)["files"]
+                self._cache[b] = json.load(f)
         return self._cache[b]
+
+    def __getitem__(self, b) -> list[dict]:
+        return self._doc(str(b))["files"]
+
+    def deletes(self, b) -> list[dict]:
+        """Equality-delete file entries for a bucket (merge-on-read commits;
+        [] for COW-only buckets and every pre-MOR manifest)."""
+        return self._doc(str(b)).get("delete_files", [])
 
     def __iter__(self):
         return iter(self._ptr)
@@ -139,6 +146,15 @@ class Snapshot:
 
     def current_schema(self) -> list[dict]:
         return self.schemas[str(self.schema_version)]
+
+    def delete_files(self, b) -> list[dict]:
+        """Equality-delete entries for a bucket ([] when the bucket has only
+        copy-on-write history, no manifest yet, or a legacy/in-memory file
+        map)."""
+        deletes = getattr(self.files, "deletes", None)
+        if deletes is None or str(b) not in self.files:
+            return []
+        return deletes(b)
 
     def header_json(self) -> dict:
         return {
@@ -252,23 +268,37 @@ class LakeTable:
         return f"{META_DIR}/mb-{snapshot_id:08d}-{token}-{bucket}.json"
 
     def _write_bucket_manifests(
-        self, snapshot_id: int, new_files: dict, token: str
+        self,
+        snapshot_id: int,
+        new_files: dict,
+        token: str,
+        new_deletes: dict | None = None,
     ) -> dict[str, dict]:
         """One immutable manifest file per bucket (written BEFORE the
         exclusive header — crash orphans are invisible). Names carry a
         per-ATTEMPT token so two writers racing toward the same snapshot id
         can never overwrite each other's files: only the exclusive header
         decides whose get referenced; the loser's become unreferenced
-        orphans. Returns the pointer entries for the manifest list."""
+        orphans. Returns the pointer entries for the manifest list.
+
+        ``new_deletes`` (merge-on-read): per-bucket equality-delete file
+        entries stored under ``delete_files``. Pointer ``rows`` stays the
+        LIVE count: each delete entry masks exactly one then-live physical
+        copy (the MOR writer only emits an entry when the key existed), so
+        live = sum(file rows) - sum(delete entry rows)."""
         out: dict[str, dict] = {}
         for b, entries in new_files.items():
             rel = self._bucket_manifest_rel(snapshot_id, token, str(b))
-            _atomic_write(
-                os.path.join(self.path, rel), json.dumps({"files": entries})
-            )
+            doc: dict = {"files": entries}
+            dels = (new_deletes or {}).get(b) or (new_deletes or {}).get(str(b))
+            del_rows = 0
+            if dels:
+                doc["delete_files"] = dels
+                del_rows = sum(int(e.get("rows", 0) or 0) for e in dels)
+            _atomic_write(os.path.join(self.path, rel), json.dumps(doc))
             out[str(b)] = {
                 "path": rel,
-                "rows": sum(int(e.get("rows", 0) or 0) for e in entries),
+                "rows": sum(int(e.get("rows", 0) or 0) for e in entries) - del_rows,
             }
         return out
 
@@ -523,6 +553,13 @@ class LakeTable:
         changed = False
         names = {c["name"] for c in cols}
         for old, new in (rename_columns or {}).items():
+            if old in snap.key_columns:
+                # key_columns and MOR equality-delete files reference key
+                # NAMES; renaming one would desync both. Payload renames only.
+                raise ValueError(
+                    f"Cannot rename key column {old}: key columns are "
+                    "immutable (bucket layout and delete files key on them)"
+                )
             hit = [c for c in cols if c["name"] == old]
             if not hit:
                 if new in names:
@@ -617,6 +654,7 @@ class LakeTable:
         n_total = n_kept = 0
         wanted = set(buckets) if buckets is not None else None
         by_version: dict[str, list[str]] = {}
+        delete_paths: list[str] = []
         for b in snap.files:  # key iteration is free (pointer map)
             if wanted is not None and int(b) not in wanted:
                 continue
@@ -630,6 +668,10 @@ class LakeTable:
                     continue
                 n_kept += 1
                 by_version.setdefault(version, []).append(e["path"])
+            # equality-delete files (merge-on-read) mask rows regardless of
+            # the caller's predicates — bucket-pruned only, NEVER stat-pruned
+            for e in snap.delete_files(b):
+                delete_paths.append(e["path"])
         if prune_report is not None:
             prune_report.update(files_total=n_total, files_kept=n_kept)
 
@@ -664,6 +706,36 @@ class LakeTable:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+        if delete_paths:
+            # merge-on-read mask: a row is dead iff some equality-delete
+            # entry for its key carries a higher _below_seq (the MOR writer
+            # stamps each update's seq; the new winner has _seq == its own
+            # _below_seq, so >= keeps it). One aggregate over the delete set
+            # (bounded by updates since the last compaction, not table size)
+            # + one equi-join on the keys; AQE broadcasts the delete side in
+            # the common small case.
+            types = {c["name"]: c["type"] for c in current}
+            del_schema = StructType.fromDDL(
+                ", ".join(
+                    [f"`{k}` {types[k]}" for k in snap.key_columns]
+                    + ["`_below_seq` long"]
+                )
+            )
+            dd = self.spark.read.schema(del_schema).parquet(
+                *[os.path.join(self.path, p) for p in delete_paths]
+            )
+            dagg = dd.groupBy(*snap.key_columns).agg(
+                F.max("_below_seq").alias("__below_seq")
+            )
+            cols_before = out.columns  # the join reorders keys to the front
+            out = (
+                out.join(dagg, snap.key_columns, "left")
+                .where(
+                    F.col("__below_seq").isNull()
+                    | (F.col("_seq") >= F.col("__below_seq"))
+                )
+                .select(*cols_before)
+            )
         if preds:
             # the stats only pruned files; the real filter enforces the
             # predicate row-by-row over the survivors
@@ -726,6 +798,66 @@ class LakeTable:
         for b in replaced_buckets:
             pointers.pop(str(b), None)
         pointers.update(self._write_bucket_manifests(next_id, new_files, token))
+        summary = dict(snap.summary)
+        summary.update(summary_update or {})
+        summary["row_count"] = sum(p["rows"] for p in pointers.values())
+        new_snap = Snapshot(
+            snapshot_id=next_id,
+            parent_id=snap.snapshot_id,
+            commit_id=commit_id,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            key_columns=snap.key_columns,
+            n_buckets=snap.n_buckets,
+            files=_BucketFiles(self.path, pointers),
+            n_commits=snap.n_commits + 1,
+            summary=summary,
+            timestamp_ms=int(time.time() * 1000),
+        )
+        new_snap.manifest_pointers = pointers
+        self._write_snapshot(new_snap, pointers)
+        return new_snap
+
+    def commit_appends(
+        self,
+        commit_id: str,
+        buckets: list[int],
+        appended_files: dict[int, list[dict]],
+        appended_deletes: dict[int, list[dict]],
+        summary_update: dict | None = None,
+        base_snapshot_id: int | None = None,
+    ) -> Snapshot:
+        """Commit a MERGE-ON-READ result: touched buckets KEEP their current
+        data files and gain ``appended_files`` (the batch winners) plus
+        ``appended_deletes`` (equality-delete entries masking the superseded
+        copies at read time). No data is rewritten — write amplification is
+        O(batch), not O(touched-bucket bytes); reads pay the mask join until
+        ``compact()`` folds the deletes away (Iceberg v2 equality-delete
+        semantics re-expressed). Same idempotency/concurrency contract as
+        ``commit_files``."""
+        snap = self.snapshot()
+        self._write_marker(snap.commit_id)  # heal any crashed predecessor
+        if base_snapshot_id is not None and snap.snapshot_id != base_snapshot_id:
+            raise ConcurrentCommitError(
+                f"Base snapshot {base_snapshot_id} is stale: current is {snap.snapshot_id}"
+            )
+        if self.has_commit(commit_id):
+            raise RuntimeError(f"Commit {commit_id} already applied")
+        next_id = snap.snapshot_id + 1
+        token = uuid.uuid4().hex[:8]
+        pointers = self._pointers_of(snap, next_id, token)
+        merged_files: dict = {}
+        merged_deletes: dict = {}
+        for b in buckets:
+            existing = list(snap.files[str(b)]) if str(b) in snap.files else []
+            merged_files[b] = existing + list(appended_files.get(b, []))
+            merged_deletes[b] = snap.delete_files(b) + list(
+                appended_deletes.get(b, [])
+            )
+            pointers.pop(str(b), None)
+        pointers.update(
+            self._write_bucket_manifests(next_id, merged_files, token, merged_deletes)
+        )
         summary = dict(snap.summary)
         summary.update(summary_update or {})
         summary["row_count"] = sum(p["rows"] for p in pointers.values())
@@ -826,6 +958,50 @@ class LakeTable:
                         entry["stats"] = stats
                     entries.append(entry)
             result[b] = entries
+        return result
+
+    def write_delete_files(
+        self, df: DataFrame, snapshot_hint: str
+    ) -> dict[int, list[dict]]:
+        """Write EQUALITY-DELETE files (merge-on-read): ``df`` carries the
+        table's key columns, ``_below_seq`` (versions of the key with
+        ``_seq < _below_seq`` are dead) and ``__bucket``. Same
+        attempt-unique/immutable layout as data files; entries carry only
+        path + rows (delete files are never stat-pruned — a mask must apply
+        regardless of the reader's predicates)."""
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(
+            self.path, DATA_DIR, f"snap-{snapshot_hint}-del-{uuid.uuid4().hex[:8]}"
+        )
+        snap = self.snapshot()
+        keyed = df.select(*snap.key_columns, "_below_seq", "__bucket")
+        keyed = keyed.repartition(
+            max(1, min(snap.n_buckets, 256)), F.col("__bucket")
+        )
+        keyed.withColumnRenamed("__bucket", "b").write.mode("overwrite").partitionBy(
+            "b"
+        ).parquet(out_dir)
+        result: dict[int, list[dict]] = {}
+        for b_dir in os.listdir(out_dir):
+            if not b_dir.startswith("b="):
+                continue
+            b = int(b_dir.split("=", 1)[1])
+            entries = []
+            for fn in sorted(os.listdir(os.path.join(out_dir, b_dir))):
+                if fn.endswith(".parquet"):
+                    full = os.path.join(out_dir, b_dir, fn)
+                    md = pq.ParquetFile(full).metadata
+                    if md.num_rows == 0:
+                        continue
+                    entries.append(
+                        {
+                            "path": os.path.relpath(full, self.path),
+                            "rows": md.num_rows,
+                        }
+                    )
+            if entries:
+                result[b] = entries
         return result
 
     def read_live(

@@ -197,8 +197,8 @@ TASK_DESCRIPTIONS = {
     "components-pipeline": ("Generates component specifications", "Usage: table2qb components-pipeline --input-csv F"),
     "cube-pipeline": ("Generates cube RDF-shaped tables for the given input CSV", "Usage: table2qb cube-pipeline --input-csv F --dataset-name N --dataset-slug S --column-config C"),
     "prep-data": ("Runs the training-data preparation composite", "Usage: table2qb prep-data --input DIR --output DIR [stages...]"),
-    "cdc-init": ("Creates a lake table", "Usage: table2qb cdc-init --table DIR --buckets N"),
-    "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR [--dlq DIR]"),
+    "cdc-init": ("Creates a lake table", "Usage: table2qb cdc-init --table DIR --buckets N [--seq-guarded]"),
+    "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR [--dlq DIR] [--merge-on-read]"),
     "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR [--dlq DIR]"),
     "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR"),
     "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
@@ -504,7 +504,16 @@ def cmd_cdc_init(args) -> int:
     from table2qb_spark.lake.table import LakeTable
 
     spark = get_spark("cdc-init")
-    LakeTable.create(spark, args.table, BASE_SCHEMA, ["repo", "path"], args.buckets)
+    if getattr(args, "seq_guarded", False):
+        from table2qb_spark.cdc.streaming import create_stream_table
+
+        create_stream_table(
+            spark, args.table, BASE_SCHEMA, ["repo", "path"], args.buckets
+        )
+    else:
+        LakeTable.create(
+            spark, args.table, BASE_SCHEMA, ["repo", "path"], args.buckets
+        )
     print(f"created {args.table}")
     return 0
 
@@ -519,7 +528,7 @@ def cmd_cdc_replay(args) -> int:
     replayer = ChangeLogReplayer(
         spark, table, args.events, batch_events=args.batch_events,
         two_phase_dedup=args.salted_dedup, events_format=args.events_format,
-        dlq_dir=args.dlq,
+        dlq_dir=args.dlq, merge_on_read=args.merge_on_read,
     )
     results = replayer.run(max_batches=args.max_batches)
     applied = [r for r in results if not r.skipped]
@@ -972,6 +981,10 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("cdc-init")
     c.add_argument("--table", required=True)
     c.add_argument("--buckets", type=int, default=64)
+    c.add_argument("--seq-guarded", action="store_true",
+                   help="declare the _seq/_deleted bookkeeping columns "
+                        "(out-of-order safety across batches; required for "
+                        "cdc-replay --merge-on-read and cdc-stream tables)")
     c.set_defaults(fn=cmd_cdc_init)
 
     c = sub.add_parser("cdc-replay")
@@ -986,6 +999,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="quarantine malformed events (bad op / null key / "
                         "null seq) to DIR/<commit_id>/ instead of "
                         "mis-applying or dropping them")
+    c.add_argument("--merge-on-read", action="store_true",
+                   help="append winners + equality-delete files instead of "
+                        "rewriting touched buckets (O(batch) write "
+                        "amplification; reads pay a mask join until "
+                        "cdc-compact folds the deletes away; needs a "
+                        "seq-guarded table)")
     c.set_defaults(fn=cmd_cdc_replay)
 
     c = sub.add_parser("cdc-stream")
