@@ -143,8 +143,14 @@ def start_stream(
     payload_col: str = "payload_json",
     watermark_prefilter: bool = False,
     dlq_dir: str | None = None,
+    merge_on_read: bool = False,
 ):
     """Start the streaming ingest. Returns the StreamingQuery.
+
+    ``merge_on_read``: apply micro-batches via lake/mor.py (append winners +
+    equality-delete files) instead of the COW merge — the right mode for
+    update-heavy streams where per-trigger bucket rewrites dominate; pair
+    with periodic cdc-compact. Needs a seq-guarded table (merge_mor checks).
 
     ``dlq_dir``: quarantine malformed events (bad op / null key / null seq
     — ``cdc.apply.malformed_reason_expr``, the same rules as the batch
@@ -232,15 +238,29 @@ def start_stream(
             dlq_events = _parquet_rows(out_dir)
             batch_df = batch_df.where(reason.isNull())
         flat = reconcile_and_flatten(table, batch_df, commit_id, payload_col)
-        stats = merge_upsert(
-            table,
-            flat,
-            commit_id,
-            op_col=op_col,
-            seq_col=seq_col,
-            summary_update={"stream_batch": batch_id},
-            force_stats_pass=True,  # Observation doesn't fire in foreachBatch
-        )
+        if merge_on_read:
+            from table2qb_spark.lake.mor import merge_mor
+
+            # MOR never uses Observation (its stats come from explicit
+            # aggregates), so it is foreachBatch-safe as-is
+            stats = merge_mor(
+                table,
+                flat,
+                commit_id,
+                op_col=op_col,
+                seq_col=seq_col,
+                summary_update={"stream_batch": batch_id},
+            )
+        else:
+            stats = merge_upsert(
+                table,
+                flat,
+                commit_id,
+                op_col=op_col,
+                seq_col=seq_col,
+                summary_update={"stream_batch": batch_id},
+                force_stats_pass=True,  # Observation doesn't fire in foreachBatch
+            )
         # per-micro-batch metrics row, same file/shape as the batch
         # replayer's (cdc/apply.py) so `cdc-status --table` reads both
         # ingest paths; north_star: "per-partition throughput/lag metrics

@@ -570,6 +570,48 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_cdc_mor_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read correctness (lake/mor.py): replay the event stream in
+    two MERGE-ON-READ batches — appends + equality-delete files, NO bucket
+    rewrites — and return the final state read through the live delete mask
+    (deliberately NOT compacted: the mask itself is under test). Must equal
+    the plain max-seq-wins winners oracle; deletes are tombstone-less here,
+    so a key whose last event is a delete vanishes via its _below_seq
+    entry."""
+    import tempfile
+
+    from table2qb_spark.lake.mor import merge_mor
+    from table2qb_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round("value", 4).alias("value"),
+    )
+    b = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    mid = (int(b["lo"]) + int(b["hi"])) // 2
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="q_mor_"),
+        [
+            ("user_id", "long"),
+            ("seq", "long"),
+            ("op", "string"),
+            ("value", "double"),
+            ("_seq", "long"),
+        ],
+        ["user_id"],
+        n_buckets=8,
+    )
+    merge_mor(t, ev.where(F.col("seq") <= mid), "m1")
+    merge_mor(t, ev.where(F.col("seq") > mid), "m2")
+    return t.read().select("user_id", "seq", "op", "value")
+
+
 def q_cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-pruned incremental read (lake/skipping.py): replay the event
     stream into a lake table in two seq-ranged batches, then read back only
@@ -2187,6 +2229,9 @@ ORACLES["dedup_groups"] = f"""
 # star_groups computes the identical fixpoint by a different algorithm;
 # the oracle is the same transitive closure.
 ORACLES["dedup_groups_star"] = ORACLES["dedup_groups"]
+# merge-on-read must converge to the exact same final state as the COW
+# merge — one oracle, two physical strategies under test
+ORACLES["cdc_mor_state"] = ORACLES["cdc_merge_upsert"]
 
 # End-to-end prep composite: one CTE chain mirroring prepare_training_data's
 # fused plan stage by stage — exact dedup (md5(text) keeper), benchmark
@@ -2272,6 +2317,7 @@ QUERIES = {
     "cdc_latest_state": q_cdc_latest_state,
     "cdc_latest_state_salted": q_cdc_latest_state_salted,
     "cdc_merge_upsert": q_cdc_merge_upsert,
+    "cdc_mor_state": q_cdc_mor_state,
     "cdc_hot_keys": q_cdc_hot_keys,
     "pii_scrub": q_pii_scrub,
     "text_repetition": q_text_repetition,

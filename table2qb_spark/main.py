@@ -199,7 +199,7 @@ TASK_DESCRIPTIONS = {
     "prep-data": ("Runs the training-data preparation composite", "Usage: table2qb prep-data --input DIR --output DIR [stages...]"),
     "cdc-init": ("Creates a lake table", "Usage: table2qb cdc-init --table DIR --buckets N [--seq-guarded]"),
     "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR [--dlq DIR] [--merge-on-read]"),
-    "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR [--dlq DIR]"),
+    "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR [--dlq DIR] [--merge-on-read] [--max-files-per-trigger N|auto]"),
     "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR"),
     "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
     "cdc-schema": ("Prints the table schema; --history adds version-by-version column lineage", "Usage: table2qb cdc-schema --table DIR [--history]"),
@@ -434,6 +434,8 @@ def cmd_prep_data(args) -> int:
         source_cap=args.cap_source,
         max_bits_per_bigram=args.max_bits_per_bigram,
         bigram_vocab_k=args.bigram_vocab_k,
+        c4_line_filter=args.c4_lines,
+        c4_min_words=args.c4_min_words,
     )
     print(json.dumps(report))
     return 0
@@ -581,8 +583,11 @@ def cmd_cdc_stream(args) -> int:
     _require_table(args.table)
     spark = get_spark("cdc-stream")
     table = LakeTable(spark, args.table)
+    mft = args.max_files_per_trigger
     run_stream_to_completion(
-        spark, table, args.events, args.checkpoint, dlq_dir=args.dlq
+        spark, table, args.events, args.checkpoint, dlq_dir=args.dlq,
+        merge_on_read=args.merge_on_read,
+        max_files_per_trigger=mft if mft == "auto" else int(mft),
     )
     print(json.dumps({"rows": table.row_count(), "snapshot": table.current_snapshot_id()}))
     return 0
@@ -611,6 +616,16 @@ def cmd_cdc_status(args) -> int:
         "commits": snap.n_commits,
         "buckets_with_data": len(snap.files),
     }
+    # merge-on-read debt: equality-delete files/rows accumulated since the
+    # last compaction (the read-time mask cost; cdc-compact folds it away)
+    del_files = del_rows = 0
+    for b in snap.files:
+        for e in snap.delete_files(b):
+            del_files += 1
+            del_rows += int(e.get("rows", 0) or 0)
+    if del_files:
+        out["mor_delete_files"] = del_files
+        out["mor_delete_rows"] = del_rows
     # DLQ observability: total quarantined events across both ingest paths
     # (batch + stream metrics rows share the file); omitted when no ingest
     # ever ran with a DLQ.
@@ -872,6 +887,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="apply the standard Gopher/C4 page-quality "
                         "thresholds (mean word length, symbol ratio, "
                         "bullet/ellipsis lines, lorem ipsum)")
+    c.add_argument("--c4-lines", action="store_true",
+                   help="C4 LINE-level cleaning before dedup: keep only "
+                        "lines with terminal punctuation, >= --c4-min-words "
+                        "words and no 'javascript'; docs with no surviving "
+                        "line are dropped")
+    c.add_argument("--c4-min-words", type=int, default=5)
     c.add_argument("--out", required=True)
     c.add_argument("--benchmark", default=None,
                    help="benchmark corpus parquet for n-gram decontamination")
@@ -1014,6 +1035,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--dlq", default=None, metavar="DIR",
                    help="quarantine malformed events per micro-batch "
                         "(same rules as cdc-replay --dlq)")
+    c.add_argument("--merge-on-read", action="store_true",
+                   help="apply micro-batches merge-on-read (append winners "
+                        "+ equality-delete files; see cdc-replay "
+                        "--merge-on-read)")
+    c.add_argument("--max-files-per-trigger", default="8",
+                   metavar="N|auto",
+                   help="micro-batch size in backlog files; 'auto' sizes "
+                        "triggers to ~4M events from the parquet footers "
+                        "(env SPARK_GRAFT_STREAM_TRIGGER_EVENTS)")
     c.set_defaults(fn=cmd_cdc_stream)
 
     c = sub.add_parser("cdc-status")

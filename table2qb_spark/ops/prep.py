@@ -57,6 +57,8 @@ def prepare_training_data(
     source_cap: int | None = None,
     max_bits_per_bigram: float | None = None,
     bigram_vocab_k: int = 5000,
+    c4_line_filter: bool = False,
+    c4_min_words: int = 5,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, packed): the filtered+sampled corpus with annotations,
     and its sequence-packing index.
@@ -86,6 +88,22 @@ def prepare_training_data(
     becomes ``dedup.cross_dedup`` (drop content already in the corpus AND
     collapse within-batch duplicates), so a continuously-ingesting
     pipeline deduplicates per batch instead of re-running over 100 TB."""
+    if c4_line_filter:
+        # C4 line-level cleaning FIRST (Raffel et al. 2020 apply it before
+        # dedup: boilerplate lines would otherwise perturb content hashes
+        # and shingles). Pure projection — fuses into the same corpus scan;
+        # docs whose every line is dropped leave the pipeline here.
+        from table2qb_spark.ops.text import clean_lines_exprs
+
+        others = [c for c in docs.columns if c != "text"]
+        docs = (
+            docs.select(
+                *others, *clean_lines_exprs(F.col("text"), min_words=c4_min_words)
+            )
+            .where(F.col("n_lines_kept") > 0)
+            .select(*others, F.col("clean_text").alias("text"))
+        )
+
     # keeper set is CORPUS-sized (one id per distinct document): a plain
     # semi-join (AQE picks the strategy) — forcing a broadcast here would
     # collect the whole corpus's ids to the driver

@@ -204,3 +204,36 @@ class TestMorSemantics:
         # payload renames still fine
         t.evolve_schema(rename_columns={"content": "body"})
         assert "body" in [c["name"] for c in t.snapshot().current_schema()]
+
+
+class TestMorStreaming:
+    def test_stream_mor_converges_out_of_order(self, spark, tmp_path):
+        """cdc-stream --merge-on-read: shuffled-arrival micro-batches applied
+        MOR converge to the same digest as the COW stream over the same log,
+        accumulating delete files instead of rewrites."""
+        from table2qb_spark.cdc.streaming import run_stream_to_completion
+        from table2qb_spark.datagen import changelog as gen
+
+        ev = gen.gen_change_log(
+            spark, 1500, 8, 25, seed=11, dup_rate=0.05,
+            schema_evolution_after=None,
+        )
+        events = str(tmp_path / "events")
+        ev.repartition(12, F.xxhash64("seq")).write.parquet(events)
+
+        shas = {}
+        for variant, mor in (("cow", False), ("mor", True)):
+            t = create_stream_table(
+                spark, str(tmp_path / variant),
+                [("repo", "string"), ("path", "string"), ("commit", "string"),
+                 ("lang", "string"), ("content", "string")],
+                KEYS, n_buckets=4,
+            )
+            run_stream_to_completion(
+                spark, t, events, str(tmp_path / f"ckpt_{variant}"),
+                max_files_per_trigger=4, merge_on_read=mor,
+            )
+            shas[variant] = table_sha256(t.read_live())
+            if mor:
+                assert delete_files(t) > 0  # appends, not rewrites
+        assert shas["cow"] == shas["mor"]

@@ -788,3 +788,27 @@ class TestTokenEntropy:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestPrepC4Lines:
+    def test_line_filter_before_dedup(self, spark):
+        """--c4-lines: line-level cleaning runs BEFORE exact dedup, so two
+        docs differing only in boilerplate lines collapse to one; docs with
+        no surviving line drop out entirely."""
+        from table2qb_spark.ops.prep import prepare_training_data
+
+        body = "This sentence has plenty of words and ends well."
+        docs = spark.createDataFrame(
+            [
+                (1, f"- nav bar\n{body}", "en", "s0", 10),
+                (2, f"{body}\nclick here now", "en", "s0", 10),  # dup after clean
+                (3, "- only\n- bullets\n- here", "en", "s0", 10),  # all dropped
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        clean, _ = prepare_training_data(
+            docs, min_tokens=1, c4_line_filter=True, c4_min_words=5
+        )
+        rows = clean.select("doc_id", "text").collect()
+        assert sorted(r["doc_id"] for r in rows) == [1]
+        assert rows[0]["text"] == body
