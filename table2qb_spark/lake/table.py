@@ -878,6 +878,93 @@ class LakeTable:
         self._write_snapshot(new_snap, pointers)
         return new_snap
 
+    def rollback(
+        self, to_snapshot_id: int, reset_commit_markers: bool = True
+    ) -> Snapshot:
+        """Metadata-only rollback (Iceberg ``rollback_to_snapshot``
+        re-expressed): publish a NEW snapshot whose manifests, schema and
+        summary are the target's, verbatim. No data moves — the target's
+        per-bucket manifest files are immutable and still on disk, so the
+        new snapshot just points at them (O(1) data I/O regardless of table
+        size). History stays linear: the undone snapshots remain in the
+        ancestry (``parent_id`` = the undone head), so time travel to them
+        keeps working until ``cdc-expire`` reclaims them.
+
+        The rolled-back state includes the SCHEMA as of the target (the
+        target's files were written under schema versions <= the target's,
+        so reverting both together is the only self-consistent choice; an
+        evolution applied after the target is undone with it).
+
+        ``reset_commit_markers`` (default True): commits applied after the
+        target are un-marked, so re-running ``cdc-replay``/``cdc-stream``
+        over the same change log RE-APPLIES the undone batches instead of
+        exactly-once-skipping into the rolled-back state — the reason a CDC
+        operator rolls back at all (a bad batch: roll back, fix the log,
+        replay). The markers are removed only AFTER the rollback snapshot
+        is durably current, so a crash mid-rollback never leaves an
+        applied-but-unmarked commit.
+
+        Raises ``ValueError`` if the target is unknown, expired, or not
+        strictly older than the current snapshot."""
+        cur = self.snapshot()
+        if to_snapshot_id >= cur.snapshot_id:
+            raise ValueError(
+                f"rollback target {to_snapshot_id} is not older than the "
+                f"current snapshot {cur.snapshot_id}"
+            )
+        try:
+            target = self.snapshot(to_snapshot_id)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {to_snapshot_id} is unknown or expired: rollback "
+                "needs a retained snapshot (see cdc-expire --keep-last)"
+            ) from None
+        self._write_marker(cur.commit_id)  # heal any crashed predecessor
+        next_id = cur.snapshot_id + 1
+        token = uuid.uuid4().hex[:8]
+        # Reuse the target's manifest pointers verbatim (manifest reuse —
+        # the same trick every commit plays for untouched buckets); a
+        # legacy-format target gets its per-bucket manifests written once.
+        pointers = self._pointers_of(target, next_id, token)
+        summary = dict(target.summary)
+        summary["rollback_of"] = cur.snapshot_id
+        summary["rollback_to"] = to_snapshot_id
+        summary["row_count"] = sum(p["rows"] for p in pointers.values())
+        new_snap = Snapshot(
+            snapshot_id=next_id,
+            parent_id=cur.snapshot_id,
+            commit_id=f"rollback-{to_snapshot_id}-{token}",
+            schema_version=target.schema_version,
+            schemas=target.schemas,
+            key_columns=target.key_columns,
+            n_buckets=target.n_buckets,
+            files=_BucketFiles(self.path, pointers),
+            n_commits=cur.n_commits + 1,
+            summary=summary,
+            timestamp_ms=int(time.time() * 1000),
+        )
+        new_snap.manifest_pointers = pointers
+        self._write_snapshot(new_snap, pointers)
+        if reset_commit_markers:
+            # Un-mark the undone commits (walk the retained headers from the
+            # undone head back down to the target, exclusive). Runs after
+            # the VERSION swap: if we crash partway, the table state is
+            # already the rollback and a re-run of the same rollback (or a
+            # manual marker sweep) finishes the job; the failure mode is
+            # "some undone batches still skip on replay", never a lost or
+            # double-applied commit.
+            sid = cur.snapshot_id
+            while sid is not None and sid > to_snapshot_id:
+                try:
+                    d = self._read_header(sid)
+                except FileNotFoundError:
+                    break  # expired below here: nothing older is marked-undone
+                marker = self._marker_path(d["commit_id"])
+                if os.path.exists(marker):
+                    os.unlink(marker)
+                sid = d.get("parent_id")
+        return new_snap
+
     def write_data_files(
         self,
         df: DataFrame,

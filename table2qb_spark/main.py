@@ -365,6 +365,38 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_rollback(args) -> int:
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-rollback")
+    table = LakeTable(spark, args.table)
+    to = args.to_snapshot
+    if args.as_of is not None:
+        if to is not None:
+            print("error: --to-snapshot and --as-of are mutually exclusive",
+                  file=sys.stderr)
+            return 2
+        to = table.snapshot_as_of(_parse_ts_ms(args.as_of)).snapshot_id
+    if to is None:
+        print("error: one of --to-snapshot / --as-of is required",
+              file=sys.stderr)
+        return 2
+    try:
+        snap = table.rollback(
+            to, reset_commit_markers=not args.keep_commit_markers
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps({
+        "snapshot": snap.snapshot_id,
+        "rolled_back_to": to,
+        "rows": snap.summary.get("row_count"),
+    }))
+    return 0
+
+
 def cmd_cdc_verify(args) -> int:
     """Order-insensitive sha256 of the table's (live) state — the replay /
     resume convergence probe, as a CLI."""
@@ -840,6 +872,18 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--out", default=None,
                    help="write the change rows as parquet instead of printing counts")
     c.set_defaults(fn=cmd_diff)
+
+    c = sub.add_parser("cdc-rollback")
+    c.add_argument("--table", required=True)
+    c.add_argument("--to-snapshot", type=int, default=None)
+    c.add_argument("--as-of", default=None, metavar="TS",
+                   help="roll back to the latest snapshot at or before TS "
+                        "(epoch millis or ISO 8601)")
+    c.add_argument("--keep-commit-markers", action="store_true",
+                   help="keep the undone commits marked as applied (replays "
+                        "will exactly-once-SKIP them; default un-marks them "
+                        "so a replay re-applies the undone batches)")
+    c.set_defaults(fn=cmd_rollback)
 
     c = sub.add_parser("cdc-verify")
     c.add_argument("--table", required=True)
