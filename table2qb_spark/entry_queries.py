@@ -1008,6 +1008,92 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(structured, sep="\n")
 
 
+def _synthetic_url_expr() -> "F.Column":
+    """Deterministic messy URL per document (no URL column in the testdata):
+    50 canonical pages (g = doc_id % 50), each crawled under many raw
+    variants — scheme/host case noise, ``www.``, default vs explicit ports,
+    tracking query parameters in shuffled order, fragments, trailing
+    slashes. Canonical-determining parts depend only on g; noise depends on
+    doc_id, so ~10 raws per canonical at sf0.01. The oracle builds the
+    byte-identical string in SQL (_SYNTH_URL_SQL)."""
+    doc = F.col("doc_id")
+    g = doc % 50
+    is_http = (g % 3) == 0
+    scheme = F.when(
+        is_http, F.when(doc % 2 == 0, "HTTP").otherwise("http")
+    ).otherwise(F.when(doc % 2 == 0, "HTTPS").otherwise("https"))
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("com.au")),
+        (g % 4 + 1).cast("int"),
+    )
+    host_core = F.concat(
+        F.when(g % 2 == 0, "cdn.").otherwise(""),
+        F.lit("site-"), g.cast("string"), F.lit("."), tld,
+    )
+    host = F.concat(
+        F.when(doc % 3 == 0, "www.").otherwise(""),
+        F.when(doc % 4 == 0, F.upper(host_core)).otherwise(host_core),
+    )
+    port = (
+        F.when(g % 7 == 0, ":8080")
+        .when(doc % 5 == 0, F.when(is_http, ":80").otherwise(":443"))
+        .otherwise("")
+    )
+    path = F.concat(
+        F.lit("/docs/"), g.cast("string"),
+        F.when(doc % 6 == 0, "/").otherwise(""),
+    )
+    query = F.when(
+        g % 5 == 0, F.when(doc % 2 == 1, "?utm_source=x").otherwise("")
+    ).otherwise(
+        F.element_at(
+            F.array(
+                F.lit("?b=2&utm_source=feed&a=1"),
+                F.lit("?a=1&b=2&gclid=xyz"),
+                F.lit("?b=2&a=1"),
+            ),
+            (doc % 3 + 1).cast("int"),
+        )
+    )
+    frag = F.when(
+        doc % 2 == 1, F.concat(F.lit("#s"), (doc % 3).cast("string"))
+    ).otherwise("")
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered domain (ops/web): one Catalyst
+    projection — parse_url split, case/port/fragment/tracking-param
+    normalization, PSL-lite eTLD+1. Zero shuffle."""
+    from table2qb_spark.ops.web import registered_domain_expr, url_normalize_expr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_url_expr().alias("url")
+    )
+    norm = url_normalize_expr(F.col("url"))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))), r"^www\.", ""
+    )
+    return docs.select(
+        "doc_id",
+        "url",
+        norm.alias("url_norm"),
+        registered_domain_expr(host).alias("domain"),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup (ops/web.url_dedup): one row per canonical URL
+    with min-id keeper + copy count — a single map-side-combinable
+    aggregate, no window."""
+    from table2qb_spark.ops.web import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_url_expr().alias("url")
+    )
+    return url_dedup(docs)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary report (ops/text.vocab_topk): top-30 tokens by
     corpus term frequency with document frequency — two map-side-combined
@@ -2233,6 +2319,95 @@ ORACLES["dedup_groups_star"] = ORACLES["dedup_groups"]
 # merge — one oracle, two physical strategies under test
 ORACLES["cdc_mor_state"] = ORACLES["cdc_merge_upsert"]
 
+# --- URL canonicalization (ops/web.py) ---------------------------------
+# The oracle builds the byte-identical synthetic raw URL (see
+# _synthetic_url_expr) and re-implements the documented canonical form with
+# DuckDB string/list functions; suffix + tracking-param sets are imported
+# from ops.web so both engines share one source of truth.
+from table2qb_spark.ops.web import (  # noqa: E402
+    MULTI_LABEL_SUFFIXES,
+    TRACKING_PARAM_NAMES,
+)
+
+_ML_SQL = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+_TP_SQL = ", ".join(f"'{s}'" for s in TRACKING_PARAM_NAMES)
+
+ORACLES["url_canonical"] = f"""
+    WITH hosts AS (
+      SELECT doc_id,
+             (CASE WHEN (doc_id % 50) % 2 = 0 THEN 'cdn.' ELSE '' END)
+             || 'site-' || (doc_id % 50) || '.'
+             || (['com','co.uk','org','com.au'])[((doc_id % 50) % 4)::INT + 1]
+               AS hc
+      FROM documents
+    ),
+    raw AS (
+      SELECT doc_id,
+        (CASE WHEN (doc_id % 50) % 3 = 0
+              THEN CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END
+              ELSE CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END END)
+        || '://'
+        || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        || (CASE WHEN doc_id % 4 = 0 THEN upper(hc) ELSE hc END)
+        || (CASE WHEN (doc_id % 50) % 7 = 0 THEN ':8080'
+                 WHEN doc_id % 5 = 0 THEN
+                   CASE WHEN (doc_id % 50) % 3 = 0 THEN ':80' ELSE ':443' END
+                 ELSE '' END)
+        || '/docs/' || (doc_id % 50)
+        || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN (doc_id % 50) % 5 = 0
+              THEN CASE WHEN doc_id % 2 = 1 THEN '?utm_source=x' ELSE '' END
+              ELSE (['?b=2&utm_source=feed&a=1','?a=1&b=2&gclid=xyz',
+                     '?b=2&a=1'])[(doc_id % 3)::INT + 1] END)
+        || (CASE WHEN doc_id % 2 = 1 THEN '#s' || (doc_id % 3) ELSE '' END)
+          AS url
+      FROM hosts
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+          AS auth,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+          AS path,
+        CASE WHEN contains(url, '?')
+             THEN regexp_extract(url, '\\?([^#]*)', 1) ELSE '' END AS query
+      FROM raw
+    ),
+    norm AS (
+      SELECT doc_id, url, scheme,
+        regexp_replace(lower(regexp_replace(auth, ':[0-9]+$', '')),
+                       '^www\\.', '') AS host,
+        regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        regexp_replace(path, '/+$', '') AS path_n,
+        array_to_string(list_sort(list_filter(string_split(query, '&'),
+          p -> p <> '' AND NOT starts_with(p, 'utm_')
+               AND NOT string_split(p, '=')[1] IN ({_TP_SQL}))), '&') AS qs
+      FROM parts
+    )
+    SELECT doc_id, url,
+      scheme || '://' || host
+      || CASE WHEN port <> '' AND port <>
+                (CASE scheme WHEN 'https' THEN '443'
+                             WHEN 'http' THEN '80' ELSE '' END)
+              THEN ':' || port ELSE '' END
+      || path_n
+      || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_norm,
+      CASE WHEN len(labels) >= 3
+                AND (labels[-2] || '.' || labels[-1]) IN ({_ML_SQL})
+           THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+           WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+           ELSE host END AS domain
+    FROM (SELECT *, string_split(host, '.') AS labels FROM norm)
+"""
+
+ORACLES["url_dedup"] = f"""
+    WITH canon AS ({ORACLES["url_canonical"]})
+    SELECT url_norm, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM canon GROUP BY url_norm
+"""
+
 # End-to-end prep composite: one CTE chain mirroring prepare_training_data's
 # fused plan stage by stage — exact dedup (md5(text) keeper), benchmark
 # 4-gram decontamination (%50 slice; benchmark docs themselves stay), token/
@@ -2328,6 +2503,8 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "boilerplate_removal": q_boilerplate_removal,
     "pack_sequences": q_pack_sequences,
+    "url_canonical": q_url_canonical,
+    "url_dedup": q_url_dedup,
     "decontamination": q_decontamination,
     "bm25_topk": q_bm25_topk,
     "sample_stratified": q_sample_stratified,

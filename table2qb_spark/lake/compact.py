@@ -31,6 +31,7 @@ def compact(
     max_records_per_file: int | None = None,
     zorder: list[str] | None = None,
     zorder_bits: int = 8,
+    min_delete_ratio: float | None = None,
 ) -> dict:
     """Rewrite buckets with >= min_files files (or all listed buckets).
     Returns {compacted_buckets, files_before, files_after, skipped}.
@@ -57,7 +58,18 @@ def compact(
     column. Costs one extra narrow aggregate pass (the quantile fit over
     only those columns) on top of the rewrite the compaction pays anyway;
     mutually exclusive with ``sort_by`` (a rewrite has one physical
-    order)."""
+    order).
+
+    ``min_delete_ratio`` switches selection to MERGE-ON-READ DEBT TARGETING
+    (Iceberg's delete-file-threshold rewrite strategy): only buckets whose
+    equality-delete rows / physical data rows >= the ratio are rewritten.
+    Selection is METADATA-ONLY — both counts come from the bucket manifests,
+    no file is opened — so at 100 TB the decision costs one manifest walk
+    and the rewrite touches exactly the buckets where update-heavy streams
+    concentrated their debt (the hot-key buckets), not the whole table.
+    Overrides min_files; composes with an explicit ``buckets`` list (
+    intersection) and with sort_by/zorder (the targeted rewrite clusters
+    while it folds the debt away)."""
     snap = table.snapshot()
     if sort_by and zorder:
         raise ValueError(
@@ -77,9 +89,20 @@ def compact(
         return {"skipped": True, "commit_id": commit_id}
 
     candidates = []
+    deletes_cleared_files = deletes_cleared_rows = 0
     for b, entries in snap.files.items():
         bi = int(b)
         if buckets is not None and bi not in buckets:
+            continue
+        if min_delete_ratio is not None:
+            # MOR debt targeting: manifest-stat counts only, no file opened
+            del_entries = snap.delete_files(bi)
+            del_rows = sum(int(e.get("rows", 0) or 0) for e in del_entries)
+            data_rows = sum(int(e.get("rows", 0) or 0) for e in entries)
+            if del_rows and del_rows >= min_delete_ratio * max(data_rows, 1):
+                candidates.append(bi)
+                deletes_cleared_files += len(del_entries)
+                deletes_cleared_rows += del_rows
             continue
         if (
             len(entries) >= min_files
@@ -122,6 +145,8 @@ def compact(
         summary["sort_by"] = list(sort_by)
     if zorder:
         summary["zorder"] = list(zorder)
+    if min_delete_ratio is not None:
+        summary["min_delete_ratio"] = min_delete_ratio
     table.commit_files(
         commit_id,
         candidates,
@@ -129,10 +154,14 @@ def compact(
         summary,
         base_snapshot_id=snap.snapshot_id,
     )
-    return {
+    out = {
         "skipped": False,
         "commit_id": commit_id,
         "compacted_buckets": len(candidates),
         "files_before": files_before,
         "files_after": files_after,
     }
+    if min_delete_ratio is not None:
+        out["deletes_cleared_files"] = deletes_cleared_files
+        out["deletes_cleared_rows"] = deletes_cleared_rows
+    return out

@@ -126,6 +126,12 @@ def expire_snapshots(
                     retained.add(sid)
             except FileNotFoundError:
                 continue
+    # tagged snapshots are PINNED regardless of age/count: a named ref
+    # (lake/table.py create_tag) must never dangle
+    for doc in table.list_tags().values():
+        sid = int(doc["snapshot_id"])
+        if os.path.exists(table._snapshot_path(sid)):
+            retained.add(sid)
     expired = [sid for sid in ids if sid not in retained]
     if not expired:
         return {"expired_snapshots": 0, "deleted_data_files": 0,

@@ -517,6 +517,93 @@ class LakeTable:
                 ) from None
         return snap
 
+    # ----- named refs (tags) ----------------------------------------------
+
+    def _ref_path(self, name: str) -> str:
+        return os.path.join(self.path, META_DIR, "refs", f"{name}.json")
+
+    @staticmethod
+    def _check_tag_name(name: str) -> None:
+        if (
+            not name
+            or not all(c.isalnum() or c in "._-" for c in name)
+            or name.isdigit()
+        ):
+            raise ValueError(
+                f"invalid tag name {name!r}: letters/digits/._- only, and "
+                "not all-digits (a numeric ref always means a snapshot id)"
+            )
+
+    def create_tag(
+        self, name: str, snapshot_id: int | None = None, force: bool = False
+    ) -> dict:
+        """Name a snapshot (Iceberg's tag ref): a human-stable handle for
+        time travel — "the corpus v3 trained on" — that also PINS the
+        snapshot: expire_snapshots retains tagged snapshots regardless of
+        keep_last / age, so a handle can never dangle. Metadata-only (one
+        O(bytes) file under ``_meta/refs/``); exclusive creation goes
+        through a hard link, so two concurrent taggers of the same name
+        cannot silently clobber each other (no read-modify-write)."""
+        self._check_tag_name(name)
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        self._read_header(sid)  # FileNotFoundError: no such snapshot
+        doc = {
+            "name": name,
+            "snapshot_id": sid,
+            "created_ms": int(time.time() * 1000),
+        }
+        path = self._ref_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if force:
+            _atomic_write(path, json.dumps(doc))
+            return doc
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        _atomic_write(tmp, json.dumps(doc))
+        try:
+            os.link(tmp, path)  # atomic AND exclusive: fails if the tag exists
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists (pass force to move it)"
+            ) from None
+        finally:
+            os.remove(tmp)
+        return doc
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.remove(self._ref_path(name))
+        except FileNotFoundError:
+            raise ValueError(f"no such tag: {name!r}") from None
+
+    def list_tags(self) -> dict[str, dict]:
+        refs_dir = os.path.join(self.path, META_DIR, "refs")
+        out: dict[str, dict] = {}
+        if os.path.isdir(refs_dir):
+            for fn in sorted(os.listdir(refs_dir)):
+                if fn.endswith(".json"):
+                    with open(os.path.join(refs_dir, fn)) as f:
+                        doc = json.load(f)
+                    out[doc["name"]] = doc
+        return out
+
+    def resolve_ref(self, ref: "int | str") -> int:
+        """Resolve a snapshot reference: an int / all-digits string IS a
+        snapshot id; anything else is a tag name (tag names cannot be
+        all-digits, so the grammar is unambiguous)."""
+        if isinstance(ref, int):
+            return ref
+        s = str(ref).strip()
+        if s.isdigit():
+            return int(s)
+        try:
+            with open(self._ref_path(s)) as f:
+                return int(json.load(f)["snapshot_id"])
+        except FileNotFoundError:
+            tags = sorted(self.list_tags())
+            raise ValueError(
+                f"no such tag: {s!r} (tags: {', '.join(tags) or 'none'})"
+            ) from None
+
     def history(self) -> list[Snapshot]:
         """Current snapshot's ancestry, oldest first — truncated at the
         oldest RETAINED snapshot when older ones were expired

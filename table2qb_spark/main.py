@@ -203,11 +203,12 @@ TASK_DESCRIPTIONS = {
     "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR"),
     "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
     "cdc-schema": ("Prints the table schema; --history adds version-by-version column lineage", "Usage: table2qb cdc-schema --table DIR [--history]"),
-    "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS | --zorder COLS] [--max-records-per-file N] [--purge-below-seq N]"),
+    "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS | --zorder COLS] [--max-records-per-file N] [--purge-below-seq N] [--min-delete-ratio R]"),
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
-    "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot N [--to-snapshot M]"),
+    "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot REF [--to-snapshot REF] (REF = snapshot id or tag)"),
+    "cdc-tag": ("Creates/deletes/lists named snapshot refs (tags pin snapshots against expiry and are accepted wherever a snapshot id is)", "Usage: table2qb cdc-tag --table DIR [--create NAME [--snapshot REF] [--force] | --delete NAME]"),
     "cdc-verify": ("Prints a distributed content digest of the table", "Usage: table2qb cdc-verify --table DIR"),
-    "cdc-export": ("Exports table state (current or a snapshot) to parquet/CSV/JSONL", "Usage: table2qb cdc-export --table DIR --out DIR [--snapshot N] [--buckets 0,1] [--columns a,b] [--format parquet|csv|jsonl] [--shards N --shard-key COL]"),
+    "cdc-export": ("Exports table state (current or a snapshot) to parquet/CSV/JSONL", "Usage: table2qb cdc-export --table DIR --out DIR [--snapshot REF] [--buckets 0,1] [--columns a,b] [--format parquet|csv|jsonl] [--shards N --shard-key COL]"),
     "datagen": ("Writes a deterministic synthetic change log", "Usage: table2qb datagen --out DIR --events-n N"),
 }
 
@@ -323,6 +324,7 @@ def cmd_compact(args) -> int:
             max_records_per_file=args.max_records_per_file,
             zorder=args.zorder.split(",") if args.zorder else None,
             zorder_bits=args.zorder_bits,
+            min_delete_ratio=args.min_delete_ratio,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -352,14 +354,21 @@ def cmd_diff(args) -> int:
     _require_table(args.table)
     spark = get_spark("cdc-diff")
     table = LakeTable(spark, args.table)
-    d = snapshot_diff(table, args.from_snapshot, args.to_snapshot)
+    try:
+        frm = table.resolve_ref(args.from_snapshot)
+        to = (table.resolve_ref(args.to_snapshot)
+              if args.to_snapshot is not None else None)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    d = snapshot_diff(table, frm, to)
     if args.out:
         d.write.mode("overwrite").parquet(args.out)
         print(args.out)
     else:
         counts = {r["change_type"]: r["count"] for r in d.groupBy("change_type").count().collect()}
-        print(json.dumps({"from": args.from_snapshot,
-                          "to": (args.to_snapshot if args.to_snapshot is not None
+        print(json.dumps({"from": frm,
+                          "to": (to if to is not None
                                  else table.current_snapshot_id()),
                           "changes": counts}))
     return 0
@@ -371,7 +380,12 @@ def cmd_rollback(args) -> int:
     _require_table(args.table)
     spark = get_spark("cdc-rollback")
     table = LakeTable(spark, args.table)
-    to = args.to_snapshot
+    try:
+        to = (table.resolve_ref(args.to_snapshot)
+              if args.to_snapshot is not None else None)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     if args.as_of is not None:
         if to is not None:
             print("error: --to-snapshot and --as-of are mutually exclusive",
@@ -394,6 +408,34 @@ def cmd_rollback(args) -> int:
         "rolled_back_to": to,
         "rows": snap.summary.get("row_count"),
     }))
+    return 0
+
+
+def cmd_tag(args) -> int:
+    """Named snapshot refs (Iceberg tags): create/delete/list. Metadata-only
+    — no Spark session is started; a tag pins its snapshot against
+    cdc-expire and is accepted anywhere a snapshot id is (cdc-export
+    --snapshot, cdc-diff --from/--to-snapshot, cdc-rollback --to-snapshot,
+    prep-data --snapshot/--since-snapshot)."""
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    table = LakeTable(None, args.table)  # tag ops never read data
+    try:
+        if args.create:
+            sid = (table.resolve_ref(args.snapshot)
+                   if args.snapshot is not None else None)
+            doc = table.create_tag(args.create, snapshot_id=sid,
+                                   force=args.force)
+            print(json.dumps(doc))
+        elif args.delete:
+            table.delete_tag(args.delete)
+            print(json.dumps({"deleted": args.delete}))
+        else:
+            print(json.dumps(table.list_tags()))
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     return 0
 
 
@@ -449,6 +491,27 @@ def cmd_prep_data(args) -> int:
         if not LakeTable.exists(args.documents):
             print("error: --since-snapshot requires --documents to be a CDC "
                   "lake table root", file=sys.stderr)
+            return 1
+    # --snapshot / --since-snapshot accept tag names (lake refs) as well as
+    # numeric ids; resolve them against the lake table before run_prep
+    for attr in ("snapshot", "since_snapshot"):
+        v = getattr(args, attr)
+        if v is None or isinstance(v, int):
+            continue
+        if str(v).isdigit():
+            setattr(args, attr, int(v))
+            continue
+        from table2qb_spark.lake.table import LakeTable
+
+        if not LakeTable.exists(args.documents):
+            print(f"error: a tag ref for --{attr.replace('_', '-')} requires "
+                  "--documents to be a CDC lake table root", file=sys.stderr)
+            return 1
+        try:
+            setattr(args, attr,
+                    LakeTable(spark, args.documents).resolve_ref(v))
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
             return 1
     report = run_prep(
         spark, args.documents, args.out,
@@ -747,6 +810,12 @@ def cmd_cdc_export(args) -> int:
                   file=sys.stderr)
             return 1
         args.snapshot = table.snapshot_as_of(_parse_ts_ms(args.as_of)).snapshot_id
+    elif args.snapshot is not None:
+        try:
+            args.snapshot = table.resolve_ref(args.snapshot)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     buckets = (
         [int(b) for b in args.buckets.split(",")] if args.buckets else None
     )
@@ -857,6 +926,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "column (mutually exclusive with --sort-by)")
     c.add_argument("--zorder-bits", type=int, default=8,
                    help="rank bits per z-order column (ncols x bits <= 32)")
+    c.add_argument("--min-delete-ratio", type=float, default=None,
+                   help="merge-on-read debt targeting: rewrite only buckets "
+                        "whose equality-delete rows / data rows >= RATIO "
+                        "(metadata-only selection from manifest stats)")
     c.set_defaults(fn=cmd_compact)
 
     c = sub.add_parser("cdc-expire")
@@ -867,15 +940,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("cdc-diff")
     c.add_argument("--table", required=True)
-    c.add_argument("--from-snapshot", type=int, required=True)
-    c.add_argument("--to-snapshot", type=int, default=None)
+    c.add_argument("--from-snapshot", required=True, metavar="REF",
+                   help="snapshot id or tag name")
+    c.add_argument("--to-snapshot", default=None, metavar="REF",
+                   help="snapshot id or tag name (default: current)")
     c.add_argument("--out", default=None,
                    help="write the change rows as parquet instead of printing counts")
     c.set_defaults(fn=cmd_diff)
 
     c = sub.add_parser("cdc-rollback")
     c.add_argument("--table", required=True)
-    c.add_argument("--to-snapshot", type=int, default=None)
+    c.add_argument("--to-snapshot", default=None, metavar="REF",
+                   help="snapshot id or tag name")
     c.add_argument("--as-of", default=None, metavar="TS",
                    help="roll back to the latest snapshot at or before TS "
                         "(epoch millis or ISO 8601)")
@@ -884,6 +960,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "will exactly-once-SKIP them; default un-marks them "
                         "so a replay re-applies the undone batches)")
     c.set_defaults(fn=cmd_rollback)
+
+    c = sub.add_parser("cdc-tag")
+    c.add_argument("--table", required=True)
+    c.add_argument("--create", default=None, metavar="NAME")
+    c.add_argument("--delete", default=None, metavar="NAME")
+    c.add_argument("--snapshot", default=None, metavar="REF",
+                   help="snapshot to tag (default: current)")
+    c.add_argument("--force", action="store_true",
+                   help="move an existing tag instead of failing")
+    c.set_defaults(fn=cmd_tag)
 
     c = sub.add_parser("cdc-verify")
     c.add_argument("--table", required=True)
@@ -894,8 +980,9 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("cdc-export")
     c.add_argument("--table", required=True)
     c.add_argument("--out", required=True)
-    c.add_argument("--snapshot", type=int, default=None,
-                   help="time-travel: export the table as of this snapshot")
+    c.add_argument("--snapshot", default=None, metavar="REF",
+                   help="time-travel: export the table as of this snapshot "
+                        "id or tag name")
     c.add_argument("--as-of", default=None, metavar="TS",
                    help="time-travel by timestamp: epoch millis or ISO 8601 "
                         "(naive = UTC); exports the latest snapshot "
@@ -964,10 +1051,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "NEW batch and drop content already present in this "
                         "existing corpus (cross-corpus anti-join dedup; "
                         "plain parquet or a lake table root)")
-    c.add_argument("--snapshot", type=int, default=None,
+    c.add_argument("--snapshot", default=None, metavar="REF",
                    help="when --documents is a CDC lake table root, prep "
                         "that snapshot's live state (time-travel) instead "
-                        "of the current one")
+                        "of the current one — a snapshot id or tag name")
     c.add_argument("--as-of", default=None, metavar="TS",
                    help="time-travel by timestamp instead of snapshot id: "
                         "epoch millis or ISO 8601 (naive = UTC)")
@@ -982,7 +1069,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="domain balancing: cap each source's contribution "
                         "at ~N docs (deterministic per-source downsample; "
                         "sources under the cap pass through untouched)")
-    c.add_argument("--since-snapshot", type=int, default=None, metavar="ID",
+    c.add_argument("--since-snapshot", default=None, metavar="REF",
                    help="incremental prep (lake input only): prep ONLY the "
                         "documents inserted/updated since this snapshot "
                         "(bucket-pruned snapshot diff), not the whole "

@@ -134,6 +134,34 @@ class TestMorCompaction:
         assert table_sha256(t.read_live()) == sha
         assert t.row_count() == t.read().count()
 
+    def test_min_delete_ratio_targets_debt_buckets_only(self, spark, tmp_path):
+        t = mk(spark, tmp_path, "t", n_buckets=16)
+        # insert-only keys spread debt-free data across buckets
+        extra = [(100 + i, "I", f"r{i}", f"x{i}.py", "v") for i in range(8)]
+        for i, rows in enumerate([B1, B2, B3, extra]):
+            merge_mor(t, batch(spark, rows), f"b{i}")
+        sha = table_sha256(t.read_live())
+        snap0 = t.snapshot()
+        debt_free = [
+            int(b) for b in snap0.files if not snap0.delete_files(b)
+        ]
+        assert debt_free, "fixture should leave some buckets without debt"
+        before = {b: [e["path"] for e in snap0.files[str(b)]] for b in debt_free}
+
+        # threshold no bucket reaches -> metadata-only no-op
+        res = compact(t, min_delete_ratio=100.0)
+        assert res["skipped"]
+
+        res = compact(t, min_delete_ratio=0.01)
+        assert not res["skipped"]
+        assert res["deletes_cleared_rows"] > 0
+        assert delete_files(t) == 0  # all debt was in the selected buckets
+        snap1 = t.snapshot()
+        for b in debt_free:  # debt-free buckets were not rewritten
+            assert [e["path"] for e in snap1.files[str(b)]] == before[b]
+        assert table_sha256(t.read_live()) == sha
+        assert t.row_count() == t.read().count()
+
     def test_expire_keeps_live_delete_files(self, spark, tmp_path):
         import os
 
