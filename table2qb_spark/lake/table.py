@@ -858,9 +858,16 @@ class LakeTable:
         new_files: dict[int, list[dict]],
         summary_update: dict | None = None,
         base_snapshot_id: int | None = None,
+        n_buckets: int | None = None,
     ) -> Snapshot:
         """Commit a copy-on-write result: buckets in ``replaced_buckets`` get
         exactly ``new_files``; every other bucket keeps its current files.
+
+        ``n_buckets`` re-declares the table's bucket count for this and all
+        FUTURE snapshots (bucket evolution — the caller must have rewritten
+        EVERY bucket under the new layout); historical snapshots keep their
+        own count in their headers, so time travel still routes reads
+        through the layout that wrote them.
 
         ``base_snapshot_id``: the snapshot the caller computed its result
         from. If another commit landed since, raises ConcurrentCommitError
@@ -895,7 +902,7 @@ class LakeTable:
             schema_version=snap.schema_version,
             schemas=snap.schemas,
             key_columns=snap.key_columns,
-            n_buckets=snap.n_buckets,
+            n_buckets=n_buckets if n_buckets is not None else snap.n_buckets,
             files=_BucketFiles(self.path, pointers),
             n_commits=snap.n_commits + 1,
             summary=summary,
@@ -1059,6 +1066,7 @@ class LakeTable:
         repartition: bool = True,
         sort_by: list[str] | None = None,
         max_records_per_file: int | None = None,
+        n_partitions: int | None = None,
     ) -> dict[int, list[dict]]:
         """Write a DataFrame that carries a ``__bucket`` column into new
         immutable parquet files under data/, partitioned by bucket. Returns
@@ -1085,7 +1093,10 @@ class LakeTable:
         )
         out = df
         if repartition:
-            out = df.repartition(max(1, min(snap.n_buckets, 256)), F.col("__bucket"))
+            # n_partitions: the writer's target bucket count when it differs
+            # from the snapshot's (bucket evolution — lake/rebucket.py)
+            n = n_partitions if n_partitions is not None else snap.n_buckets
+            out = df.repartition(max(1, min(n, 256)), F.col("__bucket"))
         if sort_by:
             # __bucket leads the sort keys: with n_buckets > partition count
             # several buckets share a task, and the partitionBy("b") writer

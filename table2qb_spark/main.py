@@ -204,6 +204,7 @@ TASK_DESCRIPTIONS = {
     "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
     "cdc-schema": ("Prints the table schema; --history adds version-by-version column lineage", "Usage: table2qb cdc-schema --table DIR [--history]"),
     "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS | --zorder COLS] [--max-records-per-file N] [--purge-below-seq N] [--min-delete-ratio R]"),
+    "cdc-rebucket": ("Re-hashes the table into a new bucket count (bucket evolution; one distributed rewrite)", "Usage: table2qb cdc-rebucket --table DIR --buckets N [--sort-by COLS] [--max-records-per-file N]"),
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
     "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot REF [--to-snapshot REF] (REF = snapshot id or tag)"),
     "cdc-tag": ("Creates/deletes/lists named snapshot refs (tags pin snapshots against expiry and are accepted wherever a snapshot id is)", "Usage: table2qb cdc-tag --table DIR [--create NAME [--snapshot REF] [--force] | --delete NAME]"),
@@ -327,6 +328,27 @@ def cmd_compact(args) -> int:
             min_delete_ratio=args.min_delete_ratio,
         )
     except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_rebucket(args) -> int:
+    from table2qb_spark.lake.rebucket import rebucket
+    from table2qb_spark.lake.table import ConcurrentCommitError, LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-rebucket")
+    table = LakeTable(spark, args.table)
+    try:
+        res = rebucket(
+            table,
+            args.buckets,
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
+            max_records_per_file=args.max_records_per_file,
+        )
+    except (ValueError, ConcurrentCommitError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
     print(json.dumps(res))
@@ -931,6 +953,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "whose equality-delete rows / data rows >= RATIO "
                         "(metadata-only selection from manifest stats)")
     c.set_defaults(fn=cmd_compact)
+
+    c = sub.add_parser("cdc-rebucket")
+    c.add_argument("--table", required=True)
+    c.add_argument("--buckets", type=int, required=True,
+                   help="new bucket count: one distributed full rewrite; "
+                        "historical snapshots keep their old layout "
+                        "(time travel unaffected)")
+    c.add_argument("--sort-by", default=None,
+                   help="cluster within the new buckets during the same "
+                        "rewrite (comma-separated columns)")
+    c.add_argument("--max-records-per-file", type=int, default=None)
+    c.set_defaults(fn=cmd_rebucket)
 
     c = sub.add_parser("cdc-expire")
     c.add_argument("--table", required=True)
