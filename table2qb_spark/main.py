@@ -552,6 +552,7 @@ def cmd_prep_data(args) -> int:
         max_bits_per_bigram=args.max_bits_per_bigram,
         bigram_vocab_k=args.bigram_vocab_k,
         c4_line_filter=args.c4_lines,
+        url_col=args.url_col,
         c4_min_words=args.c4_min_words,
     )
     print(json.dumps(report))
@@ -1052,6 +1053,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="apply the standard Gopher/C4 page-quality "
                         "thresholds (mean word length, symbol ratio, "
                         "bullet/ellipsis lines, lorem ipsum)")
+    c.add_argument("--url-col", default=None, metavar="COL",
+                   help="URL-level dedup first: canonicalize COL (case/"
+                        "www./default-port/tracking-param/fragment "
+                        "normalization) and keep one doc per canonical URL "
+                        "before any content stage")
     c.add_argument("--c4-lines", action="store_true",
                    help="C4 LINE-level cleaning before dedup: keep only "
                         "lines with terminal punctuation, >= --c4-min-words "

@@ -59,6 +59,7 @@ def prepare_training_data(
     bigram_vocab_k: int = 5000,
     c4_line_filter: bool = False,
     c4_min_words: int = 5,
+    url_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, packed): the filtered+sampled corpus with annotations,
     and its sequence-packing index.
@@ -88,6 +89,21 @@ def prepare_training_data(
     becomes ``dedup.cross_dedup`` (drop content already in the corpus AND
     collapse within-batch duplicates), so a continuously-ingesting
     pipeline deduplicates per batch instead of re-running over 100 TB."""
+    if url_col:
+        # URL-level dedup comes FIRST (crawl-side: the same page fetched
+        # under cosmetically different URLs — case, www., default ports,
+        # tracking params, fragments — is the cheapest duplicate to drop,
+        # before any content processing touches the bytes). Keeper = min id
+        # per canonical URL (ops/web.url_dedup): one map-side-combinable
+        # aggregate + a semi-join; same no-window / no-forced-broadcast
+        # policy as the content-dedup stages below.
+        from table2qb_spark.ops.web import url_dedup
+
+        url_keep = url_dedup(docs, url_col=url_col, id_col="doc_id").select(
+            F.col("keeper").alias("doc_id")
+        )
+        docs = docs.join(url_keep, "doc_id", "left_semi")
+
     if c4_line_filter:
         # C4 line-level cleaning FIRST (Raffel et al. 2020 apply it before
         # dedup: boilerplate lines would otherwise perturb content hashes

@@ -232,6 +232,32 @@ class TestPrepIncrementalIngest:
         assert sorted(r["doc_id"] for r in clean.select("doc_id").collect()) == [101]
 
 
+class TestPrepUrlDedup:
+    def test_url_stage_drops_cosmetic_url_variants(self, spark):
+        """prep-data --url-col: docs fetched under cosmetically different
+        URLs of the same page collapse to the min-id keeper BEFORE the
+        content stages; distinct pages with distinct text all survive."""
+        from table2qb_spark.ops.prep import prepare_training_data
+
+        filler = " ".join(f"w{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [
+                (1, f"page one {filler}", "en", "s",
+                 "https://example.com/a?b=2&a=1", 10),
+                (2, f"page one refetched {filler}", "en", "s",
+                 "HTTPS://WWW.Example.COM:443/a/?a=1&utm_source=x&b=2#top", 10),
+                (3, f"page two {filler}", "en", "s",
+                 "https://example.com/b", 10),
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "url string, n_chars long",
+        )
+        clean, _ = prepare_training_data(docs, min_tokens=1, url_col="url")
+        assert sorted(
+            r["doc_id"] for r in clean.select("doc_id").collect()
+        ) == [1, 3]
+
+
 class TestPrepFromLake:
     def make_doc_table(self, spark, tmp_path):
         from table2qb_spark.lake.merge import merge_upsert
