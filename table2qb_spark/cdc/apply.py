@@ -89,6 +89,7 @@ class ChangeLogReplayer:
         dlq_dir: str | None = None,
         valid_ops: tuple[str, ...] = ("I", "U", "D"),
         merge_on_read: bool = False,
+        stage: bool = False,
     ):
         self.spark = spark
         self.table = table
@@ -119,6 +120,11 @@ class ChangeLogReplayer:
         # rewriting touched buckets (lake/mor.py) — the update-heavy-stream
         # write-amplification escape; pair with periodic cdc-compact
         self.merge_on_read = merge_on_read
+        # write-audit-publish: stage the batch's snapshot (header+manifests,
+        # no VERSION swap, no commit marker) for audit before publish.
+        # Schema-evolution commits (additive metadata) still publish
+        # immediately — only the DATA batch is gated.
+        self.stage = stage
         self.metrics_path = os.path.join(table.path, "_meta", "metrics.jsonl")
 
     # ----- checkpointing -----------------------------------------------------
@@ -242,6 +248,7 @@ class ChangeLogReplayer:
                 op_col=self.op_col,
                 seq_col=self.seq_col,
                 summary_update={"last_batch": batch_index, "range_end": end},
+                publish=not self.stage,
             )
         else:
             stats = merge_upsert(
@@ -256,6 +263,7 @@ class ChangeLogReplayer:
                 # off last_batch, which is range-based
                 summary_update={"last_batch": batch_index, "range_end": end},
                 batch_size_hint=end - start + 1,
+                publish=not self.stage,
             )
         elapsed = time.time() - t0
         n_events = int(stats.get("upserts", 0)) + int(stats.get("deletes", 0))
@@ -281,7 +289,13 @@ class ChangeLogReplayer:
     # ----- full replay -----------------------------------------------------------
 
     def run(self, max_batches: int | None = None) -> list[BatchResult]:
-        """Replay from the current checkpoint to the end of the log."""
+        """Replay from the current checkpoint to the end of the log. In
+        ``stage`` mode at most ONE batch is applied regardless of
+        ``max_batches``: a second batch would have to merge against state
+        the unpublished first batch hasn't made visible (its snapshot slot
+        is held), so staged ingest is publish-one-audit-one by design."""
+        if self.stage:
+            max_batches = 1 if max_batches is None else min(1, max_batches)
         lo, hi = self.seq_bounds()
         n_batches = (hi - lo) // self.batch_events + 1
         first = self.last_applied_batch() + 1

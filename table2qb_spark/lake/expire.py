@@ -132,6 +132,12 @@ def expire_snapshots(
         sid = int(doc["snapshot_id"])
         if os.path.exists(table._snapshot_path(sid)):
             retained.add(sid)
+    # headers above the current VERSION are in-flight: staged snapshots
+    # awaiting their audit (write-audit-publish) or a commit mid-swap —
+    # expiry never touches them (abandonment is the grace-reclaim's job)
+    for sid in ids:
+        if sid > current:
+            retained.add(sid)
     expired = [sid for sid in ids if sid not in retained]
     if not expired:
         return {"expired_snapshots": 0, "deleted_data_files": 0,

@@ -66,10 +66,15 @@ def merge_upsert(
     summary_update: dict | None = None,
     batch_size_hint: int | None = None,
     force_stats_pass: bool = False,
+    publish: bool = True,
 ) -> dict:
     """Apply one change batch. Returns merge stats. Idempotent: a commit_id
     already present in the snapshot history is skipped outright.
 
+    ``publish=False`` STAGES the commit (write-audit-publish): the snapshot
+    header + manifests are written but VERSION never moves and no commit
+    marker lands — audit via ``read(snapshot_id=...)``, then
+    ``table.publish_snapshot`` / ``table.discard_snapshot``.
     ``batch_size_hint``: approximate event count (e.g. the seq-range width) —
     picks pruned vs single-pass without counting the batch.
     ``force_stats_pass``: always run the explicit stats pre-pass (required
@@ -208,7 +213,8 @@ def merge_upsert(
         su = dict(summary_update or {})
         su.setdefault("max_seq", got["max_seq"])
         table.commit_files(
-            commit_id, affected, new_files, su, base_snapshot_id=snap.snapshot_id
+            commit_id, affected, new_files, su,
+            base_snapshot_id=snap.snapshot_id, publish=publish,
         )
         return {
             "skipped": False,
@@ -274,7 +280,8 @@ def merge_upsert(
         )  # a bucket whose events all have null seq yields max_seq=None
         if not affected:
             table.commit_files(
-                commit_id, [], {}, summary_update, base_snapshot_id=snap.snapshot_id
+                commit_id, [], {}, summary_update,
+                base_snapshot_id=snap.snapshot_id, publish=publish,
             )
             return {
                 "skipped": False, "commit_id": commit_id, "affected_buckets": 0,
@@ -412,7 +419,8 @@ def merge_upsert(
     su = dict(summary_update or {})
     su.setdefault("max_seq", max_seq)
     table.commit_files(
-        commit_id, affected, new_files, su, base_snapshot_id=snap.snapshot_id
+        commit_id, affected, new_files, su,
+        base_snapshot_id=snap.snapshot_id, publish=publish,
     )
     return {
         "skipped": False,

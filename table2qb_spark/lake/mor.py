@@ -60,6 +60,7 @@ def merge_mor(
     seq_col: str = "seq",
     delete_op: str = "D",
     summary_update: dict | None = None,
+    publish: bool = True,
 ) -> dict:
     """Apply one change batch merge-on-read. Same idempotency (commit_id
     skip), concurrency (base_snapshot_id) and stats contract as
@@ -104,7 +105,8 @@ def merge_mor(
     if not touched:
         # empty batch still commits (exactly-once marker for the range)
         table.commit_appends(
-            commit_id, [], {}, {}, summary_update, base_snapshot_id=snap.snapshot_id
+            commit_id, [], {}, {}, summary_update,
+            base_snapshot_id=snap.snapshot_id, publish=publish,
         )
         return {
             "skipped": False,
@@ -178,6 +180,7 @@ def merge_mor(
             new_deletes,
             su,
             base_snapshot_id=snap.snapshot_id,
+            publish=publish,
         )
     finally:
         kept.unpersist()

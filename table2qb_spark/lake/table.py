@@ -138,6 +138,9 @@ class Snapshot:
     n_commits: int
     summary: dict
     timestamp_ms: int
+    # staged (write-audit-publish): the snapshot's header exists but VERSION
+    # was never swapped to it — readers don't see it until publish_snapshot
+    staged: bool = False
     # bucket(str) -> {"path": bucket-manifest relpath, "rows": n} — the
     # manifest LIST this snapshot was loaded from (None for legacy formats).
     # Commits reuse untouched buckets' pointers verbatim (Iceberg-style
@@ -169,6 +172,7 @@ class Snapshot:
             "n_commits": self.n_commits,
             "summary": self.summary,
             "timestamp_ms": self.timestamp_ms,
+            **({"staged": True} if self.staged else {}),
         }
 
     @staticmethod
@@ -185,6 +189,7 @@ class Snapshot:
             n_commits=d.get("n_commits", len(d.get("applied_commits", []))),
             summary=d.get("summary", {}),
             timestamp_ms=d.get("timestamp_ms", 0),
+            staged=bool(d.get("staged", False)),
         )
 
 
@@ -320,7 +325,14 @@ class LakeTable:
     # equivalent.
     ORPHAN_GRACE_SEC = 300
 
-    def _write_snapshot(self, snap: Snapshot, pointers: dict[str, dict]) -> None:
+    # A STAGED header (write-audit-publish) legitimately sits unpublished for
+    # as long as the audit takes, so foreign reclaim waits much longer — a
+    # staged snapshot abandoned past this is treated like any crashed orphan.
+    STAGED_GRACE_SEC = 86400
+
+    def _write_snapshot(
+        self, snap: Snapshot, pointers: dict[str, dict], publish: bool = True
+    ) -> None:
         """Commit order: manifest list (attempt-unique name) -> header
         (EXCLUSIVE create) -> VERSION swap -> commit marker. Every file a
         commit attempt writes EXCEPT the header carries an attempt token in
@@ -355,9 +367,22 @@ class LakeTable:
                     f"Snapshot {snap.snapshot_id} already committed by another writer"
                 ) from None
             existing = self._read_header(snap.snapshot_id)
-            grace = float(
-                os.environ.get("SPARK_GRAFT_ORPHAN_GRACE_SEC", self.ORPHAN_GRACE_SEC)
-            )
+            if existing.get("staged"):
+                # a staged snapshot (write-audit-publish) holds its id slot
+                # for the whole audit window, not just the commit-swap
+                # microseconds — foreign writers wait the (much longer)
+                # staged grace before treating it as abandoned
+                grace = float(
+                    os.environ.get(
+                        "SPARK_GRAFT_STAGED_GRACE_SEC", self.STAGED_GRACE_SEC
+                    )
+                )
+            else:
+                grace = float(
+                    os.environ.get(
+                        "SPARK_GRAFT_ORPHAN_GRACE_SEC", self.ORPHAN_GRACE_SEC
+                    )
+                )
             age = time.time() - os.path.getmtime(header_path)
             if existing.get("commit_id") != snap.commit_id and age < grace:
                 raise ConcurrentCommitError(
@@ -394,6 +419,12 @@ class LakeTable:
             finally:
                 if os.path.exists(lock_path):
                     os.unlink(lock_path)
+        if not publish:
+            # STAGED commit (write-audit-publish): the header exists — the
+            # snapshot id slot is held and its files are sweep-protected —
+            # but VERSION never moves, so no reader sees it and the commit
+            # marker is NOT written (exactly-once is decided at publish).
+            return
         # Publish UNDER the reclaim lock: any reclaimer must hold this same
         # lock to unlink/rewrite our header, so verifying ownership and
         # swapping VERSION inside it closes the round-4 residual race (a
@@ -516,6 +547,93 @@ class LakeTable:
                     f"than snapshot {snap.snapshot_id} has been expired"
                 ) from None
         return snap
+
+    # ----- write-audit-publish (staged snapshots) --------------------------
+
+    def staged_snapshots(self) -> list[int]:
+        """Ids of staged (unpublished) snapshot headers. Staged headers
+        always sit ABOVE the current VERSION (the slot is held until
+        publish/discard/grace-reclaim), so the walk is O(staged), not
+        O(history)."""
+        out = []
+        sid = self.current_snapshot_id() + 1
+        while os.path.exists(self._snapshot_path(sid)):
+            if self._read_header(sid).get("staged"):
+                out.append(sid)
+            sid += 1
+        return out
+
+    def publish_snapshot(self, snapshot_id: int) -> Snapshot:
+        """Make a staged snapshot the current one (write-audit-publish):
+        verifies the staged commit was computed against the CURRENT snapshot
+        (else the audit looked at a result that would clobber interleaved
+        commits — discard and re-stage), clears the staged flag, writes the
+        commit marker (exactly-once is decided HERE, so an audit-rejected
+        batch replays cleanly later) and swaps VERSION — all under the same
+        reclaim lock as a direct commit's publish step."""
+        header_path = self._snapshot_path(snapshot_id)
+        d = self._read_header(snapshot_id)  # FileNotFoundError: no such
+        if not d.get("staged"):
+            raise ValueError(f"snapshot {snapshot_id} is not staged")
+        grace = float(
+            os.environ.get("SPARK_GRAFT_STAGED_GRACE_SEC", self.STAGED_GRACE_SEC)
+        )
+        lock_path = self._acquire_reclaim_lock(
+            header_path, snapshot_id, d["commit_id"], grace
+        )
+        try:
+            current = self.current_snapshot_id()
+            if d.get("parent_id") != current:
+                raise ConcurrentCommitError(
+                    f"staged snapshot {snapshot_id} was computed against "
+                    f"snapshot {d.get('parent_id')} but current is {current}: "
+                    "publishing would clobber interleaved commits — discard "
+                    "and re-stage"
+                )
+            d2 = self._read_header(snapshot_id)
+            if d2.get("commit_id") != d.get("commit_id"):
+                raise ConcurrentCommitError(
+                    f"staged snapshot {snapshot_id} was replaced by another "
+                    f"writer (now commit {d2.get('commit_id')!r}); re-audit"
+                )
+            d2.pop("staged", None)
+            _atomic_write(header_path, json.dumps(d2))
+            _atomic_write(
+                os.path.join(self.path, META_DIR, "VERSION"), str(snapshot_id)
+            )
+            self._write_marker(d2["commit_id"])
+        finally:
+            if os.path.exists(lock_path):
+                os.unlink(lock_path)
+        return self.snapshot(snapshot_id)
+
+    def discard_snapshot(self, snapshot_id: int) -> None:
+        """Drop a staged snapshot without publishing (audit rejected it).
+        Metadata-only: the header is unlinked — its attempt-unique manifest
+        list, per-bucket manifests and data files become unreferenced
+        orphans that the next expire sweep GCs (shared parent manifests are
+        referenced by retained snapshots and survive, same two-phase logic
+        as expiry). The commit marker was never written, so a later replay
+        RE-APPLIES the batch."""
+        header_path = self._snapshot_path(snapshot_id)
+        d = self._read_header(snapshot_id)
+        if not d.get("staged"):
+            raise ValueError(
+                f"snapshot {snapshot_id} is not staged (discarding a "
+                "published snapshot is rollback + expire, not discard)"
+            )
+        grace = float(
+            os.environ.get("SPARK_GRAFT_STAGED_GRACE_SEC", self.STAGED_GRACE_SEC)
+        )
+        lock_path = self._acquire_reclaim_lock(
+            header_path, snapshot_id, d["commit_id"], grace
+        )
+        try:
+            if os.path.exists(header_path):
+                os.unlink(header_path)
+        finally:
+            if os.path.exists(lock_path):
+                os.unlink(lock_path)
 
     # ----- named refs (tags) ----------------------------------------------
 
@@ -859,6 +977,7 @@ class LakeTable:
         summary_update: dict | None = None,
         base_snapshot_id: int | None = None,
         n_buckets: int | None = None,
+        publish: bool = True,
     ) -> Snapshot:
         """Commit a copy-on-write result: buckets in ``replaced_buckets`` get
         exactly ``new_files``; every other bucket keeps its current files.
@@ -907,9 +1026,10 @@ class LakeTable:
             n_commits=snap.n_commits + 1,
             summary=summary,
             timestamp_ms=int(time.time() * 1000),
+            staged=not publish,
         )
         new_snap.manifest_pointers = pointers
-        self._write_snapshot(new_snap, pointers)
+        self._write_snapshot(new_snap, pointers, publish=publish)
         return new_snap
 
     def commit_appends(
@@ -920,6 +1040,7 @@ class LakeTable:
         appended_deletes: dict[int, list[dict]],
         summary_update: dict | None = None,
         base_snapshot_id: int | None = None,
+        publish: bool = True,
     ) -> Snapshot:
         """Commit a MERGE-ON-READ result: touched buckets KEEP their current
         data files and gain ``appended_files`` (the batch winners) plus
@@ -967,9 +1088,10 @@ class LakeTable:
             n_commits=snap.n_commits + 1,
             summary=summary,
             timestamp_ms=int(time.time() * 1000),
+            staged=not publish,
         )
         new_snap.manifest_pointers = pointers
-        self._write_snapshot(new_snap, pointers)
+        self._write_snapshot(new_snap, pointers, publish=publish)
         return new_snap
 
     def rollback(

@@ -198,7 +198,9 @@ TASK_DESCRIPTIONS = {
     "cube-pipeline": ("Generates cube RDF-shaped tables for the given input CSV", "Usage: table2qb cube-pipeline --input-csv F --dataset-name N --dataset-slug S --column-config C"),
     "prep-data": ("Runs the training-data preparation composite", "Usage: table2qb prep-data --input DIR --output DIR [stages...]"),
     "cdc-init": ("Creates a lake table", "Usage: table2qb cdc-init --table DIR --buckets N [--seq-guarded]"),
-    "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR [--dlq DIR] [--merge-on-read]"),
+    "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR [--dlq DIR] [--merge-on-read] [--stage]"),
+    "cdc-publish": ("Publishes a staged snapshot (write-audit-publish)", "Usage: table2qb cdc-publish --table DIR [--snapshot N]"),
+    "cdc-discard": ("Discards a staged snapshot without publishing", "Usage: table2qb cdc-discard --table DIR --snapshot N"),
     "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR [--dlq DIR] [--merge-on-read] [--max-files-per-trigger N|auto]"),
     "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR"),
     "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
@@ -433,6 +435,48 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_publish(args) -> int:
+    """Publish a staged snapshot (write-audit-publish). Metadata-only: no
+    Spark session — the audit itself already ran (cdc-verify / cdc-export /
+    any read at the staged snapshot id)."""
+    from table2qb_spark.lake.table import ConcurrentCommitError, LakeTable
+
+    _require_table(args.table)
+    table = LakeTable(None, args.table)
+    sid = args.snapshot
+    if sid is None:
+        staged = table.staged_snapshots()
+        if not staged:
+            print("error: no staged snapshots", file=sys.stderr)
+            return 1
+        sid = staged[0]
+    try:
+        snap = table.publish_snapshot(sid)
+    except (ValueError, FileNotFoundError, ConcurrentCommitError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps({
+        "published": sid,
+        "commit_id": snap.commit_id,
+        "rows": snap.summary.get("row_count"),
+    }))
+    return 0
+
+
+def cmd_discard(args) -> int:
+    from table2qb_spark.lake.table import ConcurrentCommitError, LakeTable
+
+    _require_table(args.table)
+    table = LakeTable(None, args.table)
+    try:
+        table.discard_snapshot(args.snapshot)
+    except (ValueError, FileNotFoundError, ConcurrentCommitError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps({"discarded": args.snapshot}))
+    return 0
+
+
 def cmd_tag(args) -> int:
     """Named snapshot refs (Iceberg tags): create/delete/list. Metadata-only
     — no Spark session is started; a tag pins its snapshot against
@@ -648,7 +692,7 @@ def cmd_cdc_replay(args) -> int:
     replayer = ChangeLogReplayer(
         spark, table, args.events, batch_events=args.batch_events,
         two_phase_dedup=args.salted_dedup, events_format=args.events_format,
-        dlq_dir=args.dlq, merge_on_read=args.merge_on_read,
+        dlq_dir=args.dlq, merge_on_read=args.merge_on_read, stage=args.stage,
     )
     results = replayer.run(max_batches=args.max_batches)
     applied = [r for r in results if not r.skipped]
@@ -658,6 +702,8 @@ def cmd_cdc_replay(args) -> int:
         "rows": table.row_count(),
         "snapshot": table.current_snapshot_id(),
     }
+    if args.stage:
+        out["staged_snapshots"] = table.staged_snapshots()
     if args.dlq is not None:
         out["dlq_events"] = sum(
             r.stats.get("dlq_events", 0) for r in applied
@@ -734,6 +780,9 @@ def cmd_cdc_status(args) -> int:
         "commits": snap.n_commits,
         "buckets_with_data": len(snap.files),
     }
+    staged = table.staged_snapshots()
+    if staged:
+        out["staged_snapshots"] = staged
     # merge-on-read debt: equality-delete files/rows accumulated since the
     # last compaction (the read-time mask cost; cdc-compact folds it away)
     del_files = del_rows = 0
@@ -1197,7 +1246,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "amplification; reads pay a mask join until "
                         "cdc-compact folds the deletes away; needs a "
                         "seq-guarded table)")
+    c.add_argument("--stage", action="store_true",
+                   help="write-audit-publish: apply ONE batch as a STAGED "
+                        "snapshot (invisible to readers, no commit marker); "
+                        "audit it with cdc-verify/cdc-export --snapshot N, "
+                        "then cdc-publish or cdc-discard")
     c.set_defaults(fn=cmd_cdc_replay)
+
+    c = sub.add_parser("cdc-publish")
+    c.add_argument("--table", required=True)
+    c.add_argument("--snapshot", type=int, default=None,
+                   help="staged snapshot id (default: the oldest staged)")
+    c.set_defaults(fn=cmd_publish)
+
+    c = sub.add_parser("cdc-discard")
+    c.add_argument("--table", required=True)
+    c.add_argument("--snapshot", type=int, required=True,
+                   help="staged snapshot id to drop (audit rejected it); "
+                        "the batch replays cleanly later")
+    c.set_defaults(fn=cmd_discard)
 
     c = sub.add_parser("cdc-stream")
     c.add_argument("--table", required=True)
