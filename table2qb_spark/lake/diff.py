@@ -45,13 +45,10 @@ def changed_buckets(table: LakeTable, from_id: int, to_id: int) -> list[int]:
     return sorted(out)
 
 
-def snapshot_diff(
-    table: LakeTable, from_id: int, to_id: int | None = None
-) -> DataFrame:
-    """DataFrame of (change_type, <table columns>) describing how `to_id`
-    (default: current) differs from `from_id`. Keys are compared null-safe
-    (NULL key components are real values here)."""
-    to_id = to_id if to_id is not None else table.current_snapshot_id()
+def _diff_joined(table: LakeTable, from_id: int, to_id: int):
+    """The shared diff core: bucket-pruned reads of both snapshot versions,
+    null-safe full outer join on keys, presence markers and the value-diff
+    predicate. Returns (joined, keys, cols, in_old, in_new, differs)."""
     s_to = table.snapshot(to_id)
     keys = s_to.key_columns
     cols = [c["name"] for c in s_to.current_schema()]
@@ -83,7 +80,19 @@ def snapshot_diff(
     differs = F.lit(False)
     for c in value_cols:
         differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    return joined, keys, cols, in_old, in_new, differs
 
+
+def snapshot_diff(
+    table: LakeTable, from_id: int, to_id: int | None = None
+) -> DataFrame:
+    """DataFrame of (change_type, <table columns>) describing how `to_id`
+    (default: current) differs from `from_id`. Keys are compared null-safe
+    (NULL key components are real values here)."""
+    to_id = to_id if to_id is not None else table.current_snapshot_id()
+    joined, keys, cols, in_old, in_new, differs = _diff_joined(
+        table, from_id, to_id
+    )
     change = (
         F.when(in_new & ~in_old, F.lit("insert"))
         .when(in_old & ~in_new, F.lit("delete"))
@@ -98,3 +107,45 @@ def snapshot_diff(
         joined.select(change.alias("change_type"), *out_cols)
         .where(F.col("change_type").isNotNull())
     )
+
+
+def snapshot_diff_envelope(
+    table: LakeTable, from_id: int, to_id: int | None = None
+) -> DataFrame:
+    """OUTBOUND CDC: the diff as a Debezium-shaped change envelope — one row
+    per changed key with ``op`` ('c' create / 'u' update / 'd' delete), full
+    ``before``/``after`` row images as structs (NULL on the side that
+    doesn't exist), the key columns flattened for routing/partitioning, and
+    source metadata (from/to snapshot ids + the target snapshot's commit
+    timestamp). This is what a downstream consumer (cache invalidation,
+    search indexer, another lake) subscribes to — the engine is a CDC
+    *producer* here, closing the loop with the ingest side (cdc-replay
+    consumes exactly this shape).
+
+    Same bucket-pruned, co-partitioned plan as ``snapshot_diff`` — the
+    envelope is a pure projection on the shared join."""
+    to_id = to_id if to_id is not None else table.current_snapshot_id()
+    s_to = table.snapshot(to_id)
+    joined, keys, cols, in_old, in_new, differs = _diff_joined(
+        table, from_id, to_id
+    )
+    op = (
+        F.when(in_new & ~in_old, F.lit("c"))
+        .when(in_old & ~in_new, F.lit("d"))
+        .when(differs, F.lit("u"))
+    )
+    before = F.when(
+        in_old, F.struct(*[F.col(f"o.{c}").alias(c) for c in cols])
+    )
+    after = F.when(
+        in_new, F.struct(*[F.col(f"n.{c}").alias(c) for c in cols])
+    )
+    return joined.select(
+        op.alias("op"),
+        *[F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys],
+        before.alias("before"),
+        after.alias("after"),
+        F.lit(from_id).alias("from_snapshot"),
+        F.lit(to_id).alias("to_snapshot"),
+        F.lit(s_to.timestamp_ms).alias("ts_ms"),
+    ).where(F.col("op").isNotNull())

@@ -208,7 +208,7 @@ TASK_DESCRIPTIONS = {
     "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS | --zorder COLS] [--max-records-per-file N] [--purge-below-seq N] [--min-delete-ratio R]"),
     "cdc-rebucket": ("Re-hashes the table into a new bucket count (bucket evolution; one distributed rewrite)", "Usage: table2qb cdc-rebucket --table DIR --buckets N [--sort-by COLS] [--max-records-per-file N]"),
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
-    "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot REF [--to-snapshot REF] (REF = snapshot id or tag)"),
+    "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot REF [--to-snapshot REF] [--envelope] (REF = snapshot id or tag)"),
     "cdc-tag": ("Creates/deletes/lists named snapshot refs (tags pin snapshots against expiry and are accepted wherever a snapshot id is)", "Usage: table2qb cdc-tag --table DIR [--create NAME [--snapshot REF] [--force] | --delete NAME]"),
     "cdc-verify": ("Prints a distributed content digest of the table", "Usage: table2qb cdc-verify --table DIR"),
     "cdc-export": ("Exports table state (current or a snapshot) to parquet/CSV/JSONL", "Usage: table2qb cdc-export --table DIR --out DIR [--snapshot REF] [--buckets 0,1] [--columns a,b] [--format parquet|csv|jsonl] [--shards N --shard-key COL]"),
@@ -385,12 +385,19 @@ def cmd_diff(args) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    d = snapshot_diff(table, frm, to)
+    if args.envelope:
+        from table2qb_spark.lake.diff import snapshot_diff_envelope
+
+        d = snapshot_diff_envelope(table, frm, to)
+        kind_col = "op"
+    else:
+        d = snapshot_diff(table, frm, to)
+        kind_col = "change_type"
     if args.out:
         d.write.mode("overwrite").parquet(args.out)
         print(args.out)
     else:
-        counts = {r["change_type"]: r["count"] for r in d.groupBy("change_type").count().collect()}
+        counts = {r[kind_col]: r["count"] for r in d.groupBy(kind_col).count().collect()}
         print(json.dumps({"from": frm,
                           "to": (to if to is not None
                                  else table.current_snapshot_id()),
@@ -1030,6 +1037,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="snapshot id or tag name (default: current)")
     c.add_argument("--out", default=None,
                    help="write the change rows as parquet instead of printing counts")
+    c.add_argument("--envelope", action="store_true",
+                   help="outbound CDC: emit Debezium-shaped change events "
+                        "(op c/u/d, before/after row-image structs, key "
+                        "columns flattened, snapshot source metadata) "
+                        "instead of flat post-image rows")
     c.set_defaults(fn=cmd_diff)
 
     c = sub.add_parser("cdc-rollback")
