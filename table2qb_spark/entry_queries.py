@@ -1094,6 +1094,31 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs)
 
 
+# word-keyed lexicon model for the oracle-gated scorer: every weight is an
+# exact binary fraction (k/16), so both engines' left folds produce the
+# bit-identical z and the rounded sigmoid can never straddle a boundary
+_QC_MODEL = {
+    "weights": {"fast": 0.75, "slow": -0.625, "merge": 0.5,
+                "hash": -0.25, "spark": 0.125},
+    "intercept": -0.0625,
+    "num_buckets": None,
+}
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (ops/classifier.py — the fastText/CCNet
+    quality-filter stage): sigmoid(intercept + per-token weight sum) as one
+    Catalyst projection (map literal + aggregate fold, zero shuffle). The
+    oracle-gated form uses a word-keyed lexicon; the hashed-bucket form is
+    pytest-gated against MLlib's own transform probabilities."""
+    from table2qb_spark.ops.classifier import score_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return score_quality(docs, _QC_MODEL).select(
+        "doc_id", F.round("quality_prob", 6).alias("quality_prob")
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary report (ops/text.vocab_topk): top-30 tokens by
     corpus term frequency with document frequency — two map-side-combined
@@ -2402,6 +2427,18 @@ ORACLES["url_canonical"] = f"""
     FROM (SELECT *, string_split(host, '.') AS labels FROM norm)
 """
 
+ORACLES["quality_classifier"] = """
+    SELECT doc_id,
+      round(1.0 / (1.0 + exp(-(
+        -0.0625 + coalesce(list_sum(list_transform(
+            list_filter(string_split(lower(text), ' '), t -> t <> ''),
+            t -> CASE t WHEN 'fast' THEN 0.75 WHEN 'slow' THEN -0.625
+                        WHEN 'merge' THEN 0.5 WHEN 'hash' THEN -0.25
+                        WHEN 'spark' THEN 0.125 ELSE 0.0 END)), 0.0)
+      ))), 6) AS quality_prob
+    FROM documents
+"""
+
 ORACLES["url_dedup"] = f"""
     WITH canon AS ({ORACLES["url_canonical"]})
     SELECT url_norm, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
@@ -2505,6 +2542,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "url_canonical": q_url_canonical,
     "url_dedup": q_url_dedup,
+    "quality_classifier": q_quality_classifier,
     "decontamination": q_decontamination,
     "bm25_topk": q_bm25_topk,
     "sample_stratified": q_sample_stratified,

@@ -565,6 +565,11 @@ def cmd_prep_data(args) -> int:
             print("error: --since-snapshot requires --documents to be a CDC "
                   "lake table root", file=sys.stderr)
             return 1
+    quality_model = None
+    if args.quality_model:
+        _require_file(args.quality_model, "quality model")
+        with open(args.quality_model) as f:
+            quality_model = json.load(f)
     # --snapshot / --since-snapshot accept tag names (lake refs) as well as
     # numeric ids; resolve them against the lake table before run_prep
     for attr in ("snapshot", "since_snapshot"):
@@ -604,6 +609,8 @@ def cmd_prep_data(args) -> int:
         bigram_vocab_k=args.bigram_vocab_k,
         c4_line_filter=args.c4_lines,
         url_col=args.url_col,
+        quality_model=quality_model,
+        quality_keep=args.quality_keep,
         c4_min_words=args.c4_min_words,
     )
     print(json.dumps(report))
@@ -1114,6 +1121,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="apply the standard Gopher/C4 page-quality "
                         "thresholds (mean word length, symbol ratio, "
                         "bullet/ellipsis lines, lorem ipsum)")
+    c.add_argument("--quality-model", default=None, metavar="FILE",
+                   help="model-based quality gate: JSON "
+                        "{weights, intercept, num_buckets} from "
+                        "ops.classifier.fit_quality_classifier; docs "
+                        "scoring below --quality-keep drop")
+    c.add_argument("--quality-keep", type=float, default=0.5,
+                   help="keep threshold for --quality-model (default 0.5)")
     c.add_argument("--url-col", default=None, metavar="COL",
                    help="URL-level dedup first: canonicalize COL (case/"
                         "www./default-port/tracking-param/fragment "

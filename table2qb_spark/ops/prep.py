@@ -60,6 +60,8 @@ def prepare_training_data(
     c4_line_filter: bool = False,
     c4_min_words: int = 5,
     url_col: str | None = None,
+    quality_model: dict | None = None,
+    quality_keep: float = 0.5,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean_docs, packed): the filtered+sampled corpus with annotations,
     and its sequence-packing index.
@@ -194,6 +196,17 @@ def prepare_training_data(
             & (F.col("bullet_line_frac") < 0.9)
             & (F.col("ellipsis_line_frac") < 0.3)
             & ~F.col("has_lorem_ipsum")
+        )
+
+    if quality_model is not None:
+        # model-based quality gate (fastText/CCNet stage, ops/classifier.py):
+        # a pre-fit linear model scores each doc in the same fused
+        # projection; docs below quality_keep drop. The model dict is
+        # plan-literal (kilobytes) — no MLlib on the hot path.
+        from table2qb_spark.ops.classifier import score_quality
+
+        clean = score_quality(
+            clean, quality_model, keep_threshold=quality_keep
         )
 
     if max_bits_per_bigram is not None:
