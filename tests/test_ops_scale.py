@@ -1057,3 +1057,71 @@ class TestDuplicatedNgramSpans:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestWebOpsPlans:
+    """URL ops (ops/web.py): plan-shape guarantees behind the scale claims
+    in SURVEY.md §2b."""
+
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "HTTPS://WWW.Example.CO.UK:443/a/?b=2&utm_source=x&a=1#f"),
+                (2, "https://example.co.uk/a?a=1&b=2"),
+                (3, "http://cdn.other.com:8080/b?gclid=z"),
+            ],
+            "doc_id long, url string",
+        )
+
+    def test_normalize_is_shuffle_free(self, spark):
+        from table2qb_spark.ops.web import (
+            registered_domain_expr,
+            url_normalize_expr,
+        )
+        from pyspark.sql import functions as F
+
+        df = self.docs(spark).select(
+            "doc_id",
+            url_normalize_expr(F.col("url")).alias("u"),
+            registered_domain_expr(
+                F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+            ).alias("d"),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # one projection over the scan
+        got = {r["doc_id"]: (r["u"], r["d"]) for r in df.collect()}
+        # cosmetic variants 1 and 2 canonicalize identically
+        assert got[1] == got[2] == (
+            "https://example.co.uk/a?a=1&b=2", "example.co.uk")
+        # non-default port survives; eTLD+1 strips the subdomain
+        assert got[3] == ("http://cdn.other.com:8080/b", "other.com")
+
+    def test_url_dedup_is_one_partial_agg_no_window(self, spark):
+        from table2qb_spark.ops.web import url_dedup
+
+        out = url_dedup(self.docs(spark))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        # map-side combine: partial agg below the single exchange
+        assert plan.count("Exchange") == 1
+        assert "partial_" in plan
+        rows = {r["url_norm"]: (r["keeper"], r["n_copies"])
+                for r in out.collect()}
+        assert rows["https://example.co.uk/a?a=1&b=2"] == (1, 2)
+
+
+class TestQualityScorerPlan:
+    def test_score_is_fused_projection_with_folded_map(self, spark):
+        from table2qb_spark.ops.classifier import score_quality
+
+        df = spark.createDataFrame(
+            [(1, "fast code"), (2, "slow code")], "doc_id long, text string"
+        )
+        model = {"weights": {i: 0.001 * i for i in range(2000)},
+                 "intercept": 0.0, "num_buckets": 4096}
+        out = score_quality(df, model, keep_threshold=0.5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # the 2000-entry weight map constant-folds to ONE literal: the plan
+        # must not carry per-entry map_from_arrays machinery per row
+        assert "map_from_arrays" not in plan.lower()
