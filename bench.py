@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "semantic_dedup",
     "ann_cosine_topk",
+    "url_dedup",
+    "quality_classifier",
     "pricing_summary",
 ]
 

@@ -202,7 +202,7 @@ TASK_DESCRIPTIONS = {
     "cdc-publish": ("Publishes a staged snapshot (write-audit-publish)", "Usage: table2qb cdc-publish --table DIR [--snapshot N]"),
     "cdc-discard": ("Discards a staged snapshot without publishing", "Usage: table2qb cdc-discard --table DIR --snapshot N"),
     "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR [--dlq DIR] [--merge-on-read] [--max-files-per-trigger N|auto]"),
-    "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR"),
+    "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR [--metrics]"),
     "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
     "cdc-schema": ("Prints the table schema; --history adds version-by-version column lineage", "Usage: table2qb cdc-schema --table DIR [--history]"),
     "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS | --zorder COLS] [--max-records-per-file N] [--purge-below-seq N] [--min-delete-ratio R]"),
@@ -812,12 +812,33 @@ def cmd_cdc_status(args) -> int:
     # (batch + stream metrics rows share the file); omitted when no ingest
     # ever ran with a DLQ.
     metrics_path = os.path.join(args.table, "_meta", "metrics.jsonl")
+    rows = []
     if os.path.exists(metrics_path):
         with open(metrics_path) as f:
             rows = [json.loads(line) for line in f if line.strip()]
         dlq = [r["dlq_events"] for r in rows if "dlq_events" in r]
         if dlq:
             out["dlq_events_total"] = sum(dlq)
+    if args.metrics and rows:
+        # ingest-health rollup from the per-batch metrics ledger (driver-side
+        # file read — the ledger is O(batches), never O(rows))
+        def pct(vals, q):
+            vals = sorted(vals)
+            return vals[min(len(vals) - 1, int(q * (len(vals) - 1) + 0.5))]
+
+        secs = [r["seconds"] for r in rows if r.get("seconds")]
+        eps = [r["events_per_sec"] for r in rows if r.get("events_per_sec")]
+        ev = sum(int(r.get("batch_events", 0) or 0) for r in rows)
+        out["ingest"] = {
+            "batches": len(rows),
+            "stream_batches": sum(1 for r in rows if r.get("source") == "stream"),
+            "events_applied": ev,
+            "overall_events_per_sec": round(ev / sum(secs), 1) if secs else None,
+            "batch_seconds_p50": pct(secs, 0.5) if secs else None,
+            "batch_seconds_p95": pct(secs, 0.95) if secs else None,
+            "events_per_sec_p50": pct(eps, 0.5) if eps else None,
+            "last_lag_events": rows[-1].get("lag_events"),
+        }
     print(json.dumps(out, indent=2))
     return 0
 
@@ -1313,6 +1334,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("cdc-status")
     c.add_argument("--table", required=True)
+    c.add_argument("--metrics", action="store_true",
+                   help="add an ingest-health rollup from the per-batch "
+                        "metrics ledger (batch counts, overall/percentile "
+                        "throughput, last lag)")
     c.set_defaults(fn=cmd_cdc_status)
 
     c = sub.add_parser("cdc-schema")
