@@ -705,6 +705,62 @@ def q_cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (cdc/asof.py): every click probes the latest
+    purchase state at-or-before it for the same user, matches older than 7
+    days nulled by the tolerance. Union + running-last plan — one shuffle,
+    no range-join explosion (DuckDB oracle: native ASOF LEFT JOIN)."""
+    from table2qb_spark.cdc.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.round("value", 4).alias("value"),
+    )
+    states = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("value").alias("state_value"))
+    )
+    probes = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_ms"
+    )
+    return asof_join(
+        probes, states, ["user_id"], "ts_ms", "ts_ms",
+        tolerance_ms=7 * 86400000,
+    )
+
+
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history (cdc/history.py) over the same synthesized change
+    log as cdc_merge_upsert: every non-delete version with its
+    [valid_from_seq, valid_to_seq) interval; deletes close intervals but
+    emit no version. Single-shuffle window plan."""
+    from table2qb_spark.cdc.history import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round("value", 4).alias("value"),
+    )
+    return scd2_history(ev, ["user_id"], seq_col="seq", op_col="op")
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain continuous aggregate (ops/rollup.py): hour/day/total
+    counts and value sums, GROUPING-bitmask level column. Hierarchical
+    re-aggregation — no Expand over the scan."""
+    from table2qb_spark.ops.rollup import time_rollup
+
+    return time_rollup(_t(spark, sf_dir, "events"), "ts", "value")
+
+
 def q_cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition (event_type) throughput/lag-style metrics rollup."""
     ev = _t(spark, sf_dir, "events")
@@ -1781,6 +1837,47 @@ ORACLES: dict[str, str] = {
         SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM marked GROUP BY user_id
     """,
+    "cdc_asof_join": """
+        WITH s AS (
+          SELECT user_id, epoch_ms(ts) AS ts_ms, max(round(value, 4)) AS state_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT p.user_id, p.event_id, p.ts_ms,
+               CASE WHEN p.ts_ms - s.ts_ms <= 604800000 THEN s.ts_ms END AS r_ts_ms,
+               CASE WHEN p.ts_ms - s.ts_ms <= 604800000 THEN s.state_value END AS r_state_value
+        FROM p ASOF LEFT JOIN s
+          ON p.user_id = s.user_id AND p.ts_ms >= s.ts_ms
+    """,
+    "cdc_scd2": """
+        WITH log AS (
+          SELECT user_id, event_id AS seq,
+                 CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+                 round(value, 4) AS value
+          FROM events
+        ),
+        closed AS (
+          SELECT *, lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to_seq
+          FROM log
+        )
+        SELECT user_id, value, seq AS valid_from_seq, valid_to_seq,
+               valid_to_seq IS NULL AS is_current
+        FROM closed WHERE op <> 'D'
+    """,
+    "time_rollup": """
+        WITH b AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS d,
+                 CAST(extract(hour FROM ts) AS INTEGER) AS h,
+                 value
+          FROM events
+        )
+        SELECT d, h, CAST(grouping(d, h) AS INTEGER) AS lvl,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM b GROUP BY ROLLUP(d, h)
+    """,
     "cdc_metrics": """
         SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value,
                count(DISTINCT user_id) AS n_users,
@@ -2555,6 +2652,9 @@ QUERIES = {
     "cdc_incremental_read": q_cdc_incremental_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_sessionize": q_cdc_sessionize,
+    "cdc_asof_join": q_cdc_asof_join,
+    "cdc_scd2": q_cdc_scd2,
+    "time_rollup": q_time_rollup,
     "cdc_metrics": q_cdc_metrics,
     "text_analysis": q_text_analysis,
     "prep_composite": q_prep_composite,

@@ -37,9 +37,12 @@ def _docs(spark, n=60):
 
 class TestFitAndScore:
     def test_catalyst_scorer_matches_mllib_probabilities(self, spark):
-        """Refit through raw MLlib on the SAME featurization the fit path
-        uses and require the Catalyst scorer to reproduce MLlib's own
-        transform probabilities doc-for-doc."""
+        """Fit through raw MLlib on the SAME featurization the fit path
+        uses, lift THAT model's coefficients into the scorer's dict shape,
+        and require the Catalyst scorer to reproduce MLlib's own transform
+        probabilities doc-for-doc. (One fit, two scorers — comparing two
+        independent regParam=0 fits is flaky: on separable data LBFGS's
+        stopping point depends on partition/aggregation order.)"""
         from collections import Counter
 
         from pyspark.ml.classification import LogisticRegression
@@ -53,7 +56,6 @@ class TestFitAndScore:
 
         docs = _docs(spark)
         n = 1 << 10
-        model = fit_quality_classifier(docs, num_buckets=n)
 
         bucketed = docs.select(
             "doc_id",
@@ -81,6 +83,12 @@ class TestFitAndScore:
         expected = {
             r["doc_id"]: float(r["probability"][1])
             for r in ml_model.transform(feats).collect()
+        }
+        coefs = ml_model.coefficients.toArray()
+        model = {
+            "weights": {i: float(c) for i, c in enumerate(coefs) if c != 0.0},
+            "intercept": float(ml_model.intercept),
+            "num_buckets": n,
         }
         got = {
             r["doc_id"]: r["quality_prob"]
