@@ -37,6 +37,14 @@ Strategies:
   read and rewritten (copy-on-write). At 100 TB this is the default — batch
   cost scales with batch locality, not table size. (Also used under
   foreachBatch, where Observation metrics never fire.)
+
+Session-state caveat (Spark 4.1): the first ``Observation`` use materializes
+``SparkSession.observationManager`` (a lazy val, NOT java-Serializable).
+Harmless for DataFrame jobs, but an MLlib model whose ``trainingSummary``
+holds the session (e.g. ``LogisticRegressionModel.transform``) will then fail
+Task-not-serializable in the same session. Workaround for ML-after-merge
+callers: save/load the model (drops the summary) before ``transform`` — our
+own fit path (``ops/classifier.py``) only lifts coefficients, so it is immune.
 """
 
 from __future__ import annotations

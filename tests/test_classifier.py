@@ -36,7 +36,7 @@ def _docs(spark, n=60):
 
 
 class TestFitAndScore:
-    def test_catalyst_scorer_matches_mllib_probabilities(self, spark):
+    def test_catalyst_scorer_matches_mllib_probabilities(self, spark, tmp_path):
         """Fit through raw MLlib on the SAME featurization the fit path
         uses, lift THAT model's coefficients into the scorer's dict shape,
         and require the Catalyst scorer to reproduce MLlib's own transform
@@ -80,6 +80,19 @@ class TestFitAndScore:
         )
         lr = LogisticRegression(maxIter=50, regParam=0.0, standardization=False)
         ml_model = lr.fit(feats)
+        # Spark 4.1 landmine: fit() attaches a trainingSummary that holds the
+        # SparkSession, and transform()'s prediction-UDF closure serializes
+        # the whole model — session included. SparkSession.observationManager
+        # is a lazy val materialized by any earlier pyspark.sql.Observation
+        # use (lake/merge.py batch stats in a shared test session) and is not
+        # java-Serializable, so transform() then dies with Task-not-
+        # serializable. A save/load round-trip drops the summary, keeping the
+        # model closure session-free regardless of test order.
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        mpath = str(tmp_path / "lrm")
+        ml_model.write().overwrite().save(mpath)
+        ml_model = LogisticRegressionModel.load(mpath)
         expected = {
             r["doc_id"]: float(r["probability"][1])
             for r in ml_model.transform(feats).collect()
