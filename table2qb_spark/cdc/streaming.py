@@ -77,11 +77,17 @@ def create_stream_table(
     schema: list[tuple[str, str]],
     key_columns: list[str],
     n_buckets: int = 64,
+    properties: dict | None = None,
 ) -> LakeTable:
     """Create a lake table with the streaming bookkeeping columns appended
     (seq-guard + tombstones; see module docstring)."""
     return LakeTable.create(
-        spark, path, list(schema) + BOOKKEEPING_COLUMNS, key_columns, n_buckets
+        spark,
+        path,
+        list(schema) + BOOKKEEPING_COLUMNS,
+        key_columns,
+        n_buckets,
+        properties=properties,
     )
 
 

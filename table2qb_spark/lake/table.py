@@ -146,6 +146,10 @@ class Snapshot:
     # Commits reuse untouched buckets' pointers verbatim (Iceberg-style
     # manifest reuse), so commit metadata I/O is O(touched buckets).
     manifest_pointers: dict[str, dict] | None = field(default=None, compare=False)
+    # table properties (Iceberg-style): set at create / set_properties, carried
+    # forward verbatim by every commit. Known keys: bloom.columns / bloom.bits
+    # / bloom.hashes (lake/bloom.py file-skipping blooms).
+    properties: dict = field(default_factory=dict)
 
     def current_schema(self) -> list[dict]:
         return self.schemas[str(self.schema_version)]
@@ -173,6 +177,7 @@ class Snapshot:
             "summary": self.summary,
             "timestamp_ms": self.timestamp_ms,
             **({"staged": True} if self.staged else {}),
+            **({"properties": self.properties} if self.properties else {}),
         }
 
     @staticmethod
@@ -190,6 +195,7 @@ class Snapshot:
             summary=d.get("summary", {}),
             timestamp_ms=d.get("timestamp_ms", 0),
             staged=bool(d.get("staged", False)),
+            properties=d.get("properties", {}),
         )
 
 
@@ -234,8 +240,11 @@ class LakeTable:
         schema: list[tuple[str, str]],
         key_columns: list[str],
         n_buckets: int = 64,
+        properties: dict | None = None,
     ) -> "LakeTable":
-        """Create an empty table. ``schema``: [(name, spark_type_ddl)]."""
+        """Create an empty table. ``schema``: [(name, spark_type_ddl)].
+        ``properties``: Iceberg-style table properties (e.g.
+        ``{"bloom.columns": "repo,path"}`` — lake/bloom.py)."""
         t = LakeTable(spark, path)
         os.makedirs(os.path.join(t.path, META_DIR, COMMITS_DIR), exist_ok=True)
         os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
@@ -252,6 +261,7 @@ class LakeTable:
             n_commits=1,
             summary={"row_count": 0, "max_seq": None},
             timestamp_ms=int(time.time() * 1000),
+            properties=dict(properties or {}),
         )
         t._write_snapshot(snap, {})
         return t
@@ -798,6 +808,7 @@ class LakeTable:
             n_commits=snap.n_commits + 1,
             summary=snap.summary,
             timestamp_ms=int(time.time() * 1000),
+            properties=snap.properties,
         )
         # metadata-only commit: every bucket's manifest is reused verbatim
         self._write_snapshot(
@@ -843,6 +854,17 @@ class LakeTable:
         snap = self.snapshot(snapshot_id)
         current = snap.current_schema()
 
+        # bloom probing (lake/bloom.py): only when an equality predicate
+        # exists — the prober lazily pays one single-row Spark job per
+        # distinct (type, value, m, k) and caches it across all entries
+        prober = None
+        if preds and any(op == "=" for _, op, _ in preds):
+            from table2qb_spark.lake.bloom import BloomProber
+
+            prober = BloomProber(
+                self.spark, {c["name"]: c["type"] for c in current}
+            )
+
         # current-name -> written-name map per schema version (renames)
         c2w_cache: dict[str, dict[str, str]] = {}
 
@@ -867,8 +889,13 @@ class LakeTable:
             for e in snap.files[b]:
                 version = str(e["schema_version"])
                 n_total += 1
-                if preds and not stats_admit(
-                    e.get("stats"), rename_predicates(preds, c2w(version))
+                preds_w = rename_predicates(preds, c2w(version)) if preds else None
+                if preds and not stats_admit(e.get("stats"), preds_w):
+                    continue
+                if prober is not None and not prober.admits(
+                    e.get("bloom"),
+                    preds_w,
+                    {w: c for c, w in c2w(version).items()},
                 ):
                     continue
                 n_kept += 1
@@ -946,6 +973,55 @@ class LakeTable:
             # predicate row-by-row over the survivors
             out = out.where(predicates_to_column(preds))
         return out
+
+    def lookup(
+        self,
+        key_values: dict,
+        snapshot_id: int | None = None,
+        prune_report: dict | None = None,
+    ) -> DataFrame:
+        """Point read by FULL primary key: O(1 bucket) instead of O(table).
+
+        The bucket transform that routed every write
+        (``key_bucket_expr`` — part of the on-disk layout) routes the read
+        too: the key's bucket is computed by Spark itself (one single-row
+        job, so Python can never disagree with the layout hash), only that
+        bucket's manifest is opened, and within it manifest min/max stats
+        plus blooms (when ``bloom.columns`` includes the keys) prune to the
+        file(s) that can actually hold the key. At 100 TB this turns a key
+        probe from a full scan into one manifest read + typically one file.
+
+        All key columns must be present; extra columns become additional
+        equality predicates (stat/bloom-pruned, then filtered)."""
+        snap = self.snapshot(snapshot_id)
+        missing = [k for k in snap.key_columns if k not in key_values]
+        if missing:
+            raise ValueError(
+                f"lookup requires every key column; missing {missing} "
+                f"(keys: {snap.key_columns})"
+            )
+        types = {c["name"]: c["type"] for c in snap.current_schema()}
+        unknown = [k for k in key_values if k not in types]
+        if unknown:
+            raise ValueError(f"lookup on unknown column(s) {unknown}")
+        # the bucket function casts keys to string; feed it strings so the
+        # one-row probe row needs no per-type schema
+        probe = self.spark.createDataFrame(
+            [tuple(str(key_values[k]) for k in snap.key_columns)],
+            StructType.fromDDL(
+                ", ".join(f"`{k}` string" for k in snap.key_columns)
+            ),
+        )
+        b = probe.select(
+            key_bucket_expr(snap.key_columns, snap.n_buckets).alias("b")
+        ).collect()[0]["b"]
+        preds = [(k, "=", v) for k, v in key_values.items()]
+        return self.read(
+            snapshot_id=snapshot_id,
+            buckets=[int(b)],
+            where=preds,
+            prune_report=prune_report,
+        )
 
     # ----- commits -----------------------------------------------------------
 
@@ -1027,6 +1103,7 @@ class LakeTable:
             summary=summary,
             timestamp_ms=int(time.time() * 1000),
             staged=not publish,
+            properties=snap.properties,
         )
         new_snap.manifest_pointers = pointers
         self._write_snapshot(new_snap, pointers, publish=publish)
@@ -1089,6 +1166,7 @@ class LakeTable:
             summary=summary,
             timestamp_ms=int(time.time() * 1000),
             staged=not publish,
+            properties=snap.properties,
         )
         new_snap.manifest_pointers = pointers
         self._write_snapshot(new_snap, pointers, publish=publish)
@@ -1158,6 +1236,7 @@ class LakeTable:
             n_commits=cur.n_commits + 1,
             summary=summary,
             timestamp_ms=int(time.time() * 1000),
+            properties=target.properties,
         )
         new_snap.manifest_pointers = pointers
         self._write_snapshot(new_snap, pointers)
@@ -1265,6 +1344,32 @@ class LakeTable:
                         entry["stats"] = stats
                     entries.append(entry)
             result[b] = entries
+        # file-skipping blooms (lake/bloom.py), when the table property
+        # bloom.columns asks for them: ONE distributed column-pruned pass
+        # over the just-written batch (O(batch), never O(table)); the driver
+        # receives only folded bit-words, never values.
+        from table2qb_spark.lake.bloom import bloom_config, build_file_blooms
+
+        cfg = bloom_config(snap.properties, snap.current_schema())
+        if cfg:
+            cols, m, k = cfg
+            # keyed by "b=<n>/<basename>" — basenames alone collide across
+            # bucket dirs (one partitionBy task reuses its part-file name)
+            by_name = {
+                "/".join(e["path"].split("/")[-2:]): e
+                for es in result.values()
+                for e in es
+            }
+            blooms = build_file_blooms(
+                self.spark,
+                [os.path.join(self.path, e["path"]) for e in by_name.values()],
+                cols,
+                m,
+                k,
+            )
+            for fname, per_col in blooms.items():
+                if fname in by_name:
+                    by_name[fname]["bloom"] = {"m": m, "k": k, "cols": per_col}
         return result
 
     def write_delete_files(

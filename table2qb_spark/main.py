@@ -197,7 +197,9 @@ TASK_DESCRIPTIONS = {
     "components-pipeline": ("Generates component specifications", "Usage: table2qb components-pipeline --input-csv F"),
     "cube-pipeline": ("Generates cube RDF-shaped tables for the given input CSV", "Usage: table2qb cube-pipeline --input-csv F --dataset-name N --dataset-slug S --column-config C"),
     "prep-data": ("Runs the training-data preparation composite", "Usage: table2qb prep-data --input DIR --output DIR [stages...]"),
-    "cdc-init": ("Creates a lake table", "Usage: table2qb cdc-init --table DIR --buckets N [--seq-guarded]"),
+    "cdc-init": ("Creates a lake table", "Usage: table2qb cdc-init --table DIR --buckets N [--seq-guarded] [--bloom-cols a,b [--bloom-bits M] [--bloom-hashes K]]"),
+    "cdc-lookup": ("Point-reads one primary key (bucket + stats/bloom pruned)", "Usage: table2qb cdc-lookup --table DIR --key repo=R,path=P [--snapshot REF]"),
+    "cdc-inspect": ("Prints a metadata table: snapshots, files, refs or properties", "Usage: table2qb cdc-inspect --table DIR --what snapshots|files|refs|properties [--snapshot REF] [--limit N]"),
     "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR [--dlq DIR] [--merge-on-read] [--stage]"),
     "cdc-publish": ("Publishes a staged snapshot (write-audit-publish)", "Usage: table2qb cdc-publish --table DIR [--snapshot N]"),
     "cdc-discard": ("Discards a staged snapshot without publishing", "Usage: table2qb cdc-discard --table DIR --snapshot N"),
@@ -683,17 +685,87 @@ def cmd_cdc_init(args) -> int:
     from table2qb_spark.lake.table import LakeTable
 
     spark = get_spark("cdc-init")
+    properties = {}
+    if getattr(args, "bloom_cols", None):
+        from table2qb_spark.lake import bloom
+
+        properties[bloom.PROP_COLUMNS] = args.bloom_cols
+        if getattr(args, "bloom_bits", None):
+            properties[bloom.PROP_BITS] = int(args.bloom_bits)
+        if getattr(args, "bloom_hashes", None):
+            properties[bloom.PROP_HASHES] = int(args.bloom_hashes)
     if getattr(args, "seq_guarded", False):
         from table2qb_spark.cdc.streaming import create_stream_table
 
         create_stream_table(
-            spark, args.table, BASE_SCHEMA, ["repo", "path"], args.buckets
+            spark, args.table, BASE_SCHEMA, ["repo", "path"], args.buckets,
+            properties=properties,
         )
     else:
         LakeTable.create(
-            spark, args.table, BASE_SCHEMA, ["repo", "path"], args.buckets
+            spark, args.table, BASE_SCHEMA, ["repo", "path"], args.buckets,
+            properties=properties,
         )
     print(f"created {args.table}")
+    return 0
+
+
+def cmd_cdc_lookup(args) -> int:
+    from table2qb_spark.lake.table import LakeTable
+
+    spark = get_spark("cdc-lookup")
+    if not LakeTable.exists(args.table):
+        print(f"error: no lake table at {args.table} (run cdc-init first)",
+              file=sys.stderr)
+        return 1
+    t = LakeTable(spark, args.table)
+    from table2qb_spark.lake.skipping import parse_predicates
+
+    key_values = {}
+    for col, op, v in parse_predicates(args.key):
+        if op != "=":
+            print(f"error: --key takes equality predicates only ({col}{op}{v})",
+                  file=sys.stderr)
+            return 1
+        key_values[col] = v
+    sid = t.resolve_ref(args.snapshot) if args.snapshot else None
+    report: dict = {}
+    try:
+        rows = t.lookup(key_values, snapshot_id=sid, prune_report=report).collect()
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps({
+        "rows": [r.asDict(recursive=True) for r in rows],
+        "files_scanned": report.get("files_kept"),
+        "files_in_bucket": report.get("files_total"),
+    }, indent=2, default=str))
+    return 0
+
+
+def cmd_cdc_inspect(args) -> int:
+    from table2qb_spark.lake import inspect as meta
+    from table2qb_spark.lake.table import LakeTable
+
+    spark = get_spark("cdc-inspect")
+    if not LakeTable.exists(args.table):
+        print(f"error: no lake table at {args.table} (run cdc-init first)",
+              file=sys.stderr)
+        return 1
+    t = LakeTable(spark, args.table)
+    what = args.what
+    if what == "snapshots":
+        df = meta.snapshots_df(t).orderBy("snapshot_id")
+    elif what == "files":
+        df = meta.files_df(t, args.snapshot or None).orderBy("bucket", "path")
+    elif what == "refs":
+        df = meta.refs_df(t).orderBy("name")
+    elif what == "properties":
+        df = meta.properties_df(t)
+    else:  # pragma: no cover — argparse choices guard this
+        print(f"error: unknown metadata table {what}", file=sys.stderr)
+        return 1
+    df.show(n=args.limit, truncate=False)
     return 0
 
 
@@ -1274,7 +1346,31 @@ def build_parser() -> argparse.ArgumentParser:
                    help="declare the _seq/_deleted bookkeeping columns "
                         "(out-of-order safety across batches; required for "
                         "cdc-replay --merge-on-read and cdc-stream tables)")
+    c.add_argument("--bloom-cols",
+                   help="comma-separated columns to build per-file bloom "
+                        "filters for (equality-predicate file skipping; "
+                        "lake/bloom.py)")
+    c.add_argument("--bloom-bits", type=int,
+                   help="bloom size in bits (default 8192)")
+    c.add_argument("--bloom-hashes", type=int,
+                   help="bloom probes per value (default 4)")
     c.set_defaults(fn=cmd_cdc_init)
+
+    c = sub.add_parser("cdc-lookup")
+    c.add_argument("--table", required=True)
+    c.add_argument("--key", required=True,
+                   help="comma-separated col=value equality predicates; must "
+                        "cover every key column (bucket-function routing)")
+    c.add_argument("--snapshot", help="snapshot id or tag (time travel)")
+    c.set_defaults(fn=cmd_cdc_lookup)
+
+    c = sub.add_parser("cdc-inspect")
+    c.add_argument("--table", required=True)
+    c.add_argument("--what", required=True,
+                   choices=["snapshots", "files", "refs", "properties"])
+    c.add_argument("--snapshot", help="snapshot id or tag (files only)")
+    c.add_argument("--limit", type=int, default=100)
+    c.set_defaults(fn=cmd_cdc_inspect)
 
     c = sub.add_parser("cdc-replay")
     c.add_argument("--table", required=True)
