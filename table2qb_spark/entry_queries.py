@@ -690,6 +690,45 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned point reads (lake/bloom.py + LakeTable.lookup): load
+    documents into a bloom-enabled lake table keyed on doc_id, then
+    point-read five fixed keys. Each lookup routes through the bucket
+    function to ONE bucket and probes per-file blooms inside it — at 100 TB
+    a key probe touches one manifest + typically one file instead of the
+    table. The oracle is the same five keys as a plain SQL IN-filter, so a
+    single wrongly-pruned file would surface as missing rows."""
+    import tempfile
+
+    from table2qb_spark.lake.table import LakeTable, key_bucket_expr
+
+    cols = [
+        ("doc_id", "long"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "long"),
+    ]
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="q_bloom_"),
+        cols,
+        ["doc_id"],
+        n_buckets=8,
+        properties={"bloom.columns": "doc_id,source", "bloom.bits": 4096},
+    )
+    docs = _t(spark, sf_dir, "documents").select(*[c for c, _ in cols])
+    dfb = docs.withColumn("__bucket", key_bucket_expr(["doc_id"], 8))
+    files = t.write_data_files(dfb, "s2")
+    t.commit_files("load", list(files), files)
+    picks = [3, 57, 123, 250, 481]  # exist at every SF (>=500 docs)
+    out = None
+    for p in picks:
+        part = t.lookup({"doc_id": p})
+        out = part if out is None else out.unionByName(part)
+    return out.select("doc_id", "lang", "source", "n_chars", "text")
+
+
 def q_cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) per user — lag window + running sum."""
     from pyspark.sql.window import Window
@@ -1535,6 +1574,11 @@ ORACLES: dict[str, str] = {
         FROM c CROSS JOIN t
         ORDER BY n_events DESC, user_id
         LIMIT 25
+    """,
+    "lake_bloom_lookup": """
+        SELECT doc_id, lang, source, n_chars, text
+        FROM documents
+        WHERE doc_id IN (3, 57, 123, 250, 481)
     """,
     "cdc_merge_upsert": """
         SELECT user_id, seq, op, value FROM (
@@ -2651,6 +2695,7 @@ QUERIES = {
     "cdc_compact": q_cdc_compact,
     "cdc_incremental_read": q_cdc_incremental_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
+    "lake_bloom_lookup": q_lake_bloom_lookup,
     "cdc_sessionize": q_cdc_sessionize,
     "cdc_asof_join": q_cdc_asof_join,
     "cdc_scd2": q_cdc_scd2,
