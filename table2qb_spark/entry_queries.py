@@ -612,6 +612,63 @@ def q_cdc_mor_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("user_id", "seq", "op", "value")
 
 
+def _doc_lake(spark: SparkSession, sf_dir: str, prefix: str):
+    """A small documents-keyed lake table (doc_id -> lang/source/n_chars)
+    for the row-level DML oracles."""
+    import tempfile
+
+    from table2qb_spark.lake.table import LakeTable, key_bucket_expr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix=prefix),
+        [
+            ("doc_id", "long"),
+            ("lang", "string"),
+            ("source", "string"),
+            ("n_chars", "long"),
+        ],
+        ["doc_id"],
+        n_buckets=8,
+    )
+    df = docs.withColumn("__bucket", key_bucket_expr(["doc_id"], 8))
+    files = t.write_data_files(df, "c1")
+    t.commit_files("c1", list(files), files)
+    return t
+
+
+def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE, POSITION-DELETE strategy (lake/dml.py): load the
+    documents table into a lake, DELETE WHERE a full-SQL predicate (quoted
+    literal + AND — the non-skippable grammar), then read the final state
+    through the (file, row-ordinal) anti-join mask. No data file is
+    rewritten — Iceberg v2 position deletes re-expressed. The oracle is the
+    anti-predicate selection (NULL predicate rows survive, as in SQL
+    DELETE)."""
+    from table2qb_spark.lake.dml import delete_where
+
+    t = _doc_lake(spark, sf_dir, "q_delete_")
+    delete_where(
+        t, "lang = 'en' AND n_chars < 200", "d1", strategy="positional"
+    )
+    return t.read()
+
+
+def q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE, copy-on-write (lake/dml.py): SET n_chars =
+    n_chars + 1000 WHERE source=src7 (the skippable mini-grammar — the scan
+    is stats/bloom-pruned); only buckets holding matches rewrite, other
+    rows are carried byte-identical."""
+    from table2qb_spark.lake.dml import update_where
+
+    t = _doc_lake(spark, sf_dir, "q_update_")
+    update_where(t, "source=src7", {"n_chars": "n_chars + 1000"}, "u1")
+    return t.read()
+
+
 def q_cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-pruned incremental read (lake/skipping.py): replay the event
     stream into a lake table in two seq-ranged batches, then read back only
@@ -1588,6 +1645,16 @@ ORACLES: dict[str, str] = {
                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
           FROM events
         ) WHERE rn = 1 AND op <> 'D'
+    """,
+    "cdc_delete_where": """
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE NOT COALESCE(lang = 'en' AND n_chars < 200, FALSE)
+    """,
+    "cdc_update_where": """
+        SELECT doc_id, lang, source,
+               CASE WHEN source = 'src7' THEN n_chars + 1000
+                    ELSE n_chars END AS n_chars
+        FROM documents
     """,
     "pii_scrub": """
         WITH d AS (
@@ -2671,6 +2738,8 @@ QUERIES = {
     "cdc_latest_state_salted": q_cdc_latest_state_salted,
     "cdc_merge_upsert": q_cdc_merge_upsert,
     "cdc_mor_state": q_cdc_mor_state,
+    "cdc_delete_where": q_cdc_delete_where,
+    "cdc_update_where": q_cdc_update_where,
     "cdc_hot_keys": q_cdc_hot_keys,
     "pii_scrub": q_pii_scrub,
     "text_repetition": q_text_repetition,

@@ -212,21 +212,23 @@ class BloomProber:
     so a scan over many manifest entries pays at most a handful of
     single-row probe jobs."""
 
-    def __init__(self, spark: SparkSession, col_types: dict[str, str]):
+    def __init__(self, spark: SparkSession):
         self.spark = spark
-        self.col_types = col_types  # current-name -> spark type ddl
         self._cache: dict[tuple, list[int] | None] = {}
 
     def admits(
         self,
         bloom_entry: dict | None,
         preds_written: list[tuple[str, str, Any]],
-        written_to_current: dict[str, str],
+        written_types: dict[str, str],
     ) -> bool:
         """False iff some equality predicate's value is provably absent from
         the file. ``preds_written`` carry WRITTEN column names (the stats
-        path's rename mapping); ``written_to_current`` maps them back so the
-        value is hashed with the current (rename-stable) type."""
+        path's rename mapping); ``written_types`` are the types of the
+        schema version the file was WRITTEN under — the bloom hashed values
+        as that type, and xxhash64 is width-sensitive (int 42 and long 42
+        hash differently), so after a type widening old files MUST be probed
+        with their written type, not the current one."""
         if not bloom_entry:
             return True
         m, k = int(bloom_entry.get("m", 0)), int(bloom_entry.get("k", 0))
@@ -236,8 +238,7 @@ class BloomProber:
         for col, op, value in preds_written:
             if op != "=" or col not in cols:
                 continue
-            cur = written_to_current.get(col, col)
-            ty = self.col_types.get(cur)
+            ty = written_types.get(col)
             if ty is None or str(ty).lower() not in _ELIGIBLE_TYPES:
                 continue
             key = (str(ty).lower(), value, m, k)

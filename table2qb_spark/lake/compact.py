@@ -96,7 +96,9 @@ def compact(
             continue
         if min_delete_ratio is not None:
             # MOR debt targeting: manifest-stat counts only, no file opened
-            del_entries = snap.delete_files(bi)
+            # — both delete flavors count (equality: lake/mor.py; position:
+            # lake/dml.py predicate DELETE)
+            del_entries = snap.delete_files(bi) + snap.pos_delete_files(bi)
             del_rows = sum(int(e.get("rows", 0) or 0) for e in del_entries)
             data_rows = sum(int(e.get("rows", 0) or 0) for e in entries)
             if del_rows and del_rows >= min_delete_ratio * max(data_rows, 1):

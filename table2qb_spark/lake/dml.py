@@ -1,0 +1,233 @@
+"""Row-level DML over the lake: predicate DELETE and predicate UPDATE.
+
+The CDC merge paths (lake/merge.py COW, lake/mor.py equality-delete MOR)
+apply KEYED changes from the event stream. Operators also need the
+out-of-band row-level statements a warehouse table supports — "DELETE FROM
+t WHERE lang = 'php'" (retention, GDPR erasure, bad-crawl purges) and
+"UPDATE t SET lang = 'python' WHERE path LIKE '%.py'" (backfills) — where
+the rows are named by PREDICATE, not by key. This module re-expresses
+Iceberg's two DELETE strategies over this lake format:
+
+- **copy-on-write** (``strategy="cow"``): one stats/bloom-pruned scan finds
+  the touched buckets, then ONLY those buckets are rewritten with the
+  matching rows removed (or updated). Write amplification is
+  O(touched-bucket bytes); reads stay mask-free. Right when the predicate
+  touches a large row fraction, or as the compaction-adjacent default.
+- **position deletes** (``strategy="positional"``, DELETE only): the
+  matched rows' physical identities — (table-relative file path, row
+  ordinal), Spark's parquet ``_metadata.file_path`` / ``row_index`` — land
+  in per-bucket position-delete files; NO data file is rewritten. Write
+  cost is O(matched rows); reads pay one anti-join (broadcast by AQE — the
+  delete set is bounded by predicate-deletes since the last compaction)
+  until ``compact()`` folds the mask away. This is Iceberg v2's position
+  delete, the right shape when a 100 TB table loses a few thousand rows:
+  COW would rewrite gigabytes per touched bucket to remove kilobytes.
+
+Positions are emitted from a MASKED read (``read(with_pos_cols=True)``
+applies equality- and position-delete masks first), so each (file, pos)
+pair masks exactly one then-live row — the manifest live-row arithmetic
+(pointer rows = data − eq-deletes − pos-deletes, audited by lake/fsck.py)
+stays exact, and re-deleting the same rows twice is a no-op.
+
+Both statements are snapshot commits with the table's full contract:
+idempotent by commit_id, concurrency-checked against the base snapshot,
+time travel sees the pre-delete state, and ``cdc-diff`` shows the removed
+rows. ``compact()`` folds position deletes exactly like equality deletes
+(it reads through the mask and rewrites, clearing the bucket's delete
+files); ``min_delete_ratio`` debt targeting counts both kinds.
+
+Reference analog: none (table2qb is a stateless file converter,
+SURVEY.md §1); this is north-rule lake surface.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from table2qb_spark.lake.table import LakeTable, key_bucket_expr
+
+
+def _simple_preds(table: LakeTable, where: str):
+    """The predicate as the lake's simple-conjunction form
+    (``col<op>value``, comma-AND — the same mini-syntax as cdc-export's
+    ``--where``) IF it unambiguously is one: every referenced name must be
+    a real column and every value quote/space-free. Anything else — quoted
+    literals, function calls, OR, LIKE — is full Spark SQL (and skips file
+    pruning). Deterministic: a string is interpreted by exactly one
+    grammar."""
+    from table2qb_spark.lake.skipping import parse_predicates
+
+    try:
+        preds = parse_predicates(where)
+    except ValueError:
+        return None
+    cols = {c["name"] for c in table.snapshot().current_schema()}
+    for col, _op, val in preds:
+        if col not in cols:
+            return None
+        if isinstance(val, str) and any(ch in val for ch in "'\" "):
+            return None
+    return preds
+
+
+def _matched(table: LakeTable, where: str, with_pos: bool):
+    """(live rows matching the predicate with __bucket (+ physical identity)
+    attached, the predicate as a reusable Column). Simple conjunctions get
+    manifest stats/bloom file skipping; arbitrary SQL scans full (but still
+    column-complete — DML must see every candidate row)."""
+    from table2qb_spark.lake.skipping import predicates_to_column
+
+    preds = _simple_preds(table, where)
+    if preds is not None:
+        hit = predicates_to_column(preds)
+        df = table.read(with_bucket_col=True, with_pos_cols=with_pos, where=preds)
+    else:
+        hit = F.expr(where)
+        df = table.read(with_bucket_col=True, with_pos_cols=with_pos).where(hit)
+    return df, hit
+
+
+def delete_where(
+    table: LakeTable,
+    where: str,
+    commit_id: str,
+    strategy: str = "cow",
+) -> dict:
+    """DELETE FROM table WHERE <predicate>. See module docstring for the
+    strategy trade-off. Returns {"deleted_rows", "strategy", "buckets",
+    "snapshot", "seconds"} (or {"skipped": True} on commit replay)."""
+    if strategy not in ("cow", "positional"):
+        raise ValueError(f"unknown delete strategy {strategy!r}")
+    if table.has_commit(commit_id):
+        return {"skipped": True, "commit_id": commit_id}
+    t0 = time.time()
+    snap = table.snapshot()
+
+    if strategy == "positional":
+        hits = _matched(table, where, with_pos=True)[0].select(
+            F.col("__file").alias("_file"),
+            F.col("__pos").alias("_pos"),
+            "__bucket",
+        )
+        pos_files = table.write_pos_delete_files(hits, f"d{snap.snapshot_id + 1:07d}")
+        if not pos_files:
+            return {
+                "deleted_rows": 0,
+                "strategy": strategy,
+                "buckets": [],
+                "snapshot": snap.snapshot_id,
+                "seconds": round(time.time() - t0, 3),
+            }
+        n = sum(int(e["rows"]) for ents in pos_files.values() for e in ents)
+        new_snap = table.commit_appends(
+            commit_id,
+            sorted(pos_files),
+            {},
+            {},
+            base_snapshot_id=snap.snapshot_id,
+            appended_pos_deletes=pos_files,
+        )
+        return {
+            "deleted_rows": n,
+            "strategy": strategy,
+            "buckets": sorted(pos_files),
+            "snapshot": new_snap.snapshot_id,
+            "seconds": round(time.time() - t0, 3),
+        }
+
+    # copy-on-write: find touched buckets (one pruned scan), rewrite only
+    # those buckets with the survivors (which also folds any MOR debt the
+    # rewritten buckets carried — commit_files clears their delete files)
+    matched, pred = _matched(table, where, with_pos=False)
+    touched = [
+        int(r["__bucket"])
+        for r in matched.select("__bucket").distinct().collect()
+    ]
+    if not touched:
+        return {
+            "deleted_rows": 0,
+            "strategy": strategy,
+            "buckets": [],
+            "snapshot": snap.snapshot_id,
+            "seconds": round(time.time() - t0, 3),
+        }
+    live = table.read(buckets=touched, with_bucket_col=True)
+    before = live.count()
+    survivors = live.where(~F.coalesce(pred, F.lit(False)))
+    files = table.write_data_files(survivors, f"d{snap.snapshot_id + 1:07d}")
+    # a bucket whose rows ALL matched writes no file: replace it with empty
+    new_files = {b: files.get(b, []) for b in touched}
+    new_snap = table.commit_files(
+        commit_id, touched, new_files, base_snapshot_id=snap.snapshot_id
+    )
+    after = sum(int(e["rows"]) for ents in new_files.values() for e in ents)
+    return {
+        "deleted_rows": before - after,
+        "strategy": strategy,
+        "buckets": sorted(touched),
+        "snapshot": new_snap.snapshot_id,
+        "seconds": round(time.time() - t0, 3),
+    }
+
+
+def update_where(
+    table: LakeTable,
+    where: str,
+    assignments: dict[str, str],
+    commit_id: str,
+) -> dict:
+    """UPDATE table SET col = <expr>, ... WHERE <predicate> — copy-on-write:
+    only buckets containing matching rows are rewritten, matching rows get
+    the assignment expressions (arbitrary Spark SQL over the row's columns),
+    everything else is carried byte-identical. Key columns are immutable
+    (an update that moves a row's bucket is a delete+insert — route it
+    through the CDC merge, which owns key identity)."""
+    if table.has_commit(commit_id):
+        return {"skipped": True, "commit_id": commit_id}
+    t0 = time.time()
+    snap = table.snapshot()
+    bad = set(assignments) & set(snap.key_columns)
+    if bad:
+        raise ValueError(
+            f"Cannot update key column(s) {sorted(bad)}: key identity is "
+            "immutable (bucket routing) — use the CDC merge for moves"
+        )
+    known = {c["name"] for c in snap.current_schema()}
+    unknown = set(assignments) - known
+    if unknown:
+        raise ValueError(f"Unknown column(s) in SET: {sorted(unknown)}")
+
+    matched, pred = _matched(table, where, with_pos=False)
+    touched = [
+        int(r["__bucket"])
+        for r in matched.select("__bucket").distinct().collect()
+    ]
+    if not touched:
+        return {
+            "updated_rows": 0,
+            "buckets": [],
+            "snapshot": snap.snapshot_id,
+            "seconds": round(time.time() - t0, 3),
+        }
+    live = table.read(buckets=touched, with_bucket_col=True)
+    hit = F.coalesce(pred, F.lit(False))
+    n_updated = live.where(hit).count()
+    out = live
+    for col, expr in assignments.items():
+        ty = next(c["type"] for c in snap.current_schema() if c["name"] == col)
+        out = out.withColumn(
+            col, F.when(hit, F.expr(expr).cast(ty)).otherwise(F.col(col))
+        )
+    files = table.write_data_files(out, f"u{snap.snapshot_id + 1:07d}")
+    new_files = {b: files.get(b, []) for b in touched}
+    new_snap = table.commit_files(
+        commit_id, touched, new_files, base_snapshot_id=snap.snapshot_id
+    )
+    return {
+        "updated_rows": n_updated,
+        "buckets": sorted(touched),
+        "snapshot": new_snap.snapshot_id,
+        "seconds": round(time.time() - t0, 3),
+    }

@@ -61,6 +61,8 @@ def _referenced_paths(table: LakeTable, snapshot_id: int) -> tuple[set, set]:
             data.add(e["path"])
         for e in snap.delete_files(b):
             data.add(e["path"])  # MOR equality-delete files are live data
+        for e in snap.pos_delete_files(b):
+            data.add(e["path"])  # position-delete files too (lake/dml.py)
     return data, manifests
 
 

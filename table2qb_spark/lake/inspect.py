@@ -107,7 +107,8 @@ def files_df(table: LakeTable, snapshot_ref: "int | str | None" = None) -> DataF
     doc_schema = (
         "files array<struct<path: string, schema_version: long, rows: long, "
         "stats: string, bloom: string>>, "
-        "delete_files array<struct<path: string, rows: long>>"
+        "delete_files array<struct<path: string, rows: long>>, "
+        "pos_delete_files array<struct<path: string, rows: long>>"
     )
     doc = raw.select("bucket", F.from_json("value", doc_schema).alias("d"))
 
@@ -135,8 +136,10 @@ def files_df(table: LakeTable, snapshot_ref: "int | str | None" = None) -> DataF
             has_bloom.alias("has_bloom"),
         )
 
-    return _entries("files", "data").unionByName(
-        _entries("delete_files", "equality-deletes")
+    return (
+        _entries("files", "data")
+        .unionByName(_entries("delete_files", "equality-deletes"))
+        .unionByName(_entries("pos_delete_files", "position-deletes"))
     )
 
 

@@ -108,6 +108,12 @@ class _BucketFiles(Mapping):
         [] for COW-only buckets and every pre-MOR manifest)."""
         return self._doc(str(b)).get("delete_files", [])
 
+    def pos_deletes(self, b) -> list[dict]:
+        """POSITION-delete file entries for a bucket (Iceberg v2 position
+        deletes: rows dead by (file, row ordinal), written by predicate
+        DELETEs — lake/dml.py; [] everywhere else)."""
+        return self._doc(str(b)).get("pos_delete_files", [])
+
     def __iter__(self):
         return iter(self._ptr)
 
@@ -162,6 +168,14 @@ class Snapshot:
         if deletes is None or str(b) not in self.files:
             return []
         return deletes(b)
+
+    def pos_delete_files(self, b) -> list[dict]:
+        """Position-delete entries for a bucket (predicate DELETEs applied
+        merge-on-read — lake/dml.py; [] everywhere else)."""
+        pos = getattr(self.files, "pos_deletes", None)
+        if pos is None or str(b) not in self.files:
+            return []
+        return pos(b)
 
     def header_json(self) -> dict:
         return {
@@ -288,6 +302,7 @@ class LakeTable:
         new_files: dict,
         token: str,
         new_deletes: dict | None = None,
+        new_pos_deletes: dict | None = None,
     ) -> dict[str, dict]:
         """One immutable manifest file per bucket (written BEFORE the
         exclusive header — crash orphans are invisible). Names carry a
@@ -300,7 +315,12 @@ class LakeTable:
         entries stored under ``delete_files``. Pointer ``rows`` stays the
         LIVE count: each delete entry masks exactly one then-live physical
         copy (the MOR writer only emits an entry when the key existed), so
-        live = sum(file rows) - sum(delete entry rows)."""
+        live = sum(file rows) - sum(delete entry rows).
+
+        ``new_pos_deletes``: per-bucket POSITION-delete entries (predicate
+        DELETE merge-on-read — lake/dml.py) under ``pos_delete_files``.
+        Positions are emitted from a masked read, so each masks exactly one
+        then-live row and the same arithmetic applies."""
         out: dict[str, dict] = {}
         for b, entries in new_files.items():
             rel = self._bucket_manifest_rel(snapshot_id, token, str(b))
@@ -310,6 +330,12 @@ class LakeTable:
             if dels:
                 doc["delete_files"] = dels
                 del_rows = sum(int(e.get("rows", 0) or 0) for e in dels)
+            pdels = (new_pos_deletes or {}).get(b) or (new_pos_deletes or {}).get(
+                str(b)
+            )
+            if pdels:
+                doc["pos_delete_files"] = pdels
+                del_rows += sum(int(e.get("rows", 0) or 0) for e in pdels)
             _atomic_write(os.path.join(self.path, rel), json.dumps(doc))
             out[str(b)] = {
                 "path": rel,
@@ -755,14 +781,35 @@ class LakeTable:
         ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in snap.current_schema())
         return StructType.fromDDL(ddl)
 
+    # lossless type promotions (Iceberg's widening set): the read path casts
+    # written -> current, so anything here must be value-preserving
+    _WIDEN_FROM = {
+        "long": {"tinyint", "smallint", "int", "integer"},
+        "bigint": {"tinyint", "smallint", "int", "integer"},
+        "double": {"float"},
+    }
+
     def evolve_schema(
         self,
         add_columns: list[tuple[str, str]] | None = None,
         rename_columns: dict[str, str] | None = None,
+        drop_columns: list[str] | None = None,
+        widen_columns: dict[str, str] | None = None,
         commit_id: str | None = None,
     ) -> Snapshot:
-        """ADD COLUMN / RENAME COLUMN as a metadata-only commit (column-id
-        name mapping keeps every existing data file readable)."""
+        """ADD / RENAME / DROP COLUMN and type WIDENING as a metadata-only
+        commit (column-id name mapping keeps every existing data file
+        readable).
+
+        DROP removes the column from the current schema only — data files
+        keep their bytes, reads just stop projecting them, and a later ADD
+        of the same name gets a NEW column id, so dropped data can never
+        resurrect (Iceberg drop/re-add semantics). WIDEN accepts only
+        lossless promotions (int-family -> long, float -> double); reads
+        cast each file from its written type, and bloom probes keep hashing
+        with the written type (xxhash64 is width-sensitive). Key columns
+        are immutable in name AND type (bucket layout, MOR delete-file
+        schemas)."""
         snap = self.snapshot()
         cols = [dict(c) for c in snap.current_schema()]
         changed = False
@@ -782,8 +829,51 @@ class LakeTable:
                 raise ValueError(f"Cannot rename unknown column {old}")
             hit[0]["name"] = new
             changed = True
+        for name in drop_columns or []:
+            if name in snap.key_columns:
+                raise ValueError(
+                    f"Cannot drop key column {name}: key columns are "
+                    "immutable (bucket layout and delete files key on them)"
+                )
+            hit = [c for c in cols if c["name"] == name]
+            if not hit:
+                if any(
+                    c["name"] == name
+                    for v in snap.schemas.values()
+                    for c in v
+                ):
+                    continue  # already dropped (idempotent replay)
+                raise ValueError(f"Cannot drop unknown column {name}")
+            cols.remove(hit[0])
+            changed = True
+        for name, new_ty in (widen_columns or {}).items():
+            if name in snap.key_columns:
+                raise ValueError(
+                    f"Cannot widen key column {name}: key columns are "
+                    "immutable (MOR delete files carry their written type)"
+                )
+            hit = [c for c in cols if c["name"] == name]
+            if not hit:
+                raise ValueError(f"Cannot widen unknown column {name}")
+            old_ty, new_norm = hit[0]["type"].lower(), new_ty.lower()
+            if old_ty == new_norm:
+                continue  # already widened (idempotent replay)
+            if old_ty not in self._WIDEN_FROM.get(new_norm, set()):
+                raise ValueError(
+                    f"Cannot widen {name} from {hit[0]['type']} to {new_ty}: "
+                    "lossless promotions only (int-family -> long/bigint, "
+                    "float -> double)"
+                )
+            hit[0]["type"] = new_ty
+            changed = True
         existing = {c["name"] for c in cols}
-        next_id = max(c["id"] for c in cols) + 1 if cols else 1
+        # new ids must clear EVERY id ever used, not just the live set — a
+        # drop of the highest-id column followed by an add would otherwise
+        # reuse that id and resurrect the dropped column's data
+        all_ids = [c["id"] for v in snap.schemas.values() for c in v] + [
+            c["id"] for c in cols
+        ]
+        next_id = max(all_ids) + 1 if all_ids else 1
         for name, ty in add_columns or []:
             if name in existing:
                 continue
@@ -826,6 +916,7 @@ class LakeTable:
         with_bucket_col: bool = False,
         where: "list[tuple] | str | None" = None,
         prune_report: dict | None = None,
+        with_pos_cols: bool = False,
     ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame.
 
@@ -861,9 +952,7 @@ class LakeTable:
         if preds and any(op == "=" for _, op, _ in preds):
             from table2qb_spark.lake.bloom import BloomProber
 
-            prober = BloomProber(
-                self.spark, {c["name"]: c["type"] for c in current}
-            )
+            prober = BloomProber(self.spark)
 
         # current-name -> written-name map per schema version (renames)
         c2w_cache: dict[str, dict[str, str]] = {}
@@ -882,6 +971,7 @@ class LakeTable:
         wanted = set(buckets) if buckets is not None else None
         by_version: dict[str, list[str]] = {}
         delete_paths: list[str] = []
+        pos_delete_paths: list[str] = []
         for b in snap.files:  # key iteration is free (pointer map)
             if wanted is not None and int(b) not in wanted:
                 continue
@@ -895,7 +985,7 @@ class LakeTable:
                 if prober is not None and not prober.admits(
                     e.get("bloom"),
                     preds_w,
-                    {w: c for c, w in c2w(version).items()},
+                    {c["name"]: c["type"] for c in snap.schemas[version]},
                 ):
                     continue
                 n_kept += 1
@@ -904,6 +994,10 @@ class LakeTable:
             # the caller's predicates — bucket-pruned only, NEVER stat-pruned
             for e in snap.delete_files(b):
                 delete_paths.append(e["path"])
+            # position-delete files (predicate DELETE, lake/dml.py): same
+            # contract — always applied, never pruned
+            for e in snap.pos_delete_files(b):
+                pos_delete_paths.append(e["path"])
         if prune_report is not None:
             prune_report.update(files_total=n_total, files_kept=n_kept)
 
@@ -920,24 +1014,66 @@ class LakeTable:
             sel = []
             for c in current:
                 if c["id"] in w_by_id:
-                    sel.append(F.col(f"`{w_by_id[c['id']]['name']}`").alias(c["name"]))
+                    w = w_by_id[c["id"]]
+                    col = F.col(f"`{w['name']}`")
+                    if w["type"] != c["type"]:
+                        # type widening (int->long, float->double): the file
+                        # is read under its WRITTEN type (parquet readers
+                        # reject a declared-wider schema), then cast — a
+                        # lossless promotion by evolve_schema's own gate
+                        col = col.cast(c["type"])
+                    sel.append(col.alias(c["name"]))
                 else:
                     sel.append(F.lit(None).cast(c["type"]).alias(c["name"]))
             if with_bucket_col:
                 sel.append(
                     key_bucket_expr(snap.key_columns, snap.n_buckets).alias("__bucket")
                 )
+            if with_pos_cols or pos_delete_paths:
+                # physical identity of each row: the file's table-relative
+                # path + the row's ordinal within it (Spark's parquet
+                # _metadata columns — no shuffle, no window). Relative paths
+                # keep position-delete files valid if the table relocates.
+                root_abs = os.path.abspath(self.path)
+                sel.append(
+                    F.expr(
+                        "substring(regexp_replace(_metadata.file_path, "
+                        f"'^file:/+', '/'), {len(root_abs) + 2})"
+                    ).alias("__file")
+                )
+                sel.append(F.col("_metadata.row_index").alias("__pos"))
             parts.append(df.select(*sel))
 
         if not parts:
+            from pyspark.sql.types import IntegerType, LongType, StringType
+
             schema = self.spark_schema(snap)
             if with_bucket_col:
-                schema = schema.add("__bucket", "int")
+                schema = schema.add("__bucket", IntegerType())
+            if with_pos_cols:
+                schema = schema.add("__file", StringType()).add(
+                    "__pos", LongType()
+                )
             out = self.spark.createDataFrame([], schema)
         else:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+        if pos_delete_paths:
+            # position-delete mask: one anti-join on (file, ordinal). The
+            # delete side is bounded by rows predicate-deleted since the
+            # last compaction — small, so AQE broadcasts it.
+            pdel = self.spark.read.schema("_file string, _pos long").parquet(
+                *[os.path.join(self.path, p) for p in pos_delete_paths]
+            )
+            out = out.join(
+                pdel,
+                (F.col("__file") == F.col("_file"))
+                & (F.col("__pos") == F.col("_pos")),
+                "left_anti",
+            )
+        if pos_delete_paths and not with_pos_cols:
+            out = out.drop("__file", "__pos")
         if delete_paths:
             # merge-on-read mask: a row is dead iff some equality-delete
             # entry for its key carries a higher _below_seq (the MOR writer
@@ -1118,6 +1254,7 @@ class LakeTable:
         summary_update: dict | None = None,
         base_snapshot_id: int | None = None,
         publish: bool = True,
+        appended_pos_deletes: dict[int, list[dict]] | None = None,
     ) -> Snapshot:
         """Commit a MERGE-ON-READ result: touched buckets KEEP their current
         data files and gain ``appended_files`` (the batch winners) plus
@@ -1140,15 +1277,21 @@ class LakeTable:
         pointers = self._pointers_of(snap, next_id, token)
         merged_files: dict = {}
         merged_deletes: dict = {}
+        merged_pos: dict = {}
         for b in buckets:
             existing = list(snap.files[str(b)]) if str(b) in snap.files else []
             merged_files[b] = existing + list(appended_files.get(b, []))
             merged_deletes[b] = snap.delete_files(b) + list(
                 appended_deletes.get(b, [])
             )
+            merged_pos[b] = snap.pos_delete_files(b) + list(
+                (appended_pos_deletes or {}).get(b, [])
+            )
             pointers.pop(str(b), None)
         pointers.update(
-            self._write_bucket_manifests(next_id, merged_files, token, merged_deletes)
+            self._write_bucket_manifests(
+                next_id, merged_files, token, merged_deletes, merged_pos
+            )
         )
         summary = dict(snap.summary)
         summary.update(summary_update or {})
@@ -1388,6 +1531,51 @@ class LakeTable:
         )
         snap = self.snapshot()
         keyed = df.select(*snap.key_columns, "_below_seq", "__bucket")
+        keyed = keyed.repartition(
+            max(1, min(snap.n_buckets, 256)), F.col("__bucket")
+        )
+        keyed.withColumnRenamed("__bucket", "b").write.mode("overwrite").partitionBy(
+            "b"
+        ).parquet(out_dir)
+        result: dict[int, list[dict]] = {}
+        for b_dir in os.listdir(out_dir):
+            if not b_dir.startswith("b="):
+                continue
+            b = int(b_dir.split("=", 1)[1])
+            entries = []
+            for fn in sorted(os.listdir(os.path.join(out_dir, b_dir))):
+                if fn.endswith(".parquet"):
+                    full = os.path.join(out_dir, b_dir, fn)
+                    md = pq.ParquetFile(full).metadata
+                    if md.num_rows == 0:
+                        continue
+                    entries.append(
+                        {
+                            "path": os.path.relpath(full, self.path),
+                            "rows": md.num_rows,
+                        }
+                    )
+            if entries:
+                result[b] = entries
+        return result
+
+    def write_pos_delete_files(
+        self, df: DataFrame, snapshot_hint: str
+    ) -> dict[int, list[dict]]:
+        """Write POSITION-delete files (Iceberg v2 position deletes,
+        re-expressed): ``df`` carries ``_file`` (table-relative data-file
+        path), ``_pos`` (row ordinal within that file) and ``__bucket``.
+        Each (file, pos) pair masks exactly one physical row at read time
+        (lake/dml.py predicate DELETE). Same attempt-unique/immutable layout
+        as data files; entries carry only path + rows (masks are never
+        pruned)."""
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(
+            self.path, DATA_DIR, f"snap-{snapshot_hint}-posdel-{uuid.uuid4().hex[:8]}"
+        )
+        snap = self.snapshot()
+        keyed = df.select("_file", "_pos", "__bucket")
         keyed = keyed.repartition(
             max(1, min(snap.n_buckets, 256)), F.col("__bucket")
         )

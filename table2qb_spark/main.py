@@ -207,6 +207,10 @@ TASK_DESCRIPTIONS = {
     "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR [--metrics]"),
     "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
     "cdc-schema": ("Prints the table schema; --history adds version-by-version column lineage", "Usage: table2qb cdc-schema --table DIR [--history]"),
+    "cdc-alter": ("Explicit schema DDL: add/rename/drop columns, widen types (metadata-only commit)", "Usage: table2qb cdc-alter --table DIR [--add n:t,...] [--rename a=b,...] [--drop a,b] [--widen n=long,...]"),
+    "cdc-delete": ("Row-level DELETE by predicate: copy-on-write bucket rewrite or Iceberg-v2-style position-delete files", "Usage: table2qb cdc-delete --table DIR --where PRED [--strategy cow|positional] [--commit-id ID]"),
+    "cdc-update": ("Row-level UPDATE by predicate (copy-on-write; key columns immutable)", "Usage: table2qb cdc-update --table DIR --where PRED --set col=EXPR [--set col=EXPR ...] [--commit-id ID]"),
+    "cdc-fsck": ("Checks table integrity: manifests, file references, live-row arithmetic, markers, schema ids; --deep audits parquet footers distributed", "Usage: table2qb cdc-fsck --table DIR [--deep]"),
     "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS | --zorder COLS] [--max-records-per-file N] [--purge-below-seq N] [--min-delete-ratio R]"),
     "cdc-rebucket": ("Re-hashes the table into a new bucket count (bucket evolution; one distributed rewrite)", "Usage: table2qb cdc-rebucket --table DIR --buckets N [--sort-by COLS] [--max-records-per-file N]"),
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
@@ -915,6 +919,131 @@ def cmd_cdc_status(args) -> int:
     return 0
 
 
+def cmd_cdc_fsck(args) -> int:
+    """Table integrity check (lake/fsck.py): metadata invariants driver-side
+    (O(snapshots + buckets) — the same metadata I/O a commit pays), --deep
+    adds a DISTRIBUTED footer-vs-manifest row-count audit. Read-only."""
+    from table2qb_spark.lake.fsck import fsck
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-fsck")
+    result = fsck(LakeTable(spark, args.table), deep=args.deep)
+    print(json.dumps(result, indent=2))
+    return 0 if result["ok"] else 1
+
+
+def cmd_cdc_alter(args) -> int:
+    """Explicit DDL on the lake table (payload-driven evolution handles the
+    CDC stream's ADD/RENAME automatically; this is the operator surface for
+    deliberate DROP / WIDEN / ADD / RENAME — one metadata-only commit)."""
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+
+    def _pairs(spec: str | None) -> dict:
+        out = {}
+        for part in (spec or "").split(","):
+            part = part.strip()
+            if part:
+                if "=" not in part:
+                    raise ValueError(f"expected a=b, got {part!r}")
+                a, b = part.split("=", 1)
+                out[a.strip()] = b.strip()
+        return out
+
+    def _typed(spec: str | None) -> list:
+        out = []
+        for part in (spec or "").split(","):
+            part = part.strip()
+            if part:
+                if ":" not in part:
+                    raise ValueError(f"expected name:type, got {part!r}")
+                n, t = part.split(":", 1)
+                out.append((n.strip(), t.strip()))
+        return out
+
+    spark = get_spark("cdc-alter")
+    t = LakeTable(spark, args.table)
+    try:
+        snap = t.evolve_schema(
+            add_columns=_typed(args.add),
+            rename_columns=_pairs(args.rename),
+            drop_columns=[
+                c.strip() for c in (args.drop or "").split(",") if c.strip()
+            ],
+            widen_columns=_pairs(args.widen),
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps({
+        "snapshot": snap.snapshot_id,
+        "schema_version": snap.schema_version,
+        "columns": snap.current_schema(),
+    }, indent=2))
+    return 0
+
+
+def cmd_cdc_delete(args) -> int:
+    """Predicate DELETE (lake/dml.py): COW rewrites only touched buckets;
+    positional appends position-delete files (no data rewritten — the
+    100 TB shape for small deletes). Idempotent by --commit-id."""
+    from pyspark.errors import AnalysisException
+
+    from table2qb_spark.lake.dml import delete_where
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-delete")
+    t = LakeTable(spark, args.table)
+    cid = args.commit_id or f"delete-{t.current_snapshot_id()}"
+    try:
+        result = delete_where(t, args.where, cid, strategy=args.strategy)
+    except (ValueError, AnalysisException) as e:
+        # AnalysisException: the predicate references a column the table
+        # doesn't have, or isn't valid Spark SQL — a user error, not a bug
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(result, indent=2))
+    return 0
+
+
+def cmd_cdc_update(args) -> int:
+    """Predicate UPDATE (lake/dml.py, copy-on-write): SET col=expr over
+    matching rows; only touched buckets rewrite. Key columns immutable."""
+    from pyspark.errors import AnalysisException
+
+    from table2qb_spark.lake.dml import update_where
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    assignments = {}
+    # repeatable flag, one col=EXPR each — the EXPR may contain commas
+    # (function calls), so no comma-splitting here
+    for part in args.set or []:
+        part = part.strip()
+        if part:
+            if "=" not in part:
+                print(f"error: expected col=EXPR, got {part!r}", file=sys.stderr)
+                return 1
+            c, e = part.split("=", 1)
+            assignments[c.strip()] = e.strip()
+    if not assignments:
+        print("error: --set requires at least one col=EXPR", file=sys.stderr)
+        return 1
+    spark = get_spark("cdc-update")
+    t = LakeTable(spark, args.table)
+    cid = args.commit_id or f"update-{t.current_snapshot_id()}"
+    try:
+        result = update_where(t, args.where, assignments, cid)
+    except (ValueError, AnalysisException) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(result, indent=2))
+    return 0
+
+
 def cmd_cdc_schema(args) -> int:
     """Schema-evolution audit: the table's current column set and, with
     --history, every schema version with per-column lineage — columns are
@@ -1442,6 +1571,43 @@ def build_parser() -> argparse.ArgumentParser:
                    help="include every schema version and per-column-id "
                         "lineage (renames)")
     c.set_defaults(fn=cmd_cdc_schema)
+
+    c = sub.add_parser("cdc-fsck")
+    c.add_argument("--table", required=True)
+    c.add_argument("--deep", action="store_true",
+                   help="also verify every referenced parquet footer's row "
+                        "count against the manifest (distributed)")
+    c.set_defaults(fn=cmd_cdc_fsck)
+
+    c = sub.add_parser("cdc-alter")
+    c.add_argument("--table", required=True)
+    c.add_argument("--add", help="comma-separated name:type to add")
+    c.add_argument("--rename", help="comma-separated old=new")
+    c.add_argument("--drop", help="comma-separated column names to drop")
+    c.add_argument("--widen", help="comma-separated name=type (lossless "
+                                   "promotions: int-family->long, "
+                                   "float->double)")
+    c.set_defaults(fn=cmd_cdc_alter)
+
+    c = sub.add_parser("cdc-delete")
+    c.add_argument("--table", required=True)
+    c.add_argument("--where", required=True,
+                   help="predicate: simple conjunction (repo=alpha,seq>=9) "
+                        "gets file skipping; anything else is Spark SQL")
+    c.add_argument("--strategy", choices=["cow", "positional"], default="cow",
+                   help="cow rewrites touched buckets; positional appends "
+                        "position-delete files (no data rewrite)")
+    c.add_argument("--commit-id", help="idempotency key (replay-safe)")
+    c.set_defaults(fn=cmd_cdc_delete)
+
+    c = sub.add_parser("cdc-update")
+    c.add_argument("--table", required=True)
+    c.add_argument("--where", required=True)
+    c.add_argument("--set", action="append",
+                   help="col=EXPR (repeatable; EXPR is Spark SQL over the "
+                        "row's columns)")
+    c.add_argument("--commit-id", help="idempotency key (replay-safe)")
+    c.set_defaults(fn=cmd_cdc_update)
 
     c = sub.add_parser("cdc-hotkeys")
     c.add_argument("--events", required=True)

@@ -1,0 +1,223 @@
+"""Row-level DML (lake/dml.py): predicate DELETE (copy-on-write and
+position-delete strategies), predicate UPDATE, mask interplay with MOR
+equality deletes, compaction folding, fsck arithmetic, time travel."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from table2qb_spark.lake.dml import delete_where, update_where
+from table2qb_spark.lake.fsck import fsck
+from table2qb_spark.lake.table import LakeTable, key_bucket_expr
+
+SCHEMA = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("lang", "string"),
+    ("stars", "long"),
+    ("content", "string"),
+]
+KEYS = ["repo", "path"]
+N = 500
+N_PHP = N // 5  # ids where id % 5 == 0
+
+
+def _rows(spark, start=0, n=N):
+    return spark.range(start, start + n).select(
+        F.concat(F.lit("r"), (F.col("id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.col("id").cast("string")).alias("path"),
+        F.when(F.col("id") % 5 == 0, "php").otherwise("py").alias("lang"),
+        (F.col("id") * 3).alias("stars"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("content"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, KEYS, n_buckets=4)
+    df = _rows(spark).withColumn("__bucket", key_bucket_expr(KEYS, 4))
+    files = t.write_data_files(df, "c1")
+    t.commit_files("c1", list(files), files)
+    return t
+
+
+class TestDeleteCOW:
+    def test_simple_predicate(self, table):
+        r = delete_where(table, "lang=php", "d1")
+        assert r["strategy"] == "cow" and r["deleted_rows"] == N_PHP
+        got = table.read()
+        assert got.count() == N - N_PHP
+        assert got.where(F.col("lang") == "php").count() == 0
+        assert table.row_count() == N - N_PHP
+        assert fsck(table, deep=True)["ok"]
+
+    def test_sql_predicate(self, table):
+        # quoted literal + function call: the SQL grammar, not the mini one
+        r = delete_where(table, "lang = 'php' AND stars > 750", "d1")
+        want = sum(1 for i in range(N) if i % 5 == 0 and i * 3 > 750)
+        assert r["deleted_rows"] == want
+        assert table.read().count() == N - want
+
+    def test_idempotent_replay(self, table):
+        delete_where(table, "lang=php", "d1")
+        r2 = delete_where(table, "lang=php", "d1")
+        assert r2.get("skipped")
+        assert table.read().count() == N - N_PHP
+
+    def test_no_match_no_commit(self, table):
+        before = table.snapshot().snapshot_id
+        r = delete_where(table, "lang=rust", "d-none")
+        assert r["deleted_rows"] == 0
+        assert table.snapshot().snapshot_id == before
+
+    def test_time_travel_sees_predecessor(self, table):
+        pre = table.snapshot().snapshot_id
+        delete_where(table, "lang=php", "d1")
+        assert table.read(snapshot_id=pre).count() == N
+
+
+class TestDeletePositional:
+    def test_masks_without_rewriting_data(self, table):
+        pre_data = {
+            e["path"] for b in table.snapshot().files
+            for e in table.snapshot().files[b]
+        }
+        r = delete_where(table, "lang=php", "d1", strategy="positional")
+        assert r["strategy"] == "positional" and r["deleted_rows"] == N_PHP
+        snap = table.snapshot()
+        post_data = {e["path"] for b in snap.files for e in snap.files[b]}
+        assert post_data == pre_data  # no data file rewritten
+        assert any(snap.pos_delete_files(b) for b in snap.files)
+        got = table.read()
+        assert got.count() == N - N_PHP
+        assert got.where(F.col("lang") == "php").count() == 0
+        assert table.row_count() == N - N_PHP
+        assert fsck(table, deep=True)["ok"]
+
+    def test_double_delete_is_noop(self, table):
+        delete_where(table, "lang=php", "d1", strategy="positional")
+        r2 = delete_where(table, "lang=php", "d2", strategy="positional")
+        assert r2["deleted_rows"] == 0  # masked rows are no longer live
+        assert table.read().count() == N - N_PHP
+        assert fsck(table)["ok"]  # live-row arithmetic survives both
+
+    def test_overlapping_predicates_accumulate(self, table):
+        delete_where(table, "lang=php", "d1", strategy="positional")
+        r = delete_where(table, "stars<30", "d2", strategy="positional")
+        # ids 0..9: stars<30; of those, 0 and 5 are php (already dead)
+        assert r["deleted_rows"] == 8
+        assert table.read().count() == N - N_PHP - 8
+
+    def test_compaction_folds_mask(self, table):
+        from table2qb_spark.lake.compact import compact
+
+        delete_where(table, "lang=php", "d1", strategy="positional")
+        out = compact(table, min_files=1)
+        assert not out.get("skipped")
+        snap = table.snapshot()
+        assert not any(snap.pos_delete_files(b) for b in snap.files)
+        assert table.read().count() == N - N_PHP
+        assert table.read().where(F.col("lang") == "php").count() == 0
+        assert fsck(table, deep=True)["ok"]
+
+    def test_debt_targeted_compaction_counts_pos_deletes(self, table):
+        from table2qb_spark.lake.compact import compact
+
+        delete_where(table, "lang=php", "d1", strategy="positional")
+        out = compact(table, min_delete_ratio=0.05)
+        assert not out.get("skipped")
+        snap = table.snapshot()
+        assert not any(snap.pos_delete_files(b) for b in snap.files)
+
+    def test_interplay_with_equality_deletes(self, spark, tmp_path):
+        """MOR equality deletes and position deletes mask independently."""
+        from table2qb_spark.lake.mor import merge_mor
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "m"),
+            SCHEMA + [("_seq", "long")], KEYS, n_buckets=4,
+        )
+        ev = _rows(spark).select(
+            "*",
+            F.lit("I").alias("op"),
+            (F.monotonically_increasing_id() + 1).alias("seq"),
+        )
+        merge_mor(t, ev, "m1")
+        # MOR update: bump stars for f1 (equality-delete masks the old copy)
+        upd = ev.where(F.col("path") == "f1").withColumn(
+            "stars", F.lit(9999).cast("long")
+        ).withColumn("seq", F.col("seq") + 10_000_000)
+        merge_mor(t, upd, "m2")
+        # positional delete of all php rows on top
+        r = delete_where(t, "lang=php", "d1", strategy="positional")
+        assert r["deleted_rows"] == N_PHP
+        got = t.read()
+        assert got.where(F.col("lang") == "php").count() == 0
+        assert got.where(F.col("path") == "f1").collect()[0]["stars"] == 9999
+        assert got.count() == N - N_PHP
+        assert fsck(t, deep=True)["ok"]
+
+
+class TestUpdate:
+    def test_update_simple(self, table):
+        r = update_where(table, "lang=php", {"lang": "'hack'"}, "u1")
+        assert r["updated_rows"] == N_PHP
+        got = table.read()
+        assert got.where(F.col("lang") == "hack").count() == N_PHP
+        assert got.where(F.col("lang") == "php").count() == 0
+        assert got.count() == N
+        assert fsck(table, deep=True)["ok"]
+
+    def test_update_expression_over_row(self, table):
+        update_where(
+            table, "stars >= 1200", {"stars": "stars * 2"}, "u1"
+        )
+        got = table.read().where(F.col("path") == "f450").collect()[0]
+        assert got["stars"] == 450 * 3 * 2
+        low = table.read().where(F.col("path") == "f10").collect()[0]
+        assert low["stars"] == 30  # untouched rows carried verbatim
+
+    def test_key_column_rejected(self, table):
+        with pytest.raises(ValueError, match="key column"):
+            update_where(table, "lang=php", {"repo": "'x'"}, "u1")
+
+    def test_unknown_column_rejected(self, table):
+        with pytest.raises(ValueError, match="Unknown column"):
+            update_where(table, "lang=php", {"nope": "1"}, "u1")
+
+    def test_idempotent_replay(self, table):
+        update_where(table, "lang=php", {"stars": "stars + 1"}, "u1")
+        r2 = update_where(table, "lang=php", {"stars": "stars + 1"}, "u1")
+        assert r2.get("skipped")
+
+
+class TestCLI:
+    def test_cdc_delete_positional(self, table, capsys):
+        from table2qb_spark.main import main
+
+        rc = main([
+            "cdc-delete", "--table", table.path,
+            "--where", "lang=php", "--strategy", "positional",
+            "--commit-id", "cli-d1",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["deleted_rows"] == N_PHP and out["strategy"] == "positional"
+        assert table.read().count() == N - N_PHP
+
+    def test_cdc_update(self, table, capsys):
+        from table2qb_spark.main import main
+
+        rc = main([
+            "cdc-update", "--table", table.path,
+            "--where", "path = 'f3'",
+            "--set", "content=concat(content, '!')",
+            "--commit-id", "cli-u1",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["updated_rows"] == 1
+        got = table.read().where(F.col("path") == "f3").collect()[0]
+        assert got["content"] == "c3!"
