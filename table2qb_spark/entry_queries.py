@@ -669,6 +669,38 @@ def q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def q_cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic three-clause MERGE INTO (lake/dml.py merge_into): documents
+    where doc_id%7==0 arrive as matched source rows (UPDATE n_chars =
+    src_n_chars*2, except source='src3' rows which the DELETE clause
+    removes); documents where doc_id%13==0 arrive key-shifted by +10^7 as
+    unmatched rows (INSERT). Copy-on-write — only source-touched buckets
+    rewrite. The oracle is the equivalent LEFT JOIN + ANTI JOIN union."""
+    from table2qb_spark.lake.dml import merge_into
+
+    t = _doc_lake(spark, sf_dir, "q_merge_")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    src = docs.where(F.col("doc_id") % 7 == 0).unionByName(
+        docs.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    merge_into(
+        t,
+        src,
+        "m1",
+        when_matched_update={"n_chars": "src_n_chars * 2"},
+        when_matched_delete="source = 'src3'",
+        when_not_matched_insert=True,
+    )
+    return t.read()
+
+
 def q_cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-pruned incremental read (lake/skipping.py): replay the event
     stream into a lake table in two seq-ranged batches, then read back only
@@ -1655,6 +1687,24 @@ ORACLES: dict[str, str] = {
                CASE WHEN source = 'src7' THEN n_chars + 1000
                     ELSE n_chars END AS n_chars
         FROM documents
+    """,
+    "cdc_merge_into": """
+        WITH src AS (
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 10000000 AS doc_id, lang, source, n_chars
+          FROM documents WHERE doc_id % 13 = 0
+        )
+        SELECT t.doc_id, t.lang, t.source,
+               CASE WHEN s.doc_id IS NOT NULL
+                         AND NOT COALESCE(t.source = 'src3', FALSE)
+                    THEN s.n_chars * 2 ELSE t.n_chars END AS n_chars
+        FROM documents t LEFT JOIN src s USING (doc_id)
+        WHERE NOT COALESCE(s.doc_id IS NOT NULL AND t.source = 'src3', FALSE)
+        UNION ALL
+        SELECT s.doc_id, s.lang, s.source, s.n_chars
+        FROM src s ANTI JOIN documents t USING (doc_id)
     """,
     "pii_scrub": """
         WITH d AS (
@@ -2740,6 +2790,7 @@ QUERIES = {
     "cdc_mor_state": q_cdc_mor_state,
     "cdc_delete_where": q_cdc_delete_where,
     "cdc_update_where": q_cdc_update_where,
+    "cdc_merge_into": q_cdc_merge_into,
     "cdc_hot_keys": q_cdc_hot_keys,
     "pii_scrub": q_pii_scrub,
     "text_repetition": q_text_repetition,

@@ -1,4 +1,5 @@
-"""Row-level DML over the lake: predicate DELETE and predicate UPDATE.
+"""Row-level DML over the lake: predicate DELETE, predicate UPDATE, and
+generic MERGE INTO.
 
 The CDC merge paths (lake/merge.py COW, lake/mor.py equality-delete MOR)
 apply KEYED changes from the event stream. Operators also need the
@@ -36,6 +37,14 @@ rows. ``compact()`` folds position deletes exactly like equality deletes
 (it reads through the mask and rewrites, clearing the bucket's delete
 files); ``min_delete_ratio`` debt targeting counts both kinds.
 
+``merge_into`` is the third statement of the warehouse triad: SQL MERGE
+with an arbitrary source DataFrame joined on the table's key columns (the
+ON condition IS key equality — anything else couldn't route rows to
+buckets), WHEN MATCHED [AND cond] THEN UPDATE/DELETE, WHEN NOT MATCHED
+[AND cond] THEN INSERT. Unlike the CDC apply paths it takes no seq/op
+envelope — the caller states intent per clause, which is what backfills,
+dimension refreshes, and "upsert this corrected batch" jobs actually have.
+
 Reference analog: none (table2qb is a stateless file converter,
 SURVEY.md §1); this is north-rule lake surface.
 """
@@ -44,7 +53,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from table2qb_spark.lake.table import LakeTable, key_bucket_expr
 
@@ -228,6 +237,216 @@ def update_where(
     return {
         "updated_rows": n_updated,
         "buckets": sorted(touched),
+        "snapshot": new_snap.snapshot_id,
+        "seconds": round(time.time() - t0, 3),
+    }
+
+
+SRC = "src_"  # expression-namespace prefix for the MERGE source's columns
+
+
+def merge_into(
+    table: LakeTable,
+    source: DataFrame,
+    commit_id: str,
+    when_matched_update: "dict[str, str] | str | None" = None,
+    when_matched_delete: "str | bool" = False,
+    when_not_matched_insert: "bool | dict[str, str]" = True,
+    update_condition: str | None = None,
+    insert_condition: str | None = None,
+) -> dict:
+    """MERGE INTO table USING source ON <key equality>, copy-on-write.
+
+    Clause semantics (SQL MERGE, fixed evaluation order):
+      1. WHEN MATCHED AND <when_matched_delete> THEN DELETE — pass a
+         predicate string, or True for every matched row.
+      2. WHEN MATCHED AND <update_condition> THEN UPDATE — assignments as
+         {target_col: sql_expr}, or the string ``"*"`` to set every non-key
+         column from the source's same-named column (source columns it
+         lacks are left unchanged).
+      3. WHEN NOT MATCHED AND <insert_condition> THEN INSERT — True inserts
+         the source row (table columns the source lacks become NULL); a
+         {target_col: sql_expr} dict overrides per column.
+    Matched rows hitting neither clause, and target rows with no source
+    match, are carried unchanged; unmatched source rows with inserts off
+    (or failing ``insert_condition``) are dropped.
+
+    Conditions and assignment expressions are Spark SQL evaluated over a
+    row namespace holding the TARGET columns under their own names and the
+    SOURCE columns as ``src_<name>`` (e.g. ``"src_seq > seq"``); for
+    not-matched rows only the ``src_`` side is non-null.
+
+    Scale shape: source keys route buckets exactly like the CDC merge —
+    only buckets the source touches are read and rewritten; the join
+    shuffles on the key columns (AQE broadcasts a small source). The source
+    must be key-unique — duplicate keys would make the result depend on
+    join row order, so they raise (same contract as Delta/Iceberg MERGE
+    cardinality errors). Commit contract identical to delete/update:
+    idempotent by commit_id, snapshot-isolated, time-travelable.
+    """
+    if table.has_commit(commit_id):
+        return {"skipped": True, "commit_id": commit_id}
+    t0 = time.time()
+    snap = table.snapshot()
+    keys = snap.key_columns
+    schema = snap.current_schema()
+    types = {c["name"]: c["type"] for c in schema}
+    non_keys = [c["name"] for c in schema if c["name"] not in keys]
+
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks key column(s) {missing}")
+    clash = [c for c in types if c.startswith(SRC)]
+    if clash:
+        raise ValueError(
+            f"table column(s) {clash} collide with the '{SRC}' source "
+            "namespace prefix"
+        )
+    if when_matched_update == "*":
+        when_matched_update = {
+            c: f"{SRC}{c}" for c in non_keys if c in source.columns
+        }
+    if isinstance(when_matched_update, dict):
+        bad = set(when_matched_update) & set(keys)
+        if bad:
+            raise ValueError(
+                f"Cannot update key column(s) {sorted(bad)}: key identity "
+                "is immutable (bucket routing)"
+            )
+        unknown = set(when_matched_update) - set(types)
+        if unknown:
+            raise ValueError(f"Unknown column(s) in UPDATE: {sorted(unknown)}")
+    if isinstance(when_not_matched_insert, dict):
+        unknown = set(when_not_matched_insert) - set(types)
+        if unknown:
+            raise ValueError(f"Unknown column(s) in INSERT: {sorted(unknown)}")
+    if not (when_matched_update or when_matched_delete or when_not_matched_insert):
+        raise ValueError("MERGE with no clauses is a no-op; refusing")
+
+    # key-cast + prefix the source: keys keep their names (join columns),
+    # everything else enters the expression namespace as src_<name>
+    src = source.select(
+        *[F.col(k).cast(types[k]).alias(k) for k in keys],
+        *[
+            (F.col(c).cast(types[c]) if c in types else F.col(c)).alias(
+                f"{SRC}{c}"
+            )
+            for c in source.columns
+            if c not in keys
+        ],
+        F.lit(True).alias("__src"),
+    )
+
+    # cardinality gate: one map-side-combined agg over the source only
+    dup = (
+        src.groupBy(*keys)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        kv = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"source is not key-unique (e.g. {kv}): MERGE result would "
+            "depend on join order — dedupe the source first"
+        )
+
+    # touched buckets come from the SOURCE side (matches rewrite their
+    # bucket; inserts land in theirs) — bounded by n_buckets, driver-safe
+    touched = sorted(
+        int(r["b"])
+        for r in src.select(
+            key_bucket_expr(keys, snap.n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return {
+            "inserted_rows": 0,
+            "updated_rows": 0,
+            "deleted_rows": 0,
+            "buckets": [],
+            "snapshot": snap.snapshot_id,
+            "seconds": round(time.time() - t0, 3),
+        }
+
+    live = table.read(buckets=touched).withColumn("__tgt", F.lit(True))
+    joined = live.join(src, on=keys, how="full_outer")
+
+    matched = F.coalesce("__tgt", F.lit(False)) & F.coalesce(
+        "__src", F.lit(False)
+    )
+    def _cond(c):
+        return F.coalesce(F.expr(c), F.lit(False)) if c else F.lit(True)
+
+    if when_matched_delete is True:
+        del_hit = matched
+    elif when_matched_delete:
+        del_hit = matched & _cond(when_matched_delete)
+    else:
+        del_hit = F.lit(False)
+    upd_hit = (
+        matched & ~del_hit & _cond(update_condition)
+        if when_matched_update
+        else F.lit(False)
+    )
+    if when_not_matched_insert:
+        ins_hit = ~F.coalesce("__tgt", F.lit(False)) & _cond(insert_condition)
+    else:
+        ins_hit = F.lit(False)
+
+    def _insert_val(c):
+        if isinstance(when_not_matched_insert, dict) and c in when_not_matched_insert:
+            return F.expr(when_not_matched_insert[c]).cast(types[c])
+        if f"{SRC}{c}" in src.columns:
+            return F.col(f"{SRC}{c}")
+        return F.lit(None).cast(types[c])
+
+    out_cols = []
+    for c in [x["name"] for x in schema]:
+        if c in keys:
+            out_cols.append(F.col(c))  # merged by the USING-keys join
+            continue
+        col = F.col(c)
+        if when_matched_update and c in when_matched_update:
+            col = F.when(
+                upd_hit, F.expr(when_matched_update[c]).cast(types[c])
+            ).otherwise(col)
+        col = F.when(ins_hit, _insert_val(c)).otherwise(col)
+        out_cols.append(col.alias(c))
+
+    flagged = joined.select(
+        *out_cols,
+        del_hit.alias("__del"),
+        upd_hit.alias("__upd"),
+        ins_hit.alias("__ins"),
+        F.coalesce("__tgt", F.lit(False)).alias("__tgt"),
+    ).persist()
+    try:
+        stats = flagged.agg(
+            F.sum(F.col("__del").cast("long")).alias("d"),
+            F.sum(F.col("__upd").cast("long")).alias("u"),
+            F.sum(F.col("__ins").cast("long")).alias("i"),
+        ).collect()[0]
+        survivors = (
+            flagged.where(~F.col("__del") & (F.col("__tgt") | F.col("__ins")))
+            .drop("__del", "__upd", "__ins", "__tgt")
+            .withColumn("__bucket", key_bucket_expr(keys, snap.n_buckets))
+        )
+        files = table.write_data_files(survivors, f"m{snap.snapshot_id + 1:07d}")
+        new_files = {b: files.get(b, []) for b in touched}
+        new_snap = table.commit_files(
+            commit_id, touched, new_files, base_snapshot_id=snap.snapshot_id
+        )
+    finally:
+        flagged.unpersist()
+    return {
+        "inserted_rows": int(stats["i"] or 0),
+        "updated_rows": int(stats["u"] or 0),
+        "deleted_rows": int(stats["d"] or 0),
+        "buckets": touched,
         "snapshot": new_snap.snapshot_id,
         "seconds": round(time.time() - t0, 3),
     }

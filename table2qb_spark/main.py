@@ -210,6 +210,7 @@ TASK_DESCRIPTIONS = {
     "cdc-alter": ("Explicit schema DDL: add/rename/drop columns, widen types (metadata-only commit)", "Usage: table2qb cdc-alter --table DIR [--add n:t,...] [--rename a=b,...] [--drop a,b] [--widen n=long,...]"),
     "cdc-delete": ("Row-level DELETE by predicate: copy-on-write bucket rewrite or Iceberg-v2-style position-delete files", "Usage: table2qb cdc-delete --table DIR --where PRED [--strategy cow|positional] [--commit-id ID]"),
     "cdc-update": ("Row-level UPDATE by predicate (copy-on-write; key columns immutable)", "Usage: table2qb cdc-update --table DIR --where PRED --set col=EXPR [--set col=EXPR ...] [--commit-id ID]"),
+    "cdc-merge-into": ("SQL MERGE: join a source on the key columns; WHEN MATCHED update/delete, WHEN NOT MATCHED insert (copy-on-write, touched buckets only)", "Usage: table2qb cdc-merge-into --table DIR --source PATH [--update col=EXPR ... | --update-all] [--delete-where PRED] [--no-insert] [--update-where PRED] [--insert-where PRED] [--commit-id ID]"),
     "cdc-fsck": ("Checks table integrity: manifests, file references, live-row arithmetic, markers, schema ids; --deep audits parquet footers distributed", "Usage: table2qb cdc-fsck --table DIR [--deep]"),
     "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS | --zorder COLS] [--max-records-per-file N] [--purge-below-seq N] [--min-delete-ratio R]"),
     "cdc-rebucket": ("Re-hashes the table into a new bucket count (bucket evolution; one distributed rewrite)", "Usage: table2qb cdc-rebucket --table DIR --buckets N [--sort-by COLS] [--max-records-per-file N]"),
@@ -1044,6 +1045,51 @@ def cmd_cdc_update(args) -> int:
     return 0
 
 
+def cmd_cdc_merge_into(args) -> int:
+    """Generic MERGE INTO (lake/dml.py): source rows joined on the table's
+    key columns; per-clause intent instead of a CDC op/seq envelope. COW —
+    only source-touched buckets rewrite."""
+    from pyspark.errors import AnalysisException
+
+    from table2qb_spark.lake.dml import merge_into
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    assignments = {}
+    for part in args.update or []:
+        part = part.strip()
+        if part:
+            if "=" not in part:
+                print(f"error: expected col=EXPR, got {part!r}", file=sys.stderr)
+                return 1
+            c, e = part.split("=", 1)
+            assignments[c.strip()] = e.strip()
+    update = "*" if args.update_all else (assignments or None)
+    delete = args.delete_where
+    if delete and delete.strip().lower() == "true":
+        delete = True
+    spark = get_spark("cdc-merge-into")
+    source = getattr(spark.read, args.source_format)(args.source)
+    t = LakeTable(spark, args.table)
+    cid = args.commit_id or f"merge-{t.current_snapshot_id()}"
+    try:
+        result = merge_into(
+            t,
+            source,
+            cid,
+            when_matched_update=update,
+            when_matched_delete=delete or False,
+            when_not_matched_insert=not args.no_insert,
+            update_condition=args.update_where,
+            insert_condition=args.insert_where,
+        )
+    except (ValueError, AnalysisException) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(result, indent=2))
+    return 0
+
+
 def cmd_cdc_schema(args) -> int:
     """Schema-evolution audit: the table's current column set and, with
     --history, every schema version with per-column lineage — columns are
@@ -1608,6 +1654,33 @@ def build_parser() -> argparse.ArgumentParser:
                         "row's columns)")
     c.add_argument("--commit-id", help="idempotency key (replay-safe)")
     c.set_defaults(fn=cmd_cdc_update)
+
+    c = sub.add_parser("cdc-merge-into")
+    c.add_argument("--table", required=True)
+    c.add_argument("--source", required=True,
+                   help="path to the source rows (joined on the table's "
+                        "key columns)")
+    c.add_argument("--source-format", default="parquet",
+                   choices=["parquet", "json", "csv"])
+    g = c.add_mutually_exclusive_group()
+    g.add_argument("--update", action="append",
+                   help="WHEN MATCHED THEN UPDATE col=EXPR (repeatable; "
+                        "source columns are src_<name> in EXPR)")
+    g.add_argument("--update-all", action="store_true",
+                   help="WHEN MATCHED set every non-key column from the "
+                        "source's same-named column")
+    c.add_argument("--delete-where",
+                   help="WHEN MATCHED AND <pred> THEN DELETE (evaluated "
+                        "before the update clause); 'true' deletes every "
+                        "matched row")
+    c.add_argument("--no-insert", action="store_true",
+                   help="drop unmatched source rows instead of inserting")
+    c.add_argument("--update-where",
+                   help="extra condition on the update clause")
+    c.add_argument("--insert-where",
+                   help="extra condition on the insert clause")
+    c.add_argument("--commit-id", help="idempotency key (replay-safe)")
+    c.set_defaults(fn=cmd_cdc_merge_into)
 
     c = sub.add_parser("cdc-hotkeys")
     c.add_argument("--events", required=True)

@@ -8,7 +8,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from table2qb_spark.lake.dml import delete_where, update_where
+from table2qb_spark.lake.dml import delete_where, merge_into, update_where
 from table2qb_spark.lake.fsck import fsck
 from table2qb_spark.lake.table import LakeTable, key_bucket_expr
 
@@ -193,6 +193,111 @@ class TestUpdate:
         assert r2.get("skipped")
 
 
+def _merge_source(spark):
+    """44 source rows against the fixture's ids 0..499: ids 0,3,...,99
+    match existing rows (34 matched, 7 of them php), ids 500..509 match
+    nothing (the insert set)."""
+    return spark.range(0, 510).where(
+        ((F.col("id") % 3 == 0) & (F.col("id") < 100)) | (F.col("id") >= 500)
+    ).select(
+        F.concat(F.lit("r"), (F.col("id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.col("id").cast("string")).alias("path"),
+        F.lit("go").alias("lang"),
+        (F.col("id") * 10).alias("stars"),
+        F.lit("new").alias("content"),
+    )
+
+
+class TestMergeInto:
+    # matched ids: 0,3,...,99 -> 34; php among them: id%15==0 -> 7
+    N_MATCHED, N_PHP_MATCHED, N_INSERT = 34, 7, 10
+
+    def test_three_clause_merge(self, table, spark):
+        r = merge_into(
+            table,
+            _merge_source(spark),
+            "m1",
+            when_matched_update={"stars": "src_stars"},
+            when_matched_delete="lang = 'php'",
+            when_not_matched_insert=True,
+        )
+        assert r["deleted_rows"] == self.N_PHP_MATCHED
+        assert r["updated_rows"] == self.N_MATCHED - self.N_PHP_MATCHED
+        assert r["inserted_rows"] == self.N_INSERT
+        got = table.read()
+        assert got.count() == N - self.N_PHP_MATCHED + self.N_INSERT
+        assert got.where(F.col("path") == "f3").collect()[0]["stars"] == 30
+        assert got.where(F.col("path") == "f15").count() == 0  # php, deleted
+        assert got.where(F.col("lang") == "go").count() == self.N_INSERT
+        assert fsck(table, deep=True)["ok"]
+
+    def test_update_all_star(self, table, spark):
+        merge_into(
+            table,
+            _merge_source(spark),
+            "m1",
+            when_matched_update="*",
+            when_not_matched_insert=False,
+        )
+        got = table.read()
+        assert got.count() == N  # no inserts, no deletes
+        row = got.where(F.col("path") == "f6").collect()[0]
+        assert row["lang"] == "go" and row["stars"] == 60
+        # unmatched rows carried verbatim
+        assert got.where(F.col("path") == "f202").collect()[0]["lang"] == "py"
+
+    def test_update_condition_gates(self, table, spark):
+        r = merge_into(
+            table,
+            _merge_source(spark),
+            "m1",
+            when_matched_update={"stars": "src_stars"},
+            when_not_matched_insert=False,
+            update_condition="src_stars > stars",  # 10x vs 3x: all but id=0
+        )
+        assert r["updated_rows"] == self.N_MATCHED - 1  # id=0: 0 !> 0
+        assert r["inserted_rows"] == 0
+
+    def test_duplicate_source_keys_raise(self, table, spark):
+        dup = _merge_source(spark).unionAll(_merge_source(spark).limit(1))
+        with pytest.raises(ValueError, match="key-unique"):
+            merge_into(table, dup, "m1", when_matched_update="*")
+
+    def test_key_column_update_rejected(self, table, spark):
+        with pytest.raises(ValueError, match="key column"):
+            merge_into(
+                table, _merge_source(spark), "m1",
+                when_matched_update={"repo": "'x'"},
+            )
+
+    def test_no_clauses_rejected(self, table, spark):
+        with pytest.raises(ValueError, match="no-op"):
+            merge_into(
+                table, _merge_source(spark), "m1",
+                when_not_matched_insert=False,
+            )
+
+    def test_idempotent_replay(self, table, spark):
+        merge_into(table, _merge_source(spark), "m1", when_matched_update="*")
+        r2 = merge_into(table, _merge_source(spark), "m1",
+                        when_matched_update="*")
+        assert r2.get("skipped")
+
+    def test_insert_fills_missing_source_columns_null(self, table, spark):
+        src = _merge_source(spark).drop("content").where(
+            F.col("path") == "f500"
+        )
+        merge_into(table, src, "m1", when_not_matched_insert=True)
+        row = table.read().where(F.col("path") == "f500").collect()[0]
+        assert row["content"] is None and row["stars"] == 5000
+
+    def test_time_travel_sees_premerge(self, table, spark):
+        pre = table.snapshot().snapshot_id
+        merge_into(table, _merge_source(spark), "m1", when_matched_delete=True)
+        assert table.read().count() == N - self.N_MATCHED + self.N_INSERT
+        assert table.read(snapshot_id=pre).count() == N
+
+
 class TestCLI:
     def test_cdc_delete_positional(self, table, capsys):
         from table2qb_spark.main import main
@@ -206,6 +311,27 @@ class TestCLI:
         out = json.loads(capsys.readouterr().out)
         assert out["deleted_rows"] == N_PHP and out["strategy"] == "positional"
         assert table.read().count() == N - N_PHP
+
+    def test_cdc_merge_into(self, table, spark, tmp_path, capsys):
+        from table2qb_spark.main import main
+
+        src_path = str(tmp_path / "src")
+        _merge_source(spark).write.parquet(src_path)
+        rc = main([
+            "cdc-merge-into", "--table", table.path,
+            "--source", src_path,
+            "--update-all",
+            "--delete-where", "lang = 'php'",
+            "--commit-id", "cli-m1",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["deleted_rows"] == TestMergeInto.N_PHP_MATCHED
+        assert out["inserted_rows"] == TestMergeInto.N_INSERT
+        assert (
+            table.read().count()
+            == N - TestMergeInto.N_PHP_MATCHED + TestMergeInto.N_INSERT
+        )
 
     def test_cdc_update(self, table, capsys):
         from table2qb_spark.main import main
