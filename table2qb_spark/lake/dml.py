@@ -103,16 +103,88 @@ def delete_where(
     where: str,
     commit_id: str,
     strategy: str = "cow",
+    positional_max_fraction: float = 0.10,
+    dry_run: bool = False,
 ) -> dict:
     """DELETE FROM table WHERE <predicate>. See module docstring for the
     strategy trade-off. Returns {"deleted_rows", "strategy", "buckets",
-    "snapshot", "seconds"} (or {"skipped": True} on commit replay)."""
-    if strategy not in ("cow", "positional"):
+    "snapshot", "seconds"} (or {"skipped": True} on commit replay).
+
+    ``strategy="auto"`` measures instead of guessing: one stats/bloom-pruned
+    counting pass (the same scan COW needs anyway to find its buckets)
+    yields matched rows per bucket; the touched buckets' LIVE row counts
+    come free from the manifest pointers (no scan). Matched fraction <=
+    ``positional_max_fraction`` → position deletes (O(matched) write);
+    above → COW (rewriting most of the bucket anyway, so take the mask-free
+    reads). At 100 TB this is the difference between appending kilobytes
+    and rewriting gigabytes — or between a clean read path and a permanent
+    anti-join — decided from data, per statement.
+
+    ``dry_run=True`` runs only the counting pass and reports what WOULD
+    happen — {"dry_run", "matched_rows", "buckets", "strategy" (resolved
+    for auto), "auto_matched_fraction"} — without writing or committing
+    anything; the commit_id stays unconsumed."""
+    if strategy not in ("cow", "positional", "auto"):
         raise ValueError(f"unknown delete strategy {strategy!r}")
     if table.has_commit(commit_id):
         return {"skipped": True, "commit_id": commit_id}
     t0 = time.time()
     snap = table.snapshot()
+
+    if dry_run:
+        matched, _ = _matched(table, where, with_pos=False)
+        per_bucket = matched.groupBy("__bucket").count().collect()
+        n_matched = sum(int(r["count"]) for r in per_bucket)
+        buckets = sorted(int(r["__bucket"]) for r in per_bucket)
+        resolved, fraction = strategy, None
+        if strategy == "auto" and buckets:
+            ptrs = snap.manifest_pointers or {}
+            live_rows = sum(
+                int(ptrs.get(str(b), {}).get("rows", 0)) for b in buckets
+            )
+            fraction = (n_matched / live_rows) if live_rows else 1.0
+            resolved = (
+                "positional"
+                if fraction <= positional_max_fraction
+                else "cow"
+            )
+        out = {
+            "dry_run": True,
+            "matched_rows": n_matched,
+            "buckets": buckets,
+            "strategy": resolved,
+            "snapshot": snap.snapshot_id,
+            "seconds": round(time.time() - t0, 3),
+        }
+        if fraction is not None:
+            out["auto_matched_fraction"] = round(fraction, 6)
+        return out
+
+    touched = None  # auto precomputes; explicit strategies scan themselves
+    fraction = None
+    if strategy == "auto":
+        matched, pred = _matched(table, where, with_pos=False)
+        per_bucket = matched.groupBy("__bucket").count().collect()
+        touched = sorted(int(r["__bucket"]) for r in per_bucket)
+        if not touched:
+            return {
+                "deleted_rows": 0,
+                "strategy": strategy,
+                "buckets": [],
+                "snapshot": snap.snapshot_id,
+                "seconds": round(time.time() - t0, 3),
+            }
+        n_matched = sum(int(r["count"]) for r in per_bucket)
+        ptrs = snap.manifest_pointers or {}
+        live_rows = sum(
+            int(ptrs.get(str(b), {}).get("rows", 0)) for b in touched
+        )
+        # pointer rows are live-row arithmetic (data - delete masks); a
+        # legacy table without pointers conservatively takes COW
+        fraction = (n_matched / live_rows) if live_rows else 1.0
+        strategy = (
+            "positional" if fraction <= positional_max_fraction else "cow"
+        )
 
     if strategy == "positional":
         hits = _matched(table, where, with_pos=True)[0].select(
@@ -138,22 +210,27 @@ def delete_where(
             base_snapshot_id=snap.snapshot_id,
             appended_pos_deletes=pos_files,
         )
-        return {
+        out = {
             "deleted_rows": n,
             "strategy": strategy,
             "buckets": sorted(pos_files),
             "snapshot": new_snap.snapshot_id,
             "seconds": round(time.time() - t0, 3),
         }
+        if fraction is not None:
+            out["auto_matched_fraction"] = round(fraction, 6)
+        return out
 
-    # copy-on-write: find touched buckets (one pruned scan), rewrite only
-    # those buckets with the survivors (which also folds any MOR debt the
-    # rewritten buckets carried — commit_files clears their delete files)
-    matched, pred = _matched(table, where, with_pos=False)
-    touched = [
-        int(r["__bucket"])
-        for r in matched.select("__bucket").distinct().collect()
-    ]
+    # copy-on-write: find touched buckets (one pruned scan — reused from
+    # the auto probe when it ran), rewrite only those buckets with the
+    # survivors (which also folds any MOR debt the rewritten buckets
+    # carried — commit_files clears their delete files)
+    if touched is None:
+        matched, pred = _matched(table, where, with_pos=False)
+        touched = [
+            int(r["__bucket"])
+            for r in matched.select("__bucket").distinct().collect()
+        ]
     if not touched:
         return {
             "deleted_rows": 0,
@@ -172,13 +249,16 @@ def delete_where(
         commit_id, touched, new_files, base_snapshot_id=snap.snapshot_id
     )
     after = sum(int(e["rows"]) for ents in new_files.values() for e in ents)
-    return {
+    out = {
         "deleted_rows": before - after,
         "strategy": strategy,
         "buckets": sorted(touched),
         "snapshot": new_snap.snapshot_id,
         "seconds": round(time.time() - t0, 3),
     }
+    if fraction is not None:
+        out["auto_matched_fraction"] = round(fraction, 6)
+    return out
 
 
 def update_where(
@@ -186,13 +266,27 @@ def update_where(
     where: str,
     assignments: dict[str, str],
     commit_id: str,
+    strategy: str = "cow",
+    dry_run: bool = False,
 ) -> dict:
-    """UPDATE table SET col = <expr>, ... WHERE <predicate> — copy-on-write:
-    only buckets containing matching rows are rewritten, matching rows get
-    the assignment expressions (arbitrary Spark SQL over the row's columns),
-    everything else is carried byte-identical. Key columns are immutable
-    (an update that moves a row's bucket is a delete+insert — route it
-    through the CDC merge, which owns key identity)."""
+    """UPDATE table SET col = <expr>, ... WHERE <predicate>.
+
+    ``strategy="cow"`` (default): only buckets containing matching rows are
+    rewritten, matching rows get the assignment expressions (arbitrary
+    Spark SQL over the row's columns), everything else is carried
+    byte-identical. ``strategy="mor"`` is Iceberg v2's merge-on-read update
+    re-expressed: the matched rows' (file, ordinal) identities land in
+    position-delete files masking the OLD copies, and the rewritten rows
+    append as new data files — write cost O(matched rows), not O(touched
+    buckets); reads pay the anti-join mask until ``compact()`` folds it.
+    The right shape when a predicate touches kilobytes of a 100 TB table.
+    New files can never self-mask (position deletes name the old files).
+
+    Key columns are immutable under both strategies (an update that moves
+    a row's bucket is a delete+insert — route it through the CDC merge,
+    which owns key identity)."""
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"unknown update strategy {strategy!r}")
     if table.has_commit(commit_id):
         return {"skipped": True, "commit_id": commit_id}
     t0 = time.time()
@@ -208,6 +302,65 @@ def update_where(
     if unknown:
         raise ValueError(f"Unknown column(s) in SET: {sorted(unknown)}")
 
+    if dry_run:
+        matched = _matched(table, where, with_pos=False)[0]
+        per_bucket = matched.groupBy("__bucket").count().collect()
+        return {
+            "dry_run": True,
+            "matched_rows": sum(int(r["count"]) for r in per_bucket),
+            "buckets": sorted(int(r["__bucket"]) for r in per_bucket),
+            "strategy": strategy,
+            "snapshot": snap.snapshot_id,
+            "seconds": round(time.time() - t0, 3),
+        }
+
+    if strategy == "mor":
+        hint = f"u{snap.snapshot_id + 1:07d}"
+        matched = _matched(table, where, with_pos=True)[0].persist()
+        try:
+            pos_files = table.write_pos_delete_files(
+                matched.select(
+                    F.col("__file").alias("_file"),
+                    F.col("__pos").alias("_pos"),
+                    "__bucket",
+                ),
+                hint,
+            )
+            if not pos_files:
+                return {
+                    "updated_rows": 0,
+                    "strategy": strategy,
+                    "buckets": [],
+                    "snapshot": snap.snapshot_id,
+                    "seconds": round(time.time() - t0, 3),
+                }
+            updated = matched.drop("__file", "__pos")
+            for col, expr in assignments.items():
+                ty = next(
+                    c["type"] for c in snap.current_schema() if c["name"] == col
+                )
+                updated = updated.withColumn(col, F.expr(expr).cast(ty))
+            data_files = table.write_data_files(updated, hint)
+            buckets = sorted(set(pos_files) | set(data_files))
+            new_snap = table.commit_appends(
+                commit_id,
+                buckets,
+                data_files,
+                {},
+                base_snapshot_id=snap.snapshot_id,
+                appended_pos_deletes=pos_files,
+            )
+        finally:
+            matched.unpersist()
+        n = sum(int(e["rows"]) for ents in pos_files.values() for e in ents)
+        return {
+            "updated_rows": n,
+            "strategy": strategy,
+            "buckets": buckets,
+            "snapshot": new_snap.snapshot_id,
+            "seconds": round(time.time() - t0, 3),
+        }
+
     matched, pred = _matched(table, where, with_pos=False)
     touched = [
         int(r["__bucket"])
@@ -216,6 +369,7 @@ def update_where(
     if not touched:
         return {
             "updated_rows": 0,
+            "strategy": strategy,
             "buckets": [],
             "snapshot": snap.snapshot_id,
             "seconds": round(time.time() - t0, 3),
@@ -236,6 +390,7 @@ def update_where(
     )
     return {
         "updated_rows": n_updated,
+        "strategy": strategy,
         "buckets": sorted(touched),
         "snapshot": new_snap.snapshot_id,
         "seconds": round(time.time() - t0, 3),
@@ -254,6 +409,7 @@ def merge_into(
     when_not_matched_insert: "bool | dict[str, str]" = True,
     update_condition: str | None = None,
     insert_condition: str | None = None,
+    count_actions: bool = True,
 ) -> dict:
     """MERGE INTO table USING source ON <key equality>, copy-on-write.
 
@@ -283,6 +439,13 @@ def merge_into(
     join row order, so they raise (same contract as Delta/Iceberg MERGE
     cardinality errors). Commit contract identical to delete/update:
     idempotent by commit_id, snapshot-isolated, time-travelable.
+
+    Per-action counts cost one extra aggregate over the merge result, which
+    is persisted (memory-and-disk) so the join computes once for count +
+    write. When the touched buckets dwarf executor storage — a wide backfill
+    on the 100 TB table — pass ``count_actions=False``: the merge runs as
+    ONE unpersisted pass straight into the bucket writer and the returned
+    counts are None (the commit's row deltas still land in the manifests).
     """
     if table.has_commit(commit_id):
         return {"skipped": True, "commit_id": commit_id}
@@ -337,31 +500,27 @@ def merge_into(
         F.lit(True).alias("__src"),
     )
 
-    # cardinality gate: one map-side-combined agg over the source only
-    dup = (
-        src.groupBy(*keys)
+    # ONE pass over the source answers both pre-flight questions: the
+    # cardinality gate (key-unique? else MERGE would depend on join order —
+    # Delta/Iceberg raise here too) and the touched-bucket set (matches
+    # rewrite their bucket; inserts land in theirs). Per-key counts reduce
+    # to one row per bucket (max count + bucket id), so the driver receives
+    # at most n_buckets rows.
+    pre = (
+        src.groupBy(
+            key_bucket_expr(keys, snap.n_buckets).alias("b"), *keys
+        )
         .count()
-        .where(F.col("count") > 1)
-        .limit(1)
+        .groupBy("b")
+        .agg(F.max("count").alias("max_per_key"))
         .collect()
     )
-    if dup:
-        kv = {k: dup[0][k] for k in keys}
+    if any(r["max_per_key"] > 1 for r in pre):
         raise ValueError(
-            f"source is not key-unique (e.g. {kv}): MERGE result would "
-            "depend on join order — dedupe the source first"
+            "source is not key-unique: MERGE result would depend on join "
+            "order — dedupe the source first"
         )
-
-    # touched buckets come from the SOURCE side (matches rewrite their
-    # bucket; inserts land in theirs) — bounded by n_buckets, driver-safe
-    touched = sorted(
-        int(r["b"])
-        for r in src.select(
-            key_bucket_expr(keys, snap.n_buckets).alias("b")
-        )
-        .distinct()
-        .collect()
-    )
+    touched = sorted(int(r["b"]) for r in pre)
     if not touched:
         return {
             "inserted_rows": 0,
@@ -423,13 +582,19 @@ def merge_into(
         upd_hit.alias("__upd"),
         ins_hit.alias("__ins"),
         F.coalesce("__tgt", F.lit(False)).alias("__tgt"),
-    ).persist()
+    )
+    if count_actions:
+        flagged = flagged.persist()
     try:
-        stats = flagged.agg(
-            F.sum(F.col("__del").cast("long")).alias("d"),
-            F.sum(F.col("__upd").cast("long")).alias("u"),
-            F.sum(F.col("__ins").cast("long")).alias("i"),
-        ).collect()[0]
+        stats = (
+            flagged.agg(
+                F.sum(F.col("__del").cast("long")).alias("d"),
+                F.sum(F.col("__upd").cast("long")).alias("u"),
+                F.sum(F.col("__ins").cast("long")).alias("i"),
+            ).collect()[0]
+            if count_actions
+            else None
+        )
         survivors = (
             flagged.where(~F.col("__del") & (F.col("__tgt") | F.col("__ins")))
             .drop("__del", "__upd", "__ins", "__tgt")
@@ -441,11 +606,12 @@ def merge_into(
             commit_id, touched, new_files, base_snapshot_id=snap.snapshot_id
         )
     finally:
-        flagged.unpersist()
+        if count_actions:
+            flagged.unpersist()
     return {
-        "inserted_rows": int(stats["i"] or 0),
-        "updated_rows": int(stats["u"] or 0),
-        "deleted_rows": int(stats["d"] or 0),
+        "inserted_rows": int(stats["i"] or 0) if stats is not None else None,
+        "updated_rows": int(stats["u"] or 0) if stats is not None else None,
+        "deleted_rows": int(stats["d"] or 0) if stats is not None else None,
         "buckets": touched,
         "snapshot": new_snap.snapshot_id,
         "seconds": round(time.time() - t0, 3),

@@ -208,8 +208,8 @@ TASK_DESCRIPTIONS = {
     "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
     "cdc-schema": ("Prints the table schema; --history adds version-by-version column lineage", "Usage: table2qb cdc-schema --table DIR [--history]"),
     "cdc-alter": ("Explicit schema DDL: add/rename/drop columns, widen types (metadata-only commit)", "Usage: table2qb cdc-alter --table DIR [--add n:t,...] [--rename a=b,...] [--drop a,b] [--widen n=long,...]"),
-    "cdc-delete": ("Row-level DELETE by predicate: copy-on-write bucket rewrite or Iceberg-v2-style position-delete files", "Usage: table2qb cdc-delete --table DIR --where PRED [--strategy cow|positional] [--commit-id ID]"),
-    "cdc-update": ("Row-level UPDATE by predicate (copy-on-write; key columns immutable)", "Usage: table2qb cdc-update --table DIR --where PRED --set col=EXPR [--set col=EXPR ...] [--commit-id ID]"),
+    "cdc-delete": ("Row-level DELETE by predicate: copy-on-write bucket rewrite, Iceberg-v2-style position-delete files, or auto (measured matched-fraction choice)", "Usage: table2qb cdc-delete --table DIR --where PRED [--strategy cow|positional|auto] [--positional-max-fraction R] [--dry-run] [--commit-id ID]"),
+    "cdc-update": ("Row-level UPDATE by predicate: copy-on-write bucket rewrite or merge-on-read (position-delete old copies + append rewritten rows); key columns immutable", "Usage: table2qb cdc-update --table DIR --where PRED --set col=EXPR [--set col=EXPR ...] [--strategy cow|mor] [--dry-run] [--commit-id ID]"),
     "cdc-merge-into": ("SQL MERGE: join a source on the key columns; WHEN MATCHED update/delete, WHEN NOT MATCHED insert (copy-on-write, touched buckets only)", "Usage: table2qb cdc-merge-into --table DIR --source PATH [--update col=EXPR ... | --update-all] [--delete-where PRED] [--no-insert] [--update-where PRED] [--insert-where PRED] [--commit-id ID]"),
     "cdc-fsck": ("Checks table integrity: manifests, file references, live-row arithmetic, markers, schema ids; --deep audits parquet footers distributed", "Usage: table2qb cdc-fsck --table DIR [--deep]"),
     "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS | --zorder COLS] [--max-records-per-file N] [--purge-below-seq N] [--min-delete-ratio R]"),
@@ -1000,7 +1000,11 @@ def cmd_cdc_delete(args) -> int:
     t = LakeTable(spark, args.table)
     cid = args.commit_id or f"delete-{t.current_snapshot_id()}"
     try:
-        result = delete_where(t, args.where, cid, strategy=args.strategy)
+        result = delete_where(
+            t, args.where, cid, strategy=args.strategy,
+            positional_max_fraction=args.positional_max_fraction,
+            dry_run=args.dry_run,
+        )
     except (ValueError, AnalysisException) as e:
         # AnalysisException: the predicate references a column the table
         # doesn't have, or isn't valid Spark SQL — a user error, not a bug
@@ -1037,7 +1041,10 @@ def cmd_cdc_update(args) -> int:
     t = LakeTable(spark, args.table)
     cid = args.commit_id or f"update-{t.current_snapshot_id()}"
     try:
-        result = update_where(t, args.where, assignments, cid)
+        result = update_where(
+            t, args.where, assignments, cid,
+            strategy=args.strategy, dry_run=args.dry_run,
+        )
     except (ValueError, AnalysisException) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -1640,9 +1647,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--where", required=True,
                    help="predicate: simple conjunction (repo=alpha,seq>=9) "
                         "gets file skipping; anything else is Spark SQL")
-    c.add_argument("--strategy", choices=["cow", "positional"], default="cow",
+    c.add_argument("--strategy", choices=["cow", "positional", "auto"],
+                   default="cow",
                    help="cow rewrites touched buckets; positional appends "
-                        "position-delete files (no data rewrite)")
+                        "position-delete files (no data rewrite); auto "
+                        "measures the matched fraction (one pruned count "
+                        "vs manifest live rows) and picks per statement")
+    c.add_argument("--positional-max-fraction", type=float, default=0.10,
+                   help="auto threshold: matched/live fraction at or below "
+                        "this appends position deletes, above rewrites COW "
+                        "(default 0.10)")
+    c.add_argument("--dry-run", action="store_true",
+                   help="report matched rows / buckets / resolved strategy "
+                        "without writing or committing")
     c.add_argument("--commit-id", help="idempotency key (replay-safe)")
     c.set_defaults(fn=cmd_cdc_delete)
 
@@ -1652,6 +1669,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--set", action="append",
                    help="col=EXPR (repeatable; EXPR is Spark SQL over the "
                         "row's columns)")
+    c.add_argument("--strategy", choices=["cow", "mor"], default="cow",
+                   help="cow rewrites touched buckets; mor appends "
+                        "position-deletes for the old copies + the "
+                        "rewritten rows as new files (O(matched) writes)")
+    c.add_argument("--dry-run", action="store_true",
+                   help="report matched rows / buckets without writing "
+                        "or committing")
     c.add_argument("--commit-id", help="idempotency key (replay-safe)")
     c.set_defaults(fn=cmd_cdc_update)
 

@@ -160,6 +160,56 @@ class TestDeletePositional:
         assert fsck(t, deep=True)["ok"]
 
 
+class TestDeleteAuto:
+    def test_narrow_delete_goes_positional(self, table):
+        # one row out of 500 — far under the 10% default
+        r = delete_where(table, "path = 'f3'", "d1", strategy="auto")
+        assert r["strategy"] == "positional"
+        assert r["deleted_rows"] == 1
+        assert 0 < r["auto_matched_fraction"] < 0.10
+        assert table.read().count() == N - 1
+
+    def test_wide_delete_goes_cow(self, table):
+        # lang=py is 80% of the table — COW rewrites, no mask debt
+        r = delete_where(table, "lang=py", "d1", strategy="auto")
+        assert r["strategy"] == "cow"
+        assert r["deleted_rows"] == N - N_PHP
+        assert r["auto_matched_fraction"] > 0.10
+        assert table.read().count() == N_PHP
+        # COW left no position-delete files behind
+        assert fsck(table)["checked"]["pos_delete_files"] == 0
+
+    def test_threshold_is_tunable(self, table):
+        r = delete_where(
+            table, "lang=php", "d1",
+            strategy="auto", positional_max_fraction=0.5,
+        )
+        assert r["strategy"] == "positional"  # 20% <= 50%
+        assert r["deleted_rows"] == N_PHP
+
+    def test_auto_no_match_no_commit(self, table):
+        before = table.snapshot().snapshot_id
+        r = delete_where(table, "lang=rust", "d1", strategy="auto")
+        assert r["deleted_rows"] == 0
+        assert table.snapshot().snapshot_id == before
+
+    def test_dry_run_resolves_without_committing(self, table):
+        r = delete_where(table, "path = 'f3'", "d1", strategy="auto",
+                         dry_run=True)
+        assert r["dry_run"] and r["matched_rows"] == 1
+        assert r["strategy"] == "positional"
+        assert table.read().count() == N  # nothing happened
+        # the commit_id was NOT consumed: the real statement still applies
+        r2 = delete_where(table, "path = 'f3'", "d1")
+        assert r2["deleted_rows"] == 1
+
+    def test_update_dry_run(self, table):
+        r = update_where(table, "lang=php", {"stars": "0"}, "u1",
+                         dry_run=True)
+        assert r["dry_run"] and r["matched_rows"] == N_PHP
+        assert table.read().where(F.col("stars") == 0).count() <= 1
+
+
 class TestUpdate:
     def test_update_simple(self, table):
         r = update_where(table, "lang=php", {"lang": "'hack'"}, "u1")
@@ -191,6 +241,67 @@ class TestUpdate:
         update_where(table, "lang=php", {"stars": "stars + 1"}, "u1")
         r2 = update_where(table, "lang=php", {"stars": "stars + 1"}, "u1")
         assert r2.get("skipped")
+
+
+class TestUpdateMOR:
+    def test_mor_update_values_and_masks(self, table):
+        r = update_where(
+            table, "path = 'f3'", {"stars": "stars * 100"}, "u1",
+            strategy="mor",
+        )
+        assert r["strategy"] == "mor" and r["updated_rows"] == 1
+        got = table.read()
+        assert got.count() == N  # old copy masked, new appended
+        assert got.where(F.col("path") == "f3").collect()[0]["stars"] == 900
+        assert fsck(table, deep=True)["ok"]
+
+    def test_mor_appends_no_bucket_rewrite(self, table):
+        """O(matched) shape: every pre-update data file survives verbatim;
+        the commit only ADDS files (new rows + position deletes)."""
+        pre = table.snapshot()
+        pre_paths = {
+            e["path"] for b in pre.files for e in pre.files[b]
+        }
+        update_where(table, "lang=php", {"stars": "0"}, "u1", strategy="mor")
+        post = table.snapshot()
+        post_paths = {
+            e["path"] for b in post.files for e in post.files[b]
+        }
+        assert pre_paths <= post_paths
+        checked = fsck(table)["checked"]
+        assert checked["pos_delete_files"] > 0
+
+    def test_mor_update_twice_masks_once_each(self, table):
+        update_where(table, "path = 'f3'", {"stars": "stars + 1"}, "u1",
+                     strategy="mor")
+        update_where(table, "path = 'f3'", {"stars": "stars + 1"}, "u2",
+                     strategy="mor")
+        got = table.read()
+        assert got.count() == N
+        assert got.where(F.col("path") == "f3").collect()[0]["stars"] == 11
+        assert fsck(table, deep=True)["ok"]
+
+    def test_compact_folds_mor_update_debt(self, table):
+        update_where(table, "lang=php", {"stars": "-1"}, "u1", strategy="mor")
+        from table2qb_spark.lake.compact import compact
+
+        out = compact(table)
+        assert not out.get("skipped")
+        # the CURRENT snapshot's mask is folded away (historical snapshots
+        # keep theirs for time travel — fsck counts those too)
+        snap = table.snapshot()
+        assert not any(snap.pos_delete_files(b) for b in snap.files)
+        assert fsck(table, deep=True)["ok"]
+        got = table.read()
+        assert got.count() == N
+        assert got.where(F.col("stars") == -1).count() == N_PHP
+
+    def test_mor_time_travel(self, table):
+        pre = table.snapshot().snapshot_id
+        update_where(table, "path = 'f3'", {"stars": "0"}, "u1",
+                     strategy="mor")
+        old = table.read(snapshot_id=pre).where(F.col("path") == "f3")
+        assert old.collect()[0]["stars"] == 9
 
 
 def _merge_source(spark):
@@ -290,6 +401,31 @@ class TestMergeInto:
         merge_into(table, src, "m1", when_not_matched_insert=True)
         row = table.read().where(F.col("path") == "f500").collect()[0]
         assert row["content"] is None and row["stars"] == 5000
+
+    def test_untouched_buckets_not_rewritten(self, table, spark):
+        """Scale shape: a merge whose source hits ONE bucket must leave
+        every other bucket's manifest pointers identical — the rewrite is
+        O(touched buckets), not O(table)."""
+        src = _merge_source(spark).limit(1)
+        pre = table.snapshot()
+        pre_files = {b: pre.files[b] for b in pre.files}
+        r = merge_into(table, src, "m1", when_matched_update="*")
+        assert len(r["buckets"]) == 1
+        post = table.snapshot()
+        for b in pre_files:
+            if int(b) not in r["buckets"]:
+                assert post.files[b] == pre_files[b]
+
+    def test_count_actions_off_single_pass(self, table, spark):
+        r = merge_into(
+            table, _merge_source(spark), "m1",
+            when_matched_update="*", count_actions=False,
+        )
+        assert r["updated_rows"] is None and r["inserted_rows"] is None
+        got = table.read()
+        assert got.count() == N + self.N_INSERT
+        assert got.where(F.col("path") == "f6").collect()[0]["stars"] == 60
+        assert fsck(table, deep=True)["ok"]
 
     def test_time_travel_sees_premerge(self, table, spark):
         pre = table.snapshot().snapshot_id
