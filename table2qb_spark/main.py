@@ -200,6 +200,7 @@ TASK_DESCRIPTIONS = {
     "cdc-init": ("Creates a lake table", "Usage: table2qb cdc-init --table DIR --buckets N [--seq-guarded] [--bloom-cols a,b [--bloom-bits M] [--bloom-hashes K]]"),
     "cdc-lookup": ("Point-reads one primary key (bucket + stats/bloom pruned)", "Usage: table2qb cdc-lookup --table DIR --key repo=R,path=P [--snapshot REF]"),
     "cdc-inspect": ("Prints a metadata table: snapshots, files, refs or properties", "Usage: table2qb cdc-inspect --table DIR --what snapshots|files|refs|properties [--snapshot REF] [--limit N]"),
+    "cdc-sql": ("Runs ad-hoc Spark SQL over lake tables registered as time-travelable views (plus _files/_snapshots/_refs/_properties metadata views)", "Usage: table2qb cdc-sql --table name=DIR[@REF] [--table ...] --query SQL [--where name=PRED] [--limit N] [--output PATH [--output-format parquet|csv|jsonl]] [--explain]"),
     "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR [--dlq DIR] [--merge-on-read] [--stage]"),
     "cdc-publish": ("Publishes a staged snapshot (write-audit-publish)", "Usage: table2qb cdc-publish --table DIR [--snapshot N]"),
     "cdc-discard": ("Discards a staged snapshot without publishing", "Usage: table2qb cdc-discard --table DIR --snapshot N"),
@@ -771,6 +772,64 @@ def cmd_cdc_inspect(args) -> int:
         print(f"error: unknown metadata table {what}", file=sys.stderr)
         return 1
     df.show(n=args.limit, truncate=False)
+    return 0
+
+
+def cmd_cdc_sql(args) -> int:
+    """Ad-hoc Spark SQL over lake tables (lake/sql.py): each --table
+    name=DIR[@REF] registers a masked time-travelable read as view `name`
+    plus name_files/name_snapshots/name_refs/name_properties metadata
+    views; the query runs with full Catalyst pushdown through the views.
+    --where name=PRED adds manifest-level file skipping to a view's scan
+    (same grammar as cdc-export --where; results unaffected, only dead
+    I/O). Default output: JSON lines to stdout, capped at --limit;
+    --output writes the FULL result distributed (parquet/csv/jsonl);
+    --explain prints the physical plan instead of executing."""
+    from pyspark.errors import AnalysisException
+
+    from table2qb_spark.lake.sql import register_lake_views
+
+    spark = get_spark("cdc-sql")
+    where = {}
+    for w in args.where or []:
+        name, eq, pred = w.partition("=")
+        if not eq:
+            print(f"error: bad --where {w!r}: expected name=PRED",
+                  file=sys.stderr)
+            return 1
+        where[name] = pred
+    try:
+        register_lake_views(spark, args.table, where=where)
+        df = spark.sql(args.query)
+    except (ValueError, AnalysisException) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    if args.output:
+        from table2qb_spark.ops.prep import _parquet_rows
+
+        rows = None
+        if args.output_format == "parquet":
+            df.write.mode("overwrite").parquet(args.output)
+            rows = _parquet_rows(args.output)
+        elif args.output_format == "jsonl":
+            df.write.mode("overwrite").json(args.output)
+        else:
+            df.write.mode("overwrite").option("header", "true").csv(
+                args.output
+            )
+        print(json.dumps({
+            "out": args.output, "format": args.output_format, "rows": rows,
+        }))
+        return 0
+    shown = df.limit(args.limit + 1).collect()
+    for r in shown[: args.limit]:
+        print(json.dumps(r.asDict(recursive=True), default=str))
+    if len(shown) > args.limit:
+        print(f"(truncated at --limit {args.limit}; use --output for the "
+              "full result)", file=sys.stderr)
     return 0
 
 
@@ -1553,6 +1612,27 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--snapshot", help="snapshot id or tag (files only)")
     c.add_argument("--limit", type=int, default=100)
     c.set_defaults(fn=cmd_cdc_inspect)
+
+    c = sub.add_parser("cdc-sql")
+    c.add_argument("--table", action="append", required=True,
+                   metavar="NAME=DIR[@REF]",
+                   help="register lake table DIR (at snapshot/tag REF) as "
+                        "view NAME; repeatable — joins across tables are "
+                        "ordinary Spark joins")
+    c.add_argument("--query", required=True, help="Spark SQL to run")
+    c.add_argument("--where", action="append", metavar="NAME=PRED",
+                   help="manifest-level file skipping for view NAME "
+                        "(simple conjunction, e.g. t=repo=alpha,seq>=9); "
+                        "repeatable")
+    c.add_argument("--limit", type=int, default=100,
+                   help="stdout row cap (default 100); --output is uncapped")
+    c.add_argument("--output", help="write the full result here instead of "
+                                    "printing rows")
+    c.add_argument("--output-format", default="parquet",
+                   choices=["parquet", "csv", "jsonl"])
+    c.add_argument("--explain", action="store_true",
+                   help="print the physical plan instead of executing")
+    c.set_defaults(fn=cmd_cdc_sql)
 
     c = sub.add_parser("cdc-replay")
     c.add_argument("--table", required=True)
