@@ -179,11 +179,18 @@ def expire_snapshots(
 
     deleted_data = deleted_manifests = 0
     for rel in drop_data - keep_data:
+        if os.path.isabs(rel):
+            # external reference (shallow clone — lake/clone.py): the file
+            # lives in the SOURCE table's tree and is its property; a table
+            # never deletes outside its own root
+            continue
         full = os.path.join(table.path, rel)
         if os.path.exists(full):
             os.remove(full)
             deleted_data += 1
     for rel in drop_manifests - keep_manifests:
+        if os.path.isabs(rel):
+            continue  # same ownership rule (manifests are local today)
         full = os.path.join(table.path, rel)
         if os.path.exists(full):
             os.remove(full)

@@ -217,6 +217,9 @@ TASK_DESCRIPTIONS = {
     "cdc-rebucket": ("Re-hashes the table into a new bucket count (bucket evolution; one distributed rewrite)", "Usage: table2qb cdc-rebucket --table DIR --buckets N [--sort-by COLS] [--max-records-per-file N]"),
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
     "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot REF [--to-snapshot REF] [--envelope] (REF = snapshot id or tag)"),
+    "cdc-materialize": ("Incrementally-maintained materialized aggregate view: bootstrap count(*)/sum(EXPR) per group from one scan, then refresh at O(changes) cost from the snapshot envelope — cursor and state move in one atomic commit", "Usage: table2qb cdc-materialize --view DIR [--source DIR --group-by COLS --agg NAME=count(*)|NAME=sum(EXPR) ... [--buckets N]] [--full-refresh]"),
+    "cdc-clone": ("Zero-copy shallow clone: a new writable table referencing the source snapshot's data files in place (O(metadata); COW divergence; clone from a tag so source expiry cannot reclaim referenced files)", "Usage: table2qb cdc-clone --source DIR --dest DIR [--snapshot REF]"),
+    "cdc-subscribe": ("Checkpointed outbound changelog tail: bootstrap the full state as op='r' envelope rows, then emit one Debezium-envelope directory per committed snapshot, cursor-resumable (expired cursor fails loudly like a purged binlog)", "Usage: table2qb cdc-subscribe --table DIR --out DIR [--checkpoint DIR] [--from-snapshot REF] [--coalesce] [--format parquet|jsonl] [--follow [--poll-seconds S] [--max-polls K]]"),
     "cdc-rollback": ("Rolls the table back to an earlier snapshot (metadata-only; undone commits replay unless --keep-commit-markers)", "Usage: table2qb cdc-rollback --table DIR (--to-snapshot REF | --as-of TS) [--keep-commit-markers]"),
     "cdc-tag": ("Creates/deletes/lists named snapshot refs (tags pin snapshots against expiry and are accepted wherever a snapshot id is)", "Usage: table2qb cdc-tag --table DIR [--create NAME [--snapshot REF] [--force] | --delete NAME]"),
     "cdc-verify": ("Prints a distributed content digest of the table", "Usage: table2qb cdc-verify --table DIR"),
@@ -411,6 +414,93 @@ def cmd_diff(args) -> int:
                           "to": (to if to is not None
                                  else table.current_snapshot_id()),
                           "changes": counts}))
+    return 0
+
+
+def cmd_cdc_materialize(args) -> int:
+    """Incrementally-maintained materialized aggregate view
+    (lake/materialize.py): with --group-by/--agg, bootstrap a new view
+    table from one full scan; without them, refresh an existing view at
+    O(changes) cost — one coalesced envelope diff since the view's cursor,
+    per-group delta, state merge, cursor riding in the same commit."""
+    from table2qb_spark.lake.materialize import create_view, refresh_view
+
+    _require_table(args.source) if args.source else None
+    spark = get_spark("cdc-materialize")
+    try:
+        if args.group_by or args.agg:
+            if not (args.source and args.group_by and args.agg):
+                print("error: creating a view needs --source, --group-by "
+                      "and at least one --agg", file=sys.stderr)
+                return 1
+            r = create_view(
+                spark, args.source, args.view,
+                group=[g.strip() for g in args.group_by.split(",")],
+                agg_specs=args.agg, n_buckets=args.buckets,
+            )
+        else:
+            r = refresh_view(spark, args.view, full=args.full_refresh)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(r))
+    return 0
+
+
+def cmd_cdc_clone(args) -> int:
+    """Zero-copy shallow clone (lake/clone.py): new independently writable
+    table referencing the source snapshot's data files in place —
+    O(metadata), no data copied. Clone from a TAG and keep the tag alive:
+    expiring the source can delete files a clone still references (the
+    Delta/Iceberg shallow-clone caveat, documented in lake/clone.py)."""
+    from table2qb_spark.lake.clone import clone_table
+
+    _require_table(args.source)
+    spark = get_spark("cdc-clone")
+    try:
+        r = clone_table(spark, args.source, args.dest,
+                        snapshot_ref=args.snapshot)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(r))
+    return 0
+
+
+def cmd_cdc_subscribe(args) -> int:
+    """Checkpointed outbound changelog tail (lake/subscribe.py): bootstrap
+    the full state as op='r' rows on first call (unless --from-snapshot),
+    then emit one Debezium-envelope directory per committed snapshot (or
+    one coalesced diff with --coalesce), advancing the cursor after each
+    step lands — crash between data and cursor re-emits that step into the
+    same directory idempotently."""
+    from table2qb_spark.lake.subscribe import (
+        CursorExpiredError, subscribe_follow, subscribe_once,
+    )
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-subscribe")
+    table = LakeTable(spark, args.table)
+    checkpoint = args.checkpoint or os.path.join(args.out, "_checkpoint")
+    try:
+        frm = (table.resolve_ref(args.from_snapshot)
+               if args.from_snapshot is not None else None)
+        if args.follow:
+            r = subscribe_follow(
+                table, args.out, checkpoint,
+                poll_seconds=args.poll_seconds, max_polls=args.max_polls,
+                from_snapshot=frm, coalesce=args.coalesce, fmt=args.format,
+            )
+        else:
+            r = subscribe_once(
+                table, args.out, checkpoint,
+                from_snapshot=frm, coalesce=args.coalesce, fmt=args.format,
+            )
+    except (ValueError, CursorExpiredError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(r))
     return 0
 
 
@@ -1385,6 +1475,60 @@ def build_parser() -> argparse.ArgumentParser:
                         "columns flattened, snapshot source metadata) "
                         "instead of flat post-image rows")
     c.set_defaults(fn=cmd_diff)
+
+    c = sub.add_parser("cdc-materialize")
+    c.add_argument("--view", required=True,
+                   help="view table directory (created on first call)")
+    c.add_argument("--source", default=None,
+                   help="source lake table (create only; persisted in the "
+                        "view's properties afterwards)")
+    c.add_argument("--group-by", default=None, metavar="COLS",
+                   help="comma-separated group columns (create only)")
+    c.add_argument("--agg", action="append", default=None,
+                   metavar="NAME=count(*)|NAME=sum(EXPR)",
+                   help="aggregate spec, repeatable (create only); "
+                        "count(*) and sum(EXPR) are self-maintainable — "
+                        "min/max need --full-refresh semantics and are "
+                        "out of scope")
+    c.add_argument("--buckets", type=int, default=16,
+                   help="view table bucket count (create only)")
+    c.add_argument("--full-refresh", action="store_true",
+                   help="rebuild from a full scan (expired cursor, or to "
+                        "squash float-sum drift)")
+    c.set_defaults(fn=cmd_cdc_materialize)
+
+    c = sub.add_parser("cdc-clone")
+    c.add_argument("--source", required=True, help="source table directory")
+    c.add_argument("--dest", required=True, help="new table directory")
+    c.add_argument("--snapshot", default=None, metavar="REF",
+                   help="source snapshot id or tag (default: current); "
+                        "clone from a TAG so source expiry cannot reclaim "
+                        "the referenced files")
+    c.set_defaults(fn=cmd_cdc_clone)
+
+    c = sub.add_parser("cdc-subscribe")
+    c.add_argument("--table", required=True)
+    c.add_argument("--out", required=True,
+                   help="subscription output root: bootstrap_<sid>/ and "
+                        "step_<from>_<to>/ envelope directories land here")
+    c.add_argument("--checkpoint", default=None,
+                   help="cursor directory (default: <out>/_checkpoint); one "
+                        "subscriber per checkpoint dir")
+    c.add_argument("--from-snapshot", default=None, metavar="REF",
+                   help="start streaming from this snapshot id/tag instead "
+                        "of bootstrapping the full state (first call only)")
+    c.add_argument("--coalesce", action="store_true",
+                   help="one (cursor, current] diff per poll instead of one "
+                        "step per committed snapshot (collapses "
+                        "intermediate versions)")
+    c.add_argument("--format", default="parquet",
+                   choices=["parquet", "jsonl"])
+    c.add_argument("--follow", action="store_true",
+                   help="poll loop instead of a single pass")
+    c.add_argument("--poll-seconds", type=float, default=10.0)
+    c.add_argument("--max-polls", type=int, default=None,
+                   help="stop after N polls (default: forever)")
+    c.set_defaults(fn=cmd_cdc_subscribe)
 
     c = sub.add_parser("cdc-rollback")
     c.add_argument("--table", required=True)
