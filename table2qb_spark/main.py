@@ -217,6 +217,7 @@ TASK_DESCRIPTIONS = {
     "cdc-rebucket": ("Re-hashes the table into a new bucket count (bucket evolution; one distributed rewrite)", "Usage: table2qb cdc-rebucket --table DIR --buckets N [--sort-by COLS] [--max-records-per-file N]"),
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
     "cdc-diff": ("Diffs two snapshots", "Usage: table2qb cdc-diff --table DIR --from-snapshot REF [--to-snapshot REF] [--envelope] (REF = snapshot id or tag)"),
+    "cdc-replicate": ("Lake-to-lake replication: bootstrap a mirror (optionally with its own bucket count), then each run applies one coalesced change envelope since the target's cursor — O(changed rows) per sync, exactly-once, schema ADDs mirrored", "Usage: table2qb cdc-replicate --source DIR --target DIR [--buckets N] [--full-resync]"),
     "cdc-materialize": ("Incrementally-maintained materialized aggregate view: bootstrap count(*)/sum(EXPR) per group from one scan, then refresh at O(changes) cost from the snapshot envelope — cursor and state move in one atomic commit", "Usage: table2qb cdc-materialize --view DIR [--source DIR --group-by COLS --agg NAME=count(*)|NAME=sum(EXPR) ... [--buckets N]] [--full-refresh]"),
     "cdc-clone": ("Zero-copy shallow clone: a new writable table referencing the source snapshot's data files in place (O(metadata); COW divergence; clone from a tag so source expiry cannot reclaim referenced files)", "Usage: table2qb cdc-clone --source DIR --dest DIR [--snapshot REF]"),
     "cdc-subscribe": ("Checkpointed outbound changelog tail: bootstrap the full state as op='r' envelope rows, then emit one Debezium-envelope directory per committed snapshot, cursor-resumable (expired cursor fails loudly like a purged binlog)", "Usage: table2qb cdc-subscribe --table DIR --out DIR [--checkpoint DIR] [--from-snapshot REF] [--coalesce] [--format parquet|jsonl] [--follow [--poll-seconds S] [--max-polls K]]"),
@@ -414,6 +415,25 @@ def cmd_diff(args) -> int:
                           "to": (to if to is not None
                                  else table.current_snapshot_id()),
                           "changes": counts}))
+    return 0
+
+
+def cmd_cdc_replicate(args) -> int:
+    """Lake-to-lake replication (lake/replicate.py): bootstrap the target
+    on first call, then each run applies one coalesced envelope since the
+    target's repl_cursor — O(changed rows) per sync, exactly-once by the
+    target's own commit markers, schema ADDs mirrored automatically."""
+    from table2qb_spark.lake.replicate import replicate
+
+    _require_table(args.source)
+    spark = get_spark("cdc-replicate")
+    try:
+        r = replicate(spark, args.source, args.target,
+                      n_buckets=args.buckets, full_resync=args.full_resync)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(r))
     return 0
 
 
@@ -1475,6 +1495,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "columns flattened, snapshot source metadata) "
                         "instead of flat post-image rows")
     c.set_defaults(fn=cmd_diff)
+
+    c = sub.add_parser("cdc-replicate")
+    c.add_argument("--source", required=True, help="source table directory")
+    c.add_argument("--target", required=True,
+                   help="mirror table directory (created on first call)")
+    c.add_argument("--buckets", type=int, default=None,
+                   help="target bucket count (create only; default: "
+                        "source's — a mirror may size its own layout)")
+    c.add_argument("--full-resync", action="store_true",
+                   help="reconcile from a full source read (expired "
+                        "cursor recovery; also deletes target keys the "
+                        "source no longer has)")
+    c.set_defaults(fn=cmd_cdc_replicate)
 
     c = sub.add_parser("cdc-materialize")
     c.add_argument("--view", required=True,
