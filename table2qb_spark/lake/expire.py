@@ -77,18 +77,31 @@ def _sweep_orphans(table: LakeTable) -> int:
         os.environ.get("SPARK_GRAFT_ORPHAN_GRACE_SEC", LakeTable.ORPHAN_GRACE_SEC)
     )
     keep: set = set()
+    keep_dirs: set = set()  # change-feed dirs of live snapshots (lake/cdf.py)
     for sid in _existing_snapshot_ids(table):
         try:
             d, m = _referenced_paths(table, sid)
         except FileNotFoundError:
             continue
         keep |= {os.path.normpath(os.path.join(table.path, rel)) for rel in d | m}
-        rel = table._read_header(sid).get("manifest")
+        header = table._read_header(sid)
+        rel = header.get("manifest")
         if rel:
             keep.add(os.path.normpath(os.path.join(table.path, rel)))
+        cdf_rel = (header.get("summary") or {}).get("cdf_dir")
+        if cdf_rel:
+            keep_dirs.add(os.path.normpath(os.path.join(table.path, cdf_rel)))
     candidates: list[str] = []
     for root, _dirs, files in os.walk(os.path.join(table.path, DATA_DIR)):
         candidates += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    # change-feed orphans: feeds written by losing/expired commit attempts.
+    # A feed dir referenced by ANY existing header stays whole (cdf_dir is
+    # inherited forward in summaries, so even non-capturing descendants
+    # keep their ancestor's feed alive until that ancestor expires).
+    for root, _dirs, files in os.walk(os.path.join(table.path, "changes")):
+        if os.path.normpath(root) in keep_dirs:
+            continue
+        candidates += [os.path.join(root, f) for f in files]
     candidates += glob.glob(os.path.join(table.path, META_DIR, "mb-*.json"))
     candidates += glob.glob(os.path.join(table.path, META_DIR, "m[0-9]*.json"))
     swept = 0

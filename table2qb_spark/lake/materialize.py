@@ -18,8 +18,10 @@ The machinery is dogfooding, which is what makes exactly-once trivial:
 
 - the VIEW is itself a ``LakeTable`` keyed on the group columns, so state
   merges inherit bucketed COW, snapshots, time travel and commit markers;
-- the refresh DELTA comes from ``snapshot_diff_envelope`` over the SOURCE
-  between the view's cursor and the source's current snapshot. One
+- the refresh DELTA comes from ``lake/cdf.py::changes_between`` over the
+  SOURCE between the view's cursor and the source's current snapshot —
+  change-sized when the source captures a change feed, else the
+  bucket-pruned snapshot diff. One
   COALESCED diff is not an approximation here — net before/after is
   exactly the delta a linear aggregate needs (intermediate states cancel);
 - the CURSOR rides in the refresh commit's own summary (``mv_cursor``),
@@ -52,7 +54,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from table2qb_spark.lake.diff import snapshot_diff_envelope
+from table2qb_spark.lake.cdf import changes_between
 from table2qb_spark.lake.merge import merge_upsert
 from table2qb_spark.lake.table import LakeTable
 
@@ -235,7 +237,9 @@ def refresh_view(spark: SparkSession, view_path: str,
                 f"cursor snapshot {cursor} expired from the source — "
                 "run with --full-refresh to rebuild"
             ) from None
-        env = snapshot_diff_envelope(src, cursor, sid)
+        # change-sized when the source captures a change feed (lake/cdf.py);
+        # falls back to the bucket-pruned snapshot diff per feed-less run
+        env = changes_between(src, cursor, sid, coalesce=True)
         delta = delta_frame(env, group, aggs)
         events = _state_events(view, delta, group, names, seq=sid)
         r = merge_upsert(view, events, f"mv-refresh-{cursor}-{sid}",

@@ -63,6 +63,55 @@ from table2qb_spark.lake.table import LakeTable, key_bucket_expr
 PRUNE_THRESHOLD = 0.2
 
 
+def _cdf_changes(
+    agged, keys: list[str], data_cols: list[str], value_cols: list[str],
+    tombstones: bool, delete_op: str,
+):
+    """Change-feed rows derived from the SAME aggregate that decides the
+    merge winners (``__p`` = winning payload, ``__b`` = the current row's
+    payload or NULL): op/before/after exactly as the post-hoc snapshot
+    diff would classify them, at zero extra table reads. Keys the batch
+    did not win (untouched rows, stale seq-guarded events) emit nothing.
+    See lake/cdf.py for the full capture/read contract."""
+    p_won = F.col("__p.__pri") == 1
+
+    def image(src: str):
+        fields = []
+        for c in data_cols:
+            if c in keys:
+                fields.append(F.col(c).alias(c))
+            elif c == "_seq":
+                fields.append(F.col(f"{src}.__seq").alias("_seq"))
+            elif c == "_deleted":
+                fields.append(
+                    (F.col(f"{src}.__op") == delete_op).alias("_deleted")
+                )
+            else:
+                fields.append(F.col(f"{src}.{c}").alias(c))
+        return F.struct(*fields)
+
+    before = F.when(F.col("__b").isNotNull(), image("__b"))
+    if tombstones:
+        # tombstone tables keep a physical row for deletes: the feed mirrors
+        # the physical model (what read() and therefore the diff see)
+        after = image("__p")
+        op = F.when(F.col("__b").isNull(), F.lit("c")).otherwise(F.lit("u"))
+    else:
+        after_live = F.col("__p.__op") != delete_op
+        after = F.when(after_live, image("__p"))
+        op = (
+            F.when(after_live & F.col("__b").isNull(), F.lit("c"))
+            .when(after_live, F.lit("u"))
+            .when(F.col("__b").isNotNull(), F.lit("d"))
+        )
+    return (
+        agged.where(p_won)
+        .select(op.alias("op"), *keys, before.alias("before"),
+                after.alias("after"))
+        .where(F.col("op").isNotNull())
+    )
+
+
 def merge_upsert(
     table: LakeTable,
     batch_df: DataFrame,
@@ -104,6 +153,16 @@ def merge_upsert(
     seq_guard = "_seq" in data_cols
     tombstones = "_deleted" in data_cols
     value_cols = [c for c in data_cols if c not in keys and c not in ("_seq", "_deleted")]
+
+    # Change-data-feed capture (lake/cdf.py, opt-in table property): the
+    # winner aggregate below also keeps the current row's payload per key,
+    # so before/after images cost zero extra table reads; the aggregate is
+    # persisted once and both the feed and the data files derive from it.
+    # Late-materialization backfills skip capture (the feed would force a
+    # second pass over the whole batch) — readers fall back to the diff.
+    from table2qb_spark.lake.cdf import cdf_enabled, write_change_feed
+
+    cdf_on = cdf_enabled(snap)
 
     required = list(dict.fromkeys(keys + value_cols + [op_col, seq_col]))
     missing = [c for c in required if c not in batch_df.columns]
@@ -287,8 +346,12 @@ def merge_upsert(
             default=None,
         )  # a bucket whose events all have null seq yields max_seq=None
         if not affected:
+            su0 = dict(summary_update or {})
+            if cdf_on:  # captured-and-empty: readers skip, never diff
+                su0.update({"cdf_rows": 0,
+                            "cdf_sid": snap.snapshot_id + 1})
             table.commit_files(
-                commit_id, [], {}, summary_update,
+                commit_id, [], {}, su0,
                 base_snapshot_id=snap.snapshot_id, publish=publish,
             )
             return {
@@ -345,19 +408,28 @@ def merge_upsert(
     )
     both = current_sel.unionByName(batch_sel)
 
-    if use_pruning:
+    use_agg = use_pruning or cdf_on  # capture needs the aggregate's images
+    agged = None
+    if use_agg:
         # pruned/steady-state: small dup-heavy batches benefit from map-side
         # partial aggregation (ONE hash aggregate = in-batch dedup + merge
-        # decision), then a bucket repartition for the write
-        winners = (
-            both.groupBy(*keys)
-            .agg(F.max(payload).alias("__p"))
-            .select(
-                *keys,
-                F.col("__p.__seq").alias("__seq"),
-                F.col("__p.__op").alias("__op"),
-                *[F.col(f"__p.{c}").alias(c) for c in value_cols],
+        # decision), then a bucket repartition for the write. With CDF on,
+        # a second per-key struct keeps the CURRENT row's payload — the
+        # before image — and the aggregate is persisted so the feed write
+        # and the data write are two cheap reads of one computation.
+        agg_cols = [F.max(payload).alias("__p")]
+        if cdf_on:
+            agg_cols.append(
+                F.max(F.when(F.col("__pri") == 0, payload)).alias("__b")
             )
+        agged = both.groupBy(*keys).agg(*agg_cols)
+        if cdf_on:
+            agged = agged.persist()
+        winners = agged.select(
+            *keys,
+            F.col("__p.__seq").alias("__seq"),
+            F.col("__p.__op").alias("__op"),
+            *[F.col(f"__p.{c}").alias(c) for c in value_cols],
         )
         write_repartition = True
     else:
@@ -402,16 +474,29 @@ def merge_upsert(
         out_cols.append("_deleted")
     else:
         winners = winners.where(F.col("__op") != delete_op)
-    if use_pruning:
+    if use_agg:
         merged = winners.select(*out_cols).withColumn(
             "__bucket", key_bucket_expr(keys, snap.n_buckets)
         )
     else:
         merged = winners.select(*out_cols, "__bucket")
 
+    cdf_su: dict = {}
+    if cdf_on:
+        changes = _cdf_changes(
+            agged, keys, data_cols, value_cols, tombstones, delete_op
+        )
+        rel, n_changes = write_change_feed(
+            table, changes, f"{snap.snapshot_id + 1:08d}"
+        )
+        cdf_su = {"cdf_dir": rel, "cdf_rows": n_changes,
+                  "cdf_sid": snap.snapshot_id + 1}
+
     new_files = table.write_data_files(
         merged, snapshot_hint=f"{snap.snapshot_id + 1:08d}", repartition=write_repartition
     )
+    if cdf_on:
+        agged.unpersist()
 
     if observation is not None:
         got = observation.get
@@ -425,6 +510,7 @@ def merge_upsert(
         new_files.setdefault(b, [])
 
     su = dict(summary_update or {})
+    su.update(cdf_su)
     su.setdefault("max_seq", max_seq)
     table.commit_files(
         commit_id, affected, new_files, su,
@@ -436,6 +522,7 @@ def merge_upsert(
         "affected_buckets": len(affected),
         "upserts": n_total - n_dels,
         "deletes": n_dels,
-        "strategy": "pruned" if use_pruning else "single-pass",
+        "strategy": ("pruned" if use_pruning
+                     else "agg-cdf" if cdf_on else "single-pass"),
         "seconds": time.time() - t0,
     }

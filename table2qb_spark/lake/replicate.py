@@ -11,9 +11,11 @@ each sync costs O(changed rows), not O(table).
 
 Composition (everything here is already individually tested):
 
-- delta = ``snapshot_diff_envelope(source, cursor, current)`` — one
-  coalesced diff; net before/after is exactly what a final-state mirror
-  needs (intermediate versions carry no information for it);
+- delta = ``changes_between(source, cursor, current)`` — one coalesced
+  envelope, read from the source's change feed when captured
+  (lake/cdf.py) else derived by the bucket-pruned diff; net before/after
+  is exactly what a final-state mirror needs (intermediate versions
+  carry no information for it);
 - apply = ``merge_upsert(target, events)`` with op D for 'd' rows and U
   otherwise, seq = the source snapshot id (monotone across syncs, so a
   seq-guarded target also behaves);
@@ -43,7 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
-from table2qb_spark.lake.diff import snapshot_diff_envelope
+from table2qb_spark.lake.cdf import changes_between
 from table2qb_spark.lake.merge import merge_upsert
 from table2qb_spark.lake.table import LakeTable
 
@@ -151,7 +153,9 @@ def replicate(
             f"cursor snapshot {cursor} expired from the source — run with "
             "--full-resync"
         ) from None
-    env = snapshot_diff_envelope(src, cursor, sid)
+    # change-sized when the source captures a change feed (lake/cdf.py);
+    # falls back to the bucket-pruned snapshot diff per feed-less run
+    env = changes_between(src, cursor, sid, coalesce=True)
     events = env.select(
         F.when(F.col("op") == "d", "D").otherwise("U").alias("op"),
         F.lit(sid).alias("seq"),

@@ -53,7 +53,7 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from table2qb_spark.lake.diff import snapshot_diff_envelope
+from table2qb_spark.lake.cdf import changes_between
 from table2qb_spark.lake.table import LakeTable, _atomic_write
 
 CURSOR_FILE = "_cursor.json"
@@ -178,7 +178,10 @@ def subscribe_once(
     except CursorExpiredError:
         raise
     for frm, to in steps:
-        env = snapshot_diff_envelope(table, frm, to)
+        # one-commit steps read the captured change feed when the table
+        # has one (lake/cdf.py; coalesce keeps the per-key-net diff shape),
+        # else the bucket-pruned snapshot diff
+        env = changes_between(table, frm, to, coalesce=True)
         step_dir = os.path.join(out_dir, f"step_{frm}_{to}")
         rows = _emit(env, step_dir, fmt)
         store_cursor(checkpoint_dir, to)

@@ -907,6 +907,43 @@ class LakeTable:
         )
         return new_snap
 
+    def set_properties(self, updates: dict) -> Snapshot:
+        """Set/override table properties as a metadata-only commit (Iceberg
+        ``ALTER TABLE ... SET TBLPROPERTIES``) — e.g. turning the change
+        feed on for an existing table (``cdf.enabled=true``; capture starts
+        with the NEXT data commit, earlier ranges keep falling back to the
+        snapshot diff). A value of None removes the key. No-op (idempotent
+        replay) when nothing changes."""
+        snap = self.snapshot()
+        props = dict(snap.properties)
+        for k, v in updates.items():
+            if v is None:
+                props.pop(k, None)
+            else:
+                props[k] = v
+        if props == snap.properties:
+            return snap
+        new_snap = Snapshot(
+            snapshot_id=snap.snapshot_id + 1,
+            parent_id=snap.snapshot_id,
+            commit_id=f"props-{snap.snapshot_id + 1}",
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            key_columns=snap.key_columns,
+            n_buckets=snap.n_buckets,
+            files=snap.files,
+            n_commits=snap.n_commits + 1,
+            summary=snap.summary,
+            timestamp_ms=int(time.time() * 1000),
+            properties=props,
+        )
+        # metadata-only commit: every bucket's manifest is reused verbatim
+        self._write_snapshot(
+            new_snap,
+            self._pointers_of(snap, new_snap.snapshot_id, uuid.uuid4().hex[:8]),
+        )
+        return new_snap
+
     # ----- reads -------------------------------------------------------------
 
     def read(

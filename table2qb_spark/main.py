@@ -197,7 +197,7 @@ TASK_DESCRIPTIONS = {
     "components-pipeline": ("Generates component specifications", "Usage: table2qb components-pipeline --input-csv F"),
     "cube-pipeline": ("Generates cube RDF-shaped tables for the given input CSV", "Usage: table2qb cube-pipeline --input-csv F --dataset-name N --dataset-slug S --column-config C"),
     "prep-data": ("Runs the training-data preparation composite", "Usage: table2qb prep-data --input DIR --output DIR [stages...]"),
-    "cdc-init": ("Creates a lake table", "Usage: table2qb cdc-init --table DIR --buckets N [--seq-guarded] [--bloom-cols a,b [--bloom-bits M] [--bloom-hashes K]]"),
+    "cdc-init": ("Creates a lake table", "Usage: table2qb cdc-init --table DIR --buckets N [--seq-guarded] [--cdf] [--bloom-cols a,b [--bloom-bits M] [--bloom-hashes K]]"),
     "cdc-lookup": ("Point-reads one primary key (bucket + stats/bloom pruned)", "Usage: table2qb cdc-lookup --table DIR --key repo=R,path=P [--snapshot REF]"),
     "cdc-inspect": ("Prints a metadata table: snapshots, files, refs or properties", "Usage: table2qb cdc-inspect --table DIR --what snapshots|files|refs|properties [--snapshot REF] [--limit N]"),
     "cdc-sql": ("Runs ad-hoc Spark SQL over lake tables registered as time-travelable views (plus _files/_snapshots/_refs/_properties metadata views)", "Usage: table2qb cdc-sql --table name=DIR[@REF] [--table ...] --query SQL [--where name=PRED] [--limit N] [--output PATH [--output-format parquet|csv|jsonl]] [--explain]"),
@@ -208,7 +208,7 @@ TASK_DESCRIPTIONS = {
     "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR [--metrics]"),
     "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
     "cdc-schema": ("Prints the table schema; --history adds version-by-version column lineage", "Usage: table2qb cdc-schema --table DIR [--history]"),
-    "cdc-alter": ("Explicit schema DDL: add/rename/drop columns, widen types (metadata-only commit)", "Usage: table2qb cdc-alter --table DIR [--add n:t,...] [--rename a=b,...] [--drop a,b] [--widen n=long,...]"),
+    "cdc-alter": ("Explicit schema DDL: add/rename/drop columns, widen types; or set table properties (metadata-only commit)", "Usage: table2qb cdc-alter --table DIR [--add n:t,...] [--rename a=b,...] [--drop a,b] [--widen n=long,...] [--set-property k=v,...]"),
     "cdc-delete": ("Row-level DELETE by predicate: copy-on-write bucket rewrite, Iceberg-v2-style position-delete files, or auto (measured matched-fraction choice)", "Usage: table2qb cdc-delete --table DIR --where PRED [--strategy cow|positional|auto] [--positional-max-fraction R] [--dry-run] [--commit-id ID]"),
     "cdc-update": ("Row-level UPDATE by predicate: copy-on-write bucket rewrite or merge-on-read (position-delete old copies + append rewritten rows); key columns immutable", "Usage: table2qb cdc-update --table DIR --where PRED --set col=EXPR [--set col=EXPR ...] [--strategy cow|mor] [--dry-run] [--commit-id ID]"),
     "cdc-merge-into": ("SQL MERGE: join a source on the key columns; WHEN MATCHED update/delete, WHEN NOT MATCHED insert (copy-on-write, touched buckets only)", "Usage: table2qb cdc-merge-into --table DIR --source PATH [--update col=EXPR ... | --update-all] [--delete-where PRED] [--no-insert] [--update-where PRED] [--insert-where PRED] [--commit-id ID]"),
@@ -399,9 +399,17 @@ def cmd_diff(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
     if args.envelope:
+        from table2qb_spark.lake.cdf import changes_between
         from table2qb_spark.lake.diff import snapshot_diff_envelope
 
-        d = snapshot_diff_envelope(table, frm, to)
+        try:
+            # feed-aware: O(changed rows) when the range is covered by
+            # captured change feeds, diff fallback per feed-less run
+            d = changes_between(table, frm, to, coalesce=True)
+        except ValueError:
+            # range outside the published forward ancestry (e.g. a staged
+            # or rolled-back endpoint): the raw diff handles any pair
+            d = snapshot_diff_envelope(table, frm, to)
         kind_col = "op"
     else:
         d = snapshot_diff(table, frm, to)
@@ -810,6 +818,8 @@ def cmd_cdc_init(args) -> int:
             properties[bloom.PROP_BITS] = int(args.bloom_bits)
         if getattr(args, "bloom_hashes", None):
             properties[bloom.PROP_HASHES] = int(args.bloom_hashes)
+    if getattr(args, "cdf", False):
+        properties["cdf.enabled"] = "true"
     if getattr(args, "seq_guarded", False):
         from table2qb_spark.cdc.streaming import create_stream_table
 
@@ -1136,14 +1146,18 @@ def cmd_cdc_alter(args) -> int:
     spark = get_spark("cdc-alter")
     t = LakeTable(spark, args.table)
     try:
-        snap = t.evolve_schema(
-            add_columns=_typed(args.add),
-            rename_columns=_pairs(args.rename),
-            drop_columns=[
-                c.strip() for c in (args.drop or "").split(",") if c.strip()
-            ],
-            widen_columns=_pairs(args.widen),
-        )
+        props = _pairs(getattr(args, "set_property", None))
+        if props:
+            snap = t.set_properties(props)
+        else:
+            snap = t.evolve_schema(
+                add_columns=_typed(args.add),
+                rename_columns=_pairs(args.rename),
+                drop_columns=[
+                    c.strip() for c in (args.drop or "").split(",") if c.strip()
+                ],
+                widen_columns=_pairs(args.widen),
+            )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -1151,6 +1165,7 @@ def cmd_cdc_alter(args) -> int:
         "snapshot": snap.snapshot_id,
         "schema_version": snap.schema_version,
         "columns": snap.current_schema(),
+        "properties": snap.properties,
     }, indent=2))
     return 0
 
@@ -1772,6 +1787,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bloom size in bits (default 8192)")
     c.add_argument("--bloom-hashes", type=int,
                    help="bloom probes per value (default 4)")
+    c.add_argument("--cdf", action="store_true",
+                   help="capture a per-commit change feed at merge time "
+                        "(lake/cdf.py) so cdc-materialize / cdc-replicate "
+                        "/ cdc-subscribe / cdc-diff --envelope read "
+                        "O(changed rows) instead of diffing snapshots")
     c.set_defaults(fn=cmd_cdc_init)
 
     c = sub.add_parser("cdc-lookup")
@@ -1897,6 +1917,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--widen", help="comma-separated name=type (lossless "
                                    "promotions: int-family->long, "
                                    "float->double)")
+    c.add_argument("--set-property",
+                   help="comma-separated key=value table properties "
+                        "(e.g. cdf.enabled=true turns change-feed capture "
+                        "on for an existing table); takes precedence over "
+                        "the DDL flags in one invocation")
     c.set_defaults(fn=cmd_cdc_alter)
 
     c = sub.add_parser("cdc-delete")

@@ -29,7 +29,11 @@ lake/cdf.py; pass --cdf to measure that path, which is what the
 materialize docstring's O(changes) claim rests on at 100 TB.
 
 Usage: python tools/ab_materialize.py [base_rows] [batch_events]
-[n_batches] [n_buckets]; defaults 1_000_000 / 20_000 / 5 / 32.
+[n_batches] [n_buckets] [--cdf]; defaults 1_000_000 / 20_000 / 5 / 32.
+``--cdf`` creates the source with change-feed capture on, so the refresh
+reads O(changes) feeds instead of diffing snapshots; the JSON then also
+reports the capture overhead paid at merge time (merge_secs vs the
+non-CDF run's).
 """
 
 from __future__ import annotations
@@ -69,10 +73,12 @@ AGG_SPECS = ["docs=count(*)", "bytes=sum(length(content))"]
 
 
 def main() -> None:
-    base_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    batch_events = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
-    n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-    n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    argv = [a for a in sys.argv[1:] if a != "--cdf"]
+    use_cdf = "--cdf" in sys.argv[1:]
+    base_rows = int(argv[0]) if len(argv) > 0 else 1_000_000
+    batch_events = int(argv[1]) if len(argv) > 1 else 20_000
+    n_batches = int(argv[2]) if len(argv) > 2 else 5
+    n_buckets = int(argv[3]) if len(argv) > 3 else 32
     spark = get_spark("ab-materialize")
 
     work = tempfile.mkdtemp(prefix="ab_mv_", dir="/dev/shm")
@@ -95,8 +101,10 @@ def main() -> None:
         inc.count()
 
         tdir = os.path.join(work, "src")
-        t = LakeTable.create(spark, tdir, SCHEMA, ["repo", "path"],
-                             n_buckets=n_buckets)
+        t = LakeTable.create(
+            spark, tdir, SCHEMA, ["repo", "path"], n_buckets=n_buckets,
+            properties={"cdf.enabled": "true"} if use_cdf else None,
+        )
         merge_upsert(t, base, "base", batch_size_hint=base_rows)
 
         vdir = os.path.join(work, "mv")
@@ -107,13 +115,15 @@ def main() -> None:
         aggs = parse_aggs(AGG_SPECS)
         view_cols = [c["name"] for c in view.snapshot().current_schema()]
 
-        refresh_secs, recompute_secs = [], []
+        refresh_secs, recompute_secs, merge_secs = [], [], []
         for i in range(n_batches):
             b = inc.where(
                 (F.col("seq") > base_rows + i * batch_events)
                 & (F.col("seq") <= base_rows + (i + 1) * batch_events)
             )
+            t0 = time.time()
             merge_upsert(t, b, f"inc{i}", batch_size_hint=batch_events)
+            merge_secs.append(round(time.time() - t0, 3))
 
             t0 = time.time()
             refresh_view(spark, vdir)
@@ -136,6 +146,8 @@ def main() -> None:
             "batch_events": batch_events,
             "n_batches": n_batches,
             "n_buckets": n_buckets,
+            "cdf": use_cdf,
+            "merge_secs": merge_secs,
             "bootstrap_sec": bootstrap_sec,
             "refresh_secs": refresh_secs,
             "recompute_secs": recompute_secs,
