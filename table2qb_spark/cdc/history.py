@@ -72,3 +72,64 @@ def scd2_history(
             F.col("valid_to_seq").isNull().alias("is_current"),
         )
     )
+
+
+def row_lineage(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Row-lineage view (Iceberg v3's row lineage re-derived from the log):
+    for every key whose final state is LIVE, the identity and age of the
+    current row *incarnation* — ``row_id`` assigned when the incarnation was
+    created and preserved across updates, a NEW id after delete+re-insert
+    (Iceberg v3 spec: carried-over rows keep their id, replacement rows get
+    fresh ones).
+
+    Output per live key: ``created_seq`` (first event of the current
+    incarnation, i.e. the first event after the key's last delete),
+    ``last_updated_seq`` (the winning event — equals the stored ``_seq`` of
+    seq-guarded lake tables), ``n_versions`` (events in the incarnation) and
+    ``row_id`` = md5 over (keys, created_seq) — deterministic, so replay
+    from any checkpoint reproduces identical ids (the exactly-once
+    contract extends to lineage).
+
+    Scale shape: ONE exchange on the key — the partition-wide max-delete
+    window and the groupBy reuse the same hash partitioning (Catalyst
+    reuses the exchange; plan-tested). Deleted keys drop out naturally:
+    the incarnation filter ``seq > max_delete_seq`` keeps nothing when the
+    key's last event is the delete. Duplicate (key, seq) redeliveries
+    collapse in the aggregate except ``n_versions`` counting distinct seqs,
+    which makes redelivery invisible there too.
+    """
+    w = Window.partitionBy(*key_cols)
+    max_del = F.max(
+        F.when(F.col(op_col) == delete_op, F.col(seq_col))
+    ).over(w)
+    live = (
+        df.withColumn("__max_del", max_del)
+        .where(
+            (F.col(op_col) != delete_op)
+            & (
+                F.col("__max_del").isNull()
+                | (F.col(seq_col) > F.col("__max_del"))
+            )
+        )
+    )
+    agged = live.groupBy(*key_cols).agg(
+        F.min(seq_col).alias("created_seq"),
+        F.max(seq_col).alias("last_updated_seq"),
+        F.count_distinct(F.col(seq_col)).alias("n_versions"),
+    )
+    return agged.withColumn(
+        "row_id",
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[F.col(k).cast("string") for k in key_cols],
+                F.col("created_seq").cast("string"),
+            )
+        ),
+    )

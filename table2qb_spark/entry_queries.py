@@ -880,6 +880,25 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(ev, ["user_id"], seq_col="seq", op_col="op")
 
 
+def q_cdc_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage (cdc/history.py row_lineage): per live key, the current
+    incarnation's created_seq / last_updated_seq / n_versions and a
+    deterministic md5 row_id over (key, created_seq) — Iceberg v3 row
+    lineage derived from the log in one key exchange (window + agg reuse
+    the same hash partitioning)."""
+    from table2qb_spark.cdc.history import row_lineage
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    return row_lineage(ev, ["user_id"], seq_col="seq", op_col="op")
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain continuous aggregate (ops/rollup.py): hour/day/total
     counts and value sums, GROUPING-bitmask level column. Hierarchical
@@ -2028,6 +2047,29 @@ ORACLES: dict[str, str] = {
                valid_to_seq IS NULL AS is_current
         FROM closed WHERE op <> 'D'
     """,
+    "cdc_row_lineage": """
+        WITH log AS (
+          SELECT user_id, event_id AS seq,
+                 CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op
+          FROM events
+        ),
+        marked AS (
+          SELECT *, max(CASE WHEN op = 'D' THEN seq END)
+                      OVER (PARTITION BY user_id) AS max_del
+          FROM log
+        ),
+        live AS (
+          SELECT * FROM marked
+          WHERE op <> 'D' AND (max_del IS NULL OR seq > max_del)
+        )
+        SELECT user_id,
+               min(seq) AS created_seq,
+               max(seq) AS last_updated_seq,
+               count(DISTINCT seq) AS n_versions,
+               md5(concat_ws(chr(31), CAST(user_id AS VARCHAR),
+                             CAST(min(seq) AS VARCHAR))) AS row_id
+        FROM live GROUP BY user_id
+    """,
     "time_rollup": """
         WITH b AS (
           SELECT strftime(ts, '%Y-%m-%d') AS d,
@@ -2819,6 +2861,7 @@ QUERIES = {
     "cdc_sessionize": q_cdc_sessionize,
     "cdc_asof_join": q_cdc_asof_join,
     "cdc_scd2": q_cdc_scd2,
+    "cdc_row_lineage": q_cdc_row_lineage,
     "time_rollup": q_time_rollup,
     "cdc_metrics": q_cdc_metrics,
     "text_analysis": q_text_analysis,

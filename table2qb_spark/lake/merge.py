@@ -124,6 +124,7 @@ def merge_upsert(
     batch_size_hint: int | None = None,
     force_stats_pass: bool = False,
     publish: bool = True,
+    branch: str | None = None,
 ) -> dict:
     """Apply one change batch. Returns merge stats. Idempotent: a commit_id
     already present in the snapshot history is skipped outright.
@@ -135,12 +136,21 @@ def merge_upsert(
     ``batch_size_hint``: approximate event count (e.g. the seq-range width) —
     picks pruned vs single-pass without counting the batch.
     ``force_stats_pass``: always run the explicit stats pre-pass (required
-    inside streaming foreachBatch, where Observation metrics never fire)."""
-    if table.has_commit(commit_id):
+    inside streaming foreachBatch, where Observation metrics never fire).
+    ``branch``: merge onto that branch's head (reads the BRANCH state, not
+    main) and stage the result as a branch-owned snapshot — the audit-branch
+    workflow; ``table.fast_forward`` publishes the chain."""
+    if table.has_commit(commit_id) or (
+        branch is not None and table._branch_has_commit(branch, commit_id)
+    ):
         return {"skipped": True, "commit_id": commit_id}
 
     t0 = time.time()
-    snap = table.snapshot()
+    snap = (
+        table.snapshot(table.branch_head(branch))
+        if branch is not None
+        else table.snapshot()
+    )
     keys = snap.key_columns
     data_cols = [c["name"] for c in snap.current_schema()]
 
@@ -162,7 +172,11 @@ def merge_upsert(
     # second pass over the whole batch) — readers fall back to the diff.
     from table2qb_spark.lake.cdf import cdf_enabled, write_change_feed
 
-    cdf_on = cdf_enabled(snap)
+    # Branch commits skip CDF capture: the feed's cdf_sid contract names the
+    # CHILD snapshot id, which on a branch is a free slot unknown until the
+    # header lands — consumers of a fast-forwarded chain fall back to the
+    # (composing) snapshot diff for those steps.
+    cdf_on = cdf_enabled(snap) and branch is None
 
     required = list(dict.fromkeys(keys + value_cols + [op_col, seq_col]))
     missing = [c for c in required if c not in batch_df.columns]
@@ -281,7 +295,7 @@ def merge_upsert(
         su.setdefault("max_seq", got["max_seq"])
         table.commit_files(
             commit_id, affected, new_files, su,
-            base_snapshot_id=snap.snapshot_id, publish=publish,
+            base_snapshot_id=snap.snapshot_id, publish=publish, branch=branch,
         )
         return {
             "skipped": False,
@@ -352,14 +366,17 @@ def merge_upsert(
                             "cdf_sid": snap.snapshot_id + 1})
             table.commit_files(
                 commit_id, [], {}, su0,
-                base_snapshot_id=snap.snapshot_id, publish=publish,
+                base_snapshot_id=snap.snapshot_id, publish=publish, branch=branch,
             )
             return {
                 "skipped": False, "commit_id": commit_id, "affected_buckets": 0,
                 "upserts": 0, "deletes": 0, "strategy": "pruned",
                 "seconds": time.time() - t0,
             }
-        current = table.read(buckets=affected)
+        current = table.read(
+            snapshot_id=None if branch is None else snap.snapshot_id,
+            buckets=affected,
+        )
     else:
         if stats_rows is not None:
             # explicit stats already collected: single-pass strategy with no
@@ -379,7 +396,9 @@ def merge_upsert(
                 F.max("__seq").alias("max_seq"),
             )
         affected = None  # every bucket is replaced
-        current = table.read()
+        current = table.read(
+            snapshot_id=None if branch is None else snap.snapshot_id
+        )
 
     # current rows enter the contest below every batch event: at their stored
     # _seq (guarded tables) or at -1 (seq ranges are totally ordered, any
@@ -514,7 +533,7 @@ def merge_upsert(
     su.setdefault("max_seq", max_seq)
     table.commit_files(
         commit_id, affected, new_files, su,
-        base_snapshot_id=snap.snapshot_id, publish=publish,
+        base_snapshot_id=snap.snapshot_id, publish=publish, branch=branch,
     )
     return {
         "skipped": False,

@@ -147,6 +147,10 @@ class Snapshot:
     # staged (write-audit-publish): the snapshot's header exists but VERSION
     # was never swapped to it — readers don't see it until publish_snapshot
     staged: bool = False
+    # branch commits (Iceberg branch refs): staged snapshots OWNED by a named
+    # branch — excluded from the WAP staged_snapshots() listing, published
+    # only as a chain via fast_forward()
+    branch: str | None = None
     # bucket(str) -> {"path": bucket-manifest relpath, "rows": n} — the
     # manifest LIST this snapshot was loaded from (None for legacy formats).
     # Commits reuse untouched buckets' pointers verbatim (Iceberg-style
@@ -191,6 +195,7 @@ class Snapshot:
             "summary": self.summary,
             "timestamp_ms": self.timestamp_ms,
             **({"staged": True} if self.staged else {}),
+            **({"branch": self.branch} if self.branch else {}),
             **({"properties": self.properties} if self.properties else {}),
         }
 
@@ -209,6 +214,7 @@ class Snapshot:
             summary=d.get("summary", {}),
             timestamp_ms=d.get("timestamp_ms", 0),
             staged=bool(d.get("staged", False)),
+            branch=d.get("branch"),
             properties=d.get("properties", {}),
         )
 
@@ -594,7 +600,10 @@ class LakeTable:
         out = []
         sid = self.current_snapshot_id() + 1
         while os.path.exists(self._snapshot_path(sid)):
-            if self._read_header(sid).get("staged"):
+            h = self._read_header(sid)
+            # branch-owned staged snapshots are published via fast_forward,
+            # not the WAP publish/discard surface — don't list them here
+            if h.get("staged") and not h.get("branch"):
                 out.append(sid)
             sid += 1
         return out
@@ -758,6 +767,182 @@ class LakeTable:
                 f"no such tag: {s!r} (tags: {', '.join(tags) or 'none'})"
             ) from None
 
+    # ----- named refs (branches) ------------------------------------------
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Create a writable branch ref (Iceberg's branch): a named MUTABLE
+        head that commits can advance independently of main — the
+        audit-branch WAP workflow generalized from single staged snapshots
+        to chains. Branch commits are staged headers (readers of main never
+        see them; their files are sweep-protected like any staged commit)
+        whose parent is the branch head; ``fast_forward`` publishes the
+        whole chain onto main atomically when main hasn't moved.
+
+        Same namespace and grammar as tags (``resolve_ref`` reads both), so
+        ``read(snapshot_id=t.resolve_ref("audit"))`` time-travels to a
+        branch head exactly like a tag."""
+        self._check_tag_name(name)
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        self._read_header(sid)  # FileNotFoundError: no such snapshot
+        doc = {
+            "name": name,
+            "type": "branch",
+            "snapshot_id": sid,
+            "created_ms": int(time.time() * 1000),
+        }
+        path = self._ref_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        _atomic_write(tmp, json.dumps(doc))
+        try:
+            os.link(tmp, path)  # atomic AND exclusive, like create_tag
+        except FileExistsError:
+            raise ValueError(f"ref {name!r} already exists") from None
+        finally:
+            os.remove(tmp)
+        return doc
+
+    def _read_ref(self, name: str) -> dict:
+        try:
+            with open(self._ref_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(f"no such ref: {name!r}") from None
+
+    def branch_head(self, name: str) -> int:
+        doc = self._read_ref(name)
+        if doc.get("type") != "branch":
+            raise ValueError(f"ref {name!r} is a tag, not a branch")
+        return int(doc["snapshot_id"])
+
+    def delete_branch(self, name: str) -> None:
+        self.branch_head(name)  # ValueError unless an existing branch
+        os.remove(self._ref_path(name))
+
+    def _advance_branch(self, name: str, old_head: int, new_head: int) -> None:
+        """CAS the branch head ``old_head -> new_head`` under an exclusive
+        lock file: a concurrent advance from the same base loses with
+        ConcurrentCommitError (its snapshot chain becomes expire-swept
+        orphans), never a silent clobber."""
+        path = self._ref_path(name)
+        lock = f"{path}.lock"
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        _atomic_write(tmp, "")
+        try:
+            os.link(tmp, lock)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"branch {name!r} advance contended (lock held); retry"
+            ) from None
+        finally:
+            os.remove(tmp)
+        try:
+            doc = self._read_ref(name)
+            if doc.get("type") != "branch" or int(doc["snapshot_id"]) != old_head:
+                raise ConcurrentCommitError(
+                    f"branch {name!r} moved (head now "
+                    f"{doc.get('snapshot_id')}, expected {old_head}); re-read "
+                    "and re-merge"
+                )
+            doc["snapshot_id"] = new_head
+            _atomic_write(path, json.dumps(doc))
+        finally:
+            os.unlink(lock)
+
+    def _next_slot_id(self, at_least: int) -> int:
+        """Next snapshot-id slot >= at_least, skipping ONLY branch-owned
+        headers (branch chains and main share one id space, and a pending
+        branch must never block main's progress). Slots held by anything
+        else — WAP-staged snapshots (which hold their slot by design for
+        the staged grace window) or a crashed writer's orphan (which the
+        SAME commit_id's retry reclaims in place) — are returned as-is so
+        ``_write_snapshot``'s exclusive-create arbitration keeps its
+        existing semantics."""
+        sid = max(at_least, self.current_snapshot_id() + 1)
+        while os.path.exists(self._snapshot_path(sid)):
+            try:
+                if not self._read_header(sid).get("branch"):
+                    break
+            except (FileNotFoundError, json.JSONDecodeError):
+                break  # racing create/remove: let exclusive-create arbitrate
+            sid += 1
+        return sid
+
+    def branch_chain(self, name: str) -> list[int]:
+        """Snapshot ids owned by the branch, oldest first: the parent walk
+        from the head down to (excluding) the first snapshot not owned by
+        the branch (its base — usually a published main snapshot)."""
+        chain: list[int] = []
+        sid = self.branch_head(name)
+        while sid is not None:
+            h = self._read_header(sid)
+            if h.get("branch") != name:
+                break
+            chain.append(sid)
+            sid = h.get("parent_id")
+        chain.reverse()
+        return chain
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Publish a branch onto main (Iceberg's fast-forward): requires
+        main's current snapshot to be the branch chain's base — i.e. main
+        has NOT moved since the branch forked (else publishing would
+        clobber interleaved commits; re-branch and re-apply, same rule as
+        ``publish_snapshot``). Under the head's reclaim lock, the chain
+        publishes STEPWISE oldest-first — each step is exactly the proven
+        direct-commit publish sequence (unstage header -> VERSION swap ->
+        commit marker), so every crash window is one that already exists
+        and heals: pre-swap = invisible clean header re-forwarded on
+        resume, post-swap-pre-marker = ``has_commit``'s current-header
+        heal. Exactly-once is decided HERE (an audit-rejected branch's
+        commit_ids replay cleanly after ``delete_branch``). Readers may
+        observe intermediate chain states during the forward — each is a
+        consistent published snapshot; Iceberg's single-swap atomicity is
+        traded for crash-resumability. Re-running after a partial forward
+        completes it (the already-published prefix is skipped). The branch
+        ref stays, now pointing at published history (``delete_branch`` to
+        drop it)."""
+        head = self.branch_head(name)
+        chain = self.branch_chain(name)
+        if not chain:
+            raise ValueError(
+                f"branch {name!r} has no commits (head {head} is published "
+                "history); nothing to fast-forward"
+            )
+        base = self._read_header(chain[0]).get("parent_id")
+        head_doc = self._read_header(head)
+        grace = float(
+            os.environ.get("SPARK_GRAFT_STAGED_GRACE_SEC", self.STAGED_GRACE_SEC)
+        )
+        lock_path = self._acquire_reclaim_lock(
+            self._snapshot_path(head), head, head_doc["commit_id"], grace
+        )
+        try:
+            # On resume after a partial forward the published prefix lost its
+            # ``branch`` field, so branch_chain() already excludes it and
+            # ``base`` IS the last published chain element — one check serves
+            # both the fresh and the resumed forward.
+            current = self.current_snapshot_id()
+            if current != base:
+                raise ConcurrentCommitError(
+                    f"branch {name!r} forked from snapshot {base} but main is "
+                    f"now {current}: fast-forwarding would clobber interleaved "
+                    "commits — re-branch from current and re-apply"
+                )
+            for sid in chain:
+                h = self._read_header(sid)
+                h.pop("staged", None)
+                h.pop("branch", None)
+                _atomic_write(self._snapshot_path(sid), json.dumps(h))
+                _atomic_write(
+                    os.path.join(self.path, META_DIR, "VERSION"), str(sid)
+                )
+                self._write_marker(h["commit_id"])
+        finally:
+            if os.path.exists(lock_path):
+                os.unlink(lock_path)
+        return self.snapshot(head)
+
     def history(self) -> list[Snapshot]:
         """Current snapshot's ancestry, oldest first — truncated at the
         oldest RETAINED snapshot when older ones were expired
@@ -887,7 +1072,7 @@ class LakeTable:
         schemas[str(new_version)] = cols
         cid = commit_id or f"schema-{new_version}"
         new_snap = Snapshot(
-            snapshot_id=snap.snapshot_id + 1,
+            snapshot_id=self._next_slot_id(snap.snapshot_id + 1),
             parent_id=snap.snapshot_id,
             commit_id=cid,
             schema_version=new_version,
@@ -924,7 +1109,7 @@ class LakeTable:
         if props == snap.properties:
             return snap
         new_snap = Snapshot(
-            snapshot_id=snap.snapshot_id + 1,
+            snapshot_id=self._next_slot_id(snap.snapshot_id + 1),
             parent_id=snap.snapshot_id,
             commit_id=f"props-{snap.snapshot_id + 1}",
             schema_version=snap.schema_version,
@@ -1227,9 +1412,16 @@ class LakeTable:
         base_snapshot_id: int | None = None,
         n_buckets: int | None = None,
         publish: bool = True,
+        branch: str | None = None,
     ) -> Snapshot:
         """Commit a copy-on-write result: buckets in ``replaced_buckets`` get
         exactly ``new_files``; every other bucket keeps its current files.
+
+        ``branch``: commit onto that branch's head instead of main — the
+        snapshot is staged (main readers never see it), owned by the branch,
+        and the branch ref CAS-advances to it; publish the chain with
+        ``fast_forward``. Exactly-once on a branch is the chain's own
+        commit_id list until fast-forward writes the global markers.
 
         ``n_buckets`` re-declares the table's bucket count for this and all
         FUTURE snapshots (bucket evolution — the caller must have rewritten
@@ -1242,19 +1434,25 @@ class LakeTable:
         instead of clobbering it (the caller must re-read and re-merge).
         Raises if commit_id was already applied (caller should check
         ``has_commit`` first for the cheap skip)."""
-        snap = self.snapshot()
-        self._write_marker(snap.commit_id)  # heal any crashed predecessor
+        if branch is not None:
+            snap = self.snapshot(self.branch_head(branch))
+            publish = False
+        else:
+            snap = self.snapshot()
+            self._write_marker(snap.commit_id)  # heal any crashed predecessor
         if base_snapshot_id is not None and snap.snapshot_id != base_snapshot_id:
             raise ConcurrentCommitError(
                 f"Base snapshot {base_snapshot_id} is stale: current is {snap.snapshot_id}"
             )
-        if self.has_commit(commit_id):
+        if self.has_commit(commit_id) or (
+            branch is not None and self._branch_has_commit(branch, commit_id)
+        ):
             raise RuntimeError(f"Commit {commit_id} already applied")
         # O(touched buckets) metadata I/O: untouched buckets' manifest
         # pointers carry forward verbatim; only new_files' buckets get a
         # fresh per-bucket manifest. Row count comes from the pointer rows
         # (no file-list reads for untouched buckets).
-        next_id = snap.snapshot_id + 1
+        next_id = self._next_slot_id(snap.snapshot_id + 1)
         token = uuid.uuid4().hex[:8]
         pointers = self._pointers_of(snap, next_id, token)
         for b in replaced_buckets:
@@ -1276,11 +1474,22 @@ class LakeTable:
             summary=summary,
             timestamp_ms=int(time.time() * 1000),
             staged=not publish,
+            branch=branch,
             properties=snap.properties,
         )
         new_snap.manifest_pointers = pointers
         self._write_snapshot(new_snap, pointers, publish=publish)
+        if branch is not None:
+            self._advance_branch(branch, snap.snapshot_id, next_id)
         return new_snap
+
+    def _branch_has_commit(self, branch: str, commit_id: str) -> bool:
+        """Branch-scoped exactly-once: chain headers' commit_ids (chains are
+        audit-window short, so the walk is O(chain), not O(history))."""
+        return any(
+            self._read_header(sid).get("commit_id") == commit_id
+            for sid in self.branch_chain(branch)
+        )
 
     def commit_appends(
         self,
@@ -1292,6 +1501,7 @@ class LakeTable:
         base_snapshot_id: int | None = None,
         publish: bool = True,
         appended_pos_deletes: dict[int, list[dict]] | None = None,
+        branch: str | None = None,
     ) -> Snapshot:
         """Commit a MERGE-ON-READ result: touched buckets KEEP their current
         data files and gain ``appended_files`` (the batch winners) plus
@@ -1300,16 +1510,22 @@ class LakeTable:
         O(batch), not O(touched-bucket bytes); reads pay the mask join until
         ``compact()`` folds the deletes away (Iceberg v2 equality-delete
         semantics re-expressed). Same idempotency/concurrency contract as
-        ``commit_files``."""
-        snap = self.snapshot()
-        self._write_marker(snap.commit_id)  # heal any crashed predecessor
+        ``commit_files``, including the ``branch`` surface."""
+        if branch is not None:
+            snap = self.snapshot(self.branch_head(branch))
+            publish = False
+        else:
+            snap = self.snapshot()
+            self._write_marker(snap.commit_id)  # heal any crashed predecessor
         if base_snapshot_id is not None and snap.snapshot_id != base_snapshot_id:
             raise ConcurrentCommitError(
                 f"Base snapshot {base_snapshot_id} is stale: current is {snap.snapshot_id}"
             )
-        if self.has_commit(commit_id):
+        if self.has_commit(commit_id) or (
+            branch is not None and self._branch_has_commit(branch, commit_id)
+        ):
             raise RuntimeError(f"Commit {commit_id} already applied")
-        next_id = snap.snapshot_id + 1
+        next_id = self._next_slot_id(snap.snapshot_id + 1)
         token = uuid.uuid4().hex[:8]
         pointers = self._pointers_of(snap, next_id, token)
         merged_files: dict = {}
@@ -1346,10 +1562,13 @@ class LakeTable:
             summary=summary,
             timestamp_ms=int(time.time() * 1000),
             staged=not publish,
+            branch=branch,
             properties=snap.properties,
         )
         new_snap.manifest_pointers = pointers
         self._write_snapshot(new_snap, pointers, publish=publish)
+        if branch is not None:
+            self._advance_branch(branch, snap.snapshot_id, next_id)
         return new_snap
 
     def rollback(
@@ -1394,7 +1613,7 @@ class LakeTable:
                 "needs a retained snapshot (see cdc-expire --keep-last)"
             ) from None
         self._write_marker(cur.commit_id)  # heal any crashed predecessor
-        next_id = cur.snapshot_id + 1
+        next_id = self._next_slot_id(cur.snapshot_id + 1)
         token = uuid.uuid4().hex[:8]
         # Reuse the target's manifest pointers verbatim (manifest reuse —
         # the same trick every commit plays for untouched buckets); a

@@ -223,6 +223,7 @@ TASK_DESCRIPTIONS = {
     "cdc-subscribe": ("Checkpointed outbound changelog tail: bootstrap the full state as op='r' envelope rows, then emit one Debezium-envelope directory per committed snapshot, cursor-resumable (expired cursor fails loudly like a purged binlog)", "Usage: table2qb cdc-subscribe --table DIR --out DIR [--checkpoint DIR] [--from-snapshot REF] [--coalesce] [--format parquet|jsonl] [--follow [--poll-seconds S] [--max-polls K]]"),
     "cdc-rollback": ("Rolls the table back to an earlier snapshot (metadata-only; undone commits replay unless --keep-commit-markers)", "Usage: table2qb cdc-rollback --table DIR (--to-snapshot REF | --as-of TS) [--keep-commit-markers]"),
     "cdc-tag": ("Creates/deletes/lists named snapshot refs (tags pin snapshots against expiry and are accepted wherever a snapshot id is)", "Usage: table2qb cdc-tag --table DIR [--create NAME [--snapshot REF] [--force] | --delete NAME]"),
+    "cdc-branch": ("Creates/deletes/lists writable branch refs and fast-forwards a branch's staged chain onto main (audit-branch WAP over chains)", "Usage: table2qb cdc-branch --table DIR [--create NAME [--snapshot REF] | --delete NAME | --ff NAME]"),
     "cdc-verify": ("Prints a distributed content digest of the table", "Usage: table2qb cdc-verify --table DIR"),
     "cdc-export": ("Exports table state (current or a snapshot) to parquet/CSV/JSONL", "Usage: table2qb cdc-export --table DIR --out DIR [--snapshot REF] [--buckets 0,1] [--columns a,b] [--format parquet|csv|jsonl] [--shards N --shard-key COL]"),
     "datagen": ("Writes a deterministic synthetic change log", "Usage: table2qb datagen --out DIR --events-n N"),
@@ -634,6 +635,46 @@ def cmd_tag(args) -> int:
         else:
             print(json.dumps(table.list_tags()))
     except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def cmd_branch(args) -> int:
+    """Writable branch refs (Iceberg branches): create/delete/list/
+    fast-forward. create/delete/list are metadata-only (no Spark session);
+    --ff publishes the branch's staged chain onto main stepwise (each step
+    the proven publish sequence; resumable after a crash). Branch heads are
+    accepted anywhere a snapshot ref is (resolve_ref reads both ref kinds),
+    so `cdc-export --snapshot NAME` audits a branch before fast-forwarding."""
+    from table2qb_spark.lake.table import ConcurrentCommitError, LakeTable
+
+    _require_table(args.table)
+    table = LakeTable(None, args.table)  # ref ops never read data
+    try:
+        if args.create:
+            sid = (table.resolve_ref(args.snapshot)
+                   if args.snapshot is not None else None)
+            print(json.dumps(table.create_branch(args.create, snapshot_id=sid)))
+        elif args.delete:
+            table.delete_branch(args.delete)
+            print(json.dumps({"deleted": args.delete}))
+        elif args.ff:
+            snap = table.fast_forward(args.ff)
+            print(json.dumps({
+                "fast_forwarded": args.ff,
+                "snapshot_id": snap.snapshot_id,
+                "row_count": snap.summary.get("row_count"),
+            }))
+        else:
+            refs = table.list_tags()
+            out = {}
+            for name, doc in refs.items():
+                if doc.get("type") != "branch":
+                    continue
+                out[name] = dict(doc, chain=table.branch_chain(name))
+            print(json.dumps(out))
+    except (ValueError, FileNotFoundError, ConcurrentCommitError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
     return 0
@@ -1600,6 +1641,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--force", action="store_true",
                    help="move an existing tag instead of failing")
     c.set_defaults(fn=cmd_tag)
+
+    c = sub.add_parser("cdc-branch")
+    c.add_argument("--table", required=True)
+    c.add_argument("--create", default=None, metavar="NAME")
+    c.add_argument("--delete", default=None, metavar="NAME")
+    c.add_argument("--ff", default=None, metavar="NAME",
+                   help="fast-forward main to this branch's head")
+    c.add_argument("--snapshot", default=None, metavar="REF",
+                   help="snapshot to branch from (default: current)")
+    c.set_defaults(fn=cmd_branch)
 
     c = sub.add_parser("cdc-verify")
     c.add_argument("--table", required=True)

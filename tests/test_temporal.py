@@ -150,3 +150,57 @@ class TestTimeRollup:
         )
         plan = _plan(time_rollup(df))
         assert "Expand" not in plan, plan
+
+
+class TestRowLineage:
+    @pytest.fixture()
+    def log(self, spark):
+        # key 1: insert, two updates           -> live, created 10, 3 versions
+        # key 2: insert, delete                -> gone
+        # key 3: insert, delete, re-insert, up -> live, NEW incarnation at 40
+        # key 4: update only (upstream insert pre-dates the log) -> live
+        # key 5: redelivered duplicate event   -> collapses in n_versions
+        return spark.createDataFrame(
+            [
+                (1, 10, "I"), (1, 20, "U"), (1, 30, "U"),
+                (2, 10, "I"), (2, 20, "D"),
+                (3, 10, "I"), (3, 20, "D"), (3, 40, "I"), (3, 50, "U"),
+                (4, 15, "U"),
+                (5, 10, "I"), (5, 10, "I"),
+            ],
+            "k long, seq long, op string",
+        )
+
+    def test_incarnation_semantics(self, spark, log):
+        from table2qb_spark.cdc.history import row_lineage
+
+        rows = {r["k"]: r for r in row_lineage(log, ["k"]).collect()}
+        assert set(rows) == {1, 3, 4, 5}  # key 2 deleted -> absent
+        assert (rows[1]["created_seq"], rows[1]["last_updated_seq"],
+                rows[1]["n_versions"]) == (10, 30, 3)
+        # delete + re-insert: lineage restarts at the re-insert
+        assert (rows[3]["created_seq"], rows[3]["last_updated_seq"],
+                rows[3]["n_versions"]) == (40, 50, 2)
+        assert (rows[4]["created_seq"], rows[4]["n_versions"]) == (15, 1)
+        # redelivery is invisible: distinct-seq count
+        assert rows[5]["n_versions"] == 1
+
+    def test_row_id_stable_across_updates_fresh_after_reinsert(self, spark, log):
+        from table2qb_spark.cdc.history import row_lineage
+
+        full = {r["k"]: r["row_id"] for r in row_lineage(log, ["k"]).collect()}
+        # drop key 1's later updates: same incarnation -> same row_id
+        trimmed = log.where(~((F.col("k") == 1) & (F.col("seq") > 10)))
+        part = {r["k"]: r["row_id"] for r in row_lineage(trimmed, ["k"]).collect()}
+        assert part[1] == full[1]
+        # key 3 before its delete: different incarnation -> different row_id
+        early = log.where(~((F.col("k") == 3) & (F.col("seq") > 10)))
+        pre = {r["k"]: r["row_id"] for r in row_lineage(early, ["k"]).collect()}
+        assert pre[3] != full[3]
+
+    def test_single_exchange(self, spark, log):
+        from table2qb_spark.cdc.history import row_lineage
+
+        plan = _plan(row_lineage(log, ["k"]))
+        # window max-delete + groupBy reuse ONE hash partitioning on the key
+        assert plan.count("Exchange hashpartitioning") == 1, plan
