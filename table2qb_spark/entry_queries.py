@@ -958,6 +958,36 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LICENSE_HEADER = (
+    "license apache version two zero granted to all users of this corpus"
+)
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring span detection (ops/text.repeated_window_spans +
+    merge_token_spans — Lee et al.'s exact-substring dedup, window-hash
+    approximated): a 12-token license header is planted on every 4th doc
+    (the synthetic corpus repeats little), then 8-token windows at stride 4
+    are hashed, windows shared by >= 2 docs are kept, and overlapping
+    windows merge to [span_start, span_end) token intervals via
+    gaps-and-islands. Both engines build the identical planted input."""
+    from table2qb_spark.ops.text import merge_token_spans, repeated_window_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(_LICENSE_HEADER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spans = repeated_window_spans(
+        docs, window_tokens=8, stride=4, min_df=2
+    )
+    return merge_token_spans(spans, window_tokens=8)
+
+
 def q_stratum_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus statistics with EXACT percentiles — the standard
     mixing-report aggregate before sampling ratios are chosen. Spark's
@@ -2399,6 +2429,55 @@ ORACLES: dict[str, str] = {
                array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
         FROM starts
     """,
+    "repeated_spans": f"""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN '{_LICENSE_HEADER} ' || text ELSE text END AS text
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(str_split_regex(text, '\\s+'), t -> t <> '') AS t
+          FROM src
+        ),
+        wins AS (
+          SELECT doc_id, unnest(generate_series(0, len(t) - 8, 4)) AS win_start, t
+          FROM toks WHERE len(t) >= 8
+        ),
+        hashed AS (
+          SELECT doc_id, win_start,
+                 md5(array_to_string(list_slice(t, win_start + 1, win_start + 8), ' ')) AS win_hash
+          FROM wins
+        ),
+        hot AS (
+          SELECT win_hash FROM hashed
+          GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2
+        ),
+        rep AS (
+          SELECT DISTINCT h.doc_id, h.win_start
+          FROM hashed h JOIN hot USING (win_hash)
+        ),
+        marked AS (
+          SELECT doc_id, win_start,
+                 max(win_start + 8) OVER (
+                   PARTITION BY doc_id ORDER BY win_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS prev_max_end
+          FROM rep
+        ),
+        islands AS (
+          SELECT doc_id, win_start,
+                 sum(CASE WHEN prev_max_end IS NULL OR win_start > prev_max_end
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY win_start) AS island
+          FROM marked
+        )
+        SELECT doc_id,
+               CAST(min(win_start) AS INT) AS span_start,
+               CAST(max(win_start) + 8 AS INT) AS span_end
+        FROM islands GROUP BY doc_id, island
+    """,
     "stratum_stats": """
         SELECT lang,
                count(*) AS n_docs,
@@ -2840,6 +2919,7 @@ QUERIES = {
     "clean_lines": q_clean_lines,
     "token_entropy": q_token_entropy,
     "stratum_stats": q_stratum_stats,
+    "repeated_spans": q_repeated_spans,
     "chunk_documents": q_chunk_documents,
     "boilerplate_removal": q_boilerplate_removal,
     "pack_sequences": q_pack_sequences,

@@ -552,3 +552,113 @@ def bigram_logprob(
         )
     )
     return df.select(id_col).join(scored, id_col, "left")
+
+
+def repeated_window_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 20,
+    stride: int | None = None,
+    min_df: int = 2,
+) -> DataFrame:
+    """Repeated-substring detection (the window-hash approximation of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better", ACL'22
+    — their suffix-array exact-substring pass re-expressed for Spark): slide
+    a ``window_tokens``-token window with ``stride`` over every document,
+    hash each window, and return every window whose hash occurs in at least
+    ``min_df`` DISTINCT documents — the boilerplate/license-header/quoted
+    spans that exact doc-level dedup misses because the surrounding text
+    differs.
+
+    Output: (id_col, win_start, win_hash, doc_df) — token-offset window
+    starts; feed through ``merge_token_spans`` for strip-ready [start, end)
+    spans. Documents shorter than one window emit nothing.
+
+    Scale shape: one explode (the windows ARE the workload, same as
+    minhash's shingles) -> one two-phase count-distinct agg on the hash ->
+    one equi-join back. The hot-hash side is corpus-sized in the worst
+    case, so its join strategy is deliberately left to AQE — the same
+    policy (and for the same reason) as ``remove_boilerplate_lines``'s hot
+    set. Stride trades recall for cost: stride == window_tokens//2
+    (default) guarantees any repeated run of >= 1.5x window_tokens shares
+    at least one aligned window between copies ONLY when copies start at
+    aligned offsets; Lee et al.'s suffix array is exact where this is
+    probabilistic — the standard large-scale tradeoff."""
+    if stride is None:
+        stride = max(1, window_tokens // 2)
+    if window_tokens <= 0 or stride <= 0:
+        raise ValueError("window_tokens and stride must be positive")
+    c = F.col(text_col)
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    starts = F.when(
+        n >= window_tokens,
+        F.sequence(F.lit(0), n - window_tokens, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (
+        df.select(F.col(id_col), toks.alias("__toks"), starts.alias("__starts"))
+        .select(
+            id_col,
+            F.explode("__starts").alias("win_start"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            "win_start",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("__toks"), F.col("win_start") + 1, window_tokens),
+                    " ",
+                )
+            ).alias("win_hash"),
+        )
+    )
+    hot = (
+        wins.groupBy("win_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("doc_df"))
+        .where(F.col("doc_df") >= min_df)
+    )
+    return wins.join(hot, "win_hash").select(
+        id_col, "win_start", "win_hash", "doc_df"
+    )
+
+
+def merge_token_spans(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    window_tokens: int = 20,
+) -> DataFrame:
+    """Fold ``repeated_window_spans`` output into per-document merged
+    [span_start, span_end) token intervals (overlapping/adjacent windows
+    coalesce) — the strip-ready shape. Standard gaps-and-islands: a window
+    opens a new island when its start exceeds the running max end of every
+    earlier window, the island index is the running count of such opens,
+    and each island aggregates to one span. ONE shuffle on the doc id —
+    both window functions and the final groupBy share the same hash
+    partitioning. SQL-expressible, so the ``repeated_spans`` oracle gates
+    the merge too."""
+    from pyspark.sql.window import Window
+
+    w = F.lit(window_tokens)
+    order = Window.partitionBy(id_col).orderBy("win_start")
+    prev_max_end = F.max(F.col("win_start") + w).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col("win_start") > prev_max_end), 1
+    ).otherwise(0)
+    # distinct first: repeated_window_spans emits one row per (doc, start)
+    # per hot hash; identical starts must not double-count islands
+    return (
+        spans.select(id_col, "win_start")
+        .distinct()
+        .withColumn("__open", opens)
+        .withColumn("__island", F.sum("__open").over(order))
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("win_start").cast("int").alias("span_start"),
+            (F.max("win_start") + w).cast("int").alias("span_end"),
+        )
+        .drop("__island")
+    )

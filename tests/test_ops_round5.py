@@ -838,3 +838,92 @@ class TestPrepC4Lines:
         rows = clean.select("doc_id", "text").collect()
         assert sorted(r["doc_id"] for r in rows) == [1]
         assert rows[0]["text"] == body
+
+
+class TestRepeatedSpans:
+    @pytest.fixture()
+    def docs(self, spark):
+        shared = " ".join(f"tok{i}" for i in range(12))  # a 12-token run
+        return spark.createDataFrame(
+            [
+                (1, shared + " unique tail one two three four five six"),
+                # 4-token prefix: the run sits at an offset ALIGNED with
+                # doc 1's stride-2 grid (an odd prefix would misalign every
+                # window — the documented recall limit vs a suffix array)
+                (2, "prefix words sit here " + shared + " other ending"),
+                (3, "completely different body with no shared windows at all here"),
+                (4, "short doc"),  # shorter than one window -> no rows
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_detects_only_aligned_shared_windows(self, spark, docs):
+        from table2qb_spark.ops.text import repeated_window_spans
+
+        got = repeated_window_spans(
+            docs, window_tokens=4, stride=2, min_df=2
+        )
+        rows = got.collect()
+        assert {r["doc_id"] for r in rows} == {1, 2}
+        # doc 1 carries the shared run at tokens 0..11 (windows 0,2,4,6,8);
+        # doc 2 carries it at tokens 4..15 (windows 4,6,8,10,12) — the
+        # run-relative offsets line up, so all five windows hash-match
+        d1 = sorted(r["win_start"] for r in rows if r["doc_id"] == 1)
+        d2 = sorted(r["win_start"] for r in rows if r["doc_id"] == 2)
+        assert d1 == [0, 2, 4, 6, 8]
+        assert d2 == [4, 6, 8, 10, 12]
+        assert all(r["doc_df"] == 2 for r in rows)
+
+    def test_merge_token_spans_islands(self, spark):
+        from table2qb_spark.ops.text import merge_token_spans
+
+        spans = spark.createDataFrame(
+            # doc 1: 0,2,4 overlap into [0,8); 20 is its own island [20,24)
+            # doc 2: adjacent-but-not-overlapping windows 0 and 4 merge
+            #        (4 <= prev end 4 -> same island, half-open adjacency)
+            [(1, 0, "h", 2), (1, 2, "h", 2), (1, 4, "h", 2), (1, 20, "h", 2),
+             (2, 0, "h", 2), (2, 4, "h", 2)],
+            "doc_id long, win_start int, win_hash string, doc_df long",
+        )
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in merge_token_spans(spans, window_tokens=4).collect()
+        }
+        assert got == {(1, 0, 8), (1, 20, 24), (2, 0, 8)}
+
+    def test_short_docs_emit_nothing(self, spark, docs):
+        from table2qb_spark.ops.text import repeated_window_spans
+
+        got = repeated_window_spans(
+            docs.where("doc_id = 4"), window_tokens=4, stride=2, min_df=1
+        )
+        assert got.count() == 0
+
+    def test_merge_plan_single_exchange(self, spark, docs):
+        from table2qb_spark.ops.text import (
+            merge_token_spans,
+            repeated_window_spans,
+        )
+
+        spans = spark.createDataFrame(
+            [(1, 0, "h", 2)], "doc_id long, win_start int, win_hash string, doc_df long"
+        )
+        plan = (
+            merge_token_spans(spans)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # distinct + two windows + groupBy all share hashpartitioning(doc_id):
+        # distinct needs (doc_id, win_start); windows/group need doc_id — at
+        # most TWO exchanges end-to-end, never one per window/agg step
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+        # the window-hash hot-set join strategy stays AQE's choice: no
+        # forced broadcast hint in repeated_window_spans
+        optimized = (
+            repeated_window_spans(docs)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "broadcast" not in optimized.lower(), optimized
