@@ -61,16 +61,23 @@ def merge_mor(
     delete_op: str = "D",
     summary_update: dict | None = None,
     publish: bool = True,
+    branch: str | None = None,
 ) -> dict:
     """Apply one change batch merge-on-read. Same idempotency (commit_id
-    skip), concurrency (base_snapshot_id) and stats contract as
+    skip), concurrency (base_snapshot_id), stats and ``branch`` contract as
     ``merge_upsert``. Requires a seq-guarded table (``_seq`` column): the
     read-time mask is versioned by sequence number."""
-    if table.has_commit(commit_id):
+    if table.has_commit(commit_id) or (
+        branch is not None and table._branch_has_commit(branch, commit_id)
+    ):
         return {"skipped": True, "commit_id": commit_id}
 
     t0 = time.time()
-    snap = table.snapshot()
+    snap = (
+        table.snapshot(table.branch_head(branch))
+        if branch is not None
+        else table.snapshot()
+    )
     keys = snap.key_columns
     data_cols = [c["name"] for c in snap.current_schema()]
     if "_seq" not in data_cols:
@@ -107,6 +114,7 @@ def merge_mor(
         table.commit_appends(
             commit_id, [], {}, {}, summary_update,
             base_snapshot_id=snap.snapshot_id, publish=publish,
+            branch=branch,
         )
         return {
             "skipped": False,
@@ -121,7 +129,10 @@ def merge_mor(
     # cross-batch seq guard: current per-key max LIVE seq in the touched
     # buckets — a column-pruned (keys + _seq) masked read, never the payload
     cur_max = (
-        table.read(buckets=touched)
+        table.read(
+            snapshot_id=None if branch is None else snap.snapshot_id,
+            buckets=touched,
+        )
         .select(*keys, F.col("_seq").alias("__cur_seq"))
         .groupBy(*keys)
         .agg(F.max("__cur_seq").alias("__cur_seq"))
@@ -181,6 +192,7 @@ def merge_mor(
             su,
             base_snapshot_id=snap.snapshot_id,
             publish=publish,
+            branch=branch,
         )
     finally:
         kept.unpersist()

@@ -16,9 +16,12 @@ Composition (everything here is already individually tested):
   (lake/cdf.py) else derived by the bucket-pruned diff; net before/after
   is exactly what a final-state mirror needs (intermediate versions
   carry no information for it);
-- apply = ``merge_upsert(target, events)`` with op D for 'd' rows and U
-  otherwise, seq = the source snapshot id (monotone across syncs, so a
-  seq-guarded target also behaves);
+- apply = ``merge_upsert(target, events)`` with op D for 'd' rows (and for
+  tombstone sources' delete row-images) and U otherwise, seq = the source
+  snapshot id (monotone across syncs, so a seq-guarded target also
+  behaves). The mirror is a LIVE-STATE replica: the source's bookkeeping
+  columns (_seq, _deleted) never replicate — tombstoned keys are simply
+  absent on the mirror;
 - cursor = ``repl_cursor`` in the target's own commit summary — state and
   cursor move in ONE commit (the lake/materialize.py pattern), and the
   commit id ``repl-<from>-<to>`` makes a crashed/re-run sync a marker
@@ -62,8 +65,11 @@ def _find_cursor(target: LakeTable) -> "int | None":
 
 def _sync_schema(src: LakeTable, dst: LakeTable) -> list[str]:
     """ADD any column the source's current schema has and the target
-    lacks (lossless type as declared by the source). Returns added names."""
-    src_cols = {c["name"]: c["type"] for c in src.snapshot().current_schema()}
+    lacks (lossless type as declared by the source). Returns added names.
+    The source's bookkeeping columns (_seq/_deleted) never replicate —
+    the mirror is a LIVE-STATE replica (see ``replicate``)."""
+    src_cols = {c["name"]: c["type"] for c in src.snapshot().current_schema()
+                if c["name"] not in ("_seq", "_deleted")}
     dst_names = {c["name"] for c in dst.snapshot().current_schema()}
     add = [(n, t) for n, t in src_cols.items() if n not in dst_names]
     if add:
@@ -86,14 +92,22 @@ def replicate(
     s_snap = src.snapshot(sid)
 
     if not LakeTable.exists(target_path):
+        # LIVE-STATE replica: the source's bookkeeping columns (_seq,
+        # _deleted) stay home — a mirror has its own sync cursor for
+        # ordering, and physically materializing the source's tombstones
+        # would need their semantics re-implemented here (the previous
+        # schema-verbatim copy silently RESURRECTED tombstoned keys: the
+        # merge excludes _deleted from the payload, so every replicated
+        # row landed _deleted=false)
         dst = LakeTable.create(
             spark, target_path,
-            [(c["name"], c["type"]) for c in s_snap.current_schema()],
+            [(c["name"], c["type"]) for c in s_snap.current_schema()
+             if c["name"] not in ("_seq", "_deleted")],
             key_columns=s_snap.key_columns,
             n_buckets=n_buckets or s_snap.n_buckets,
             properties=dict(s_snap.properties),
         )
-        events = src.read(snapshot_id=sid).select(
+        events = src.read_live(snapshot_id=sid).select(
             F.lit("U").alias("op"), F.lit(sid).alias("seq"), "*"
         )
         r = merge_upsert(dst, events, f"repl-bootstrap-{sid}",
@@ -118,7 +132,11 @@ def replicate(
 
     added = _sync_schema(src, dst)
     src_value = {c["name"] for c in s_snap.current_schema()
-                 if c["name"] not in s_snap.key_columns}
+                 if c["name"] not in s_snap.key_columns
+                 and c["name"] not in ("_seq", "_deleted")}
+    src_tombstones = any(
+        c["name"] == "_deleted" for c in s_snap.current_schema()
+    )
     # the TARGET's value columns drive the batch shape: a column the source
     # DROPPED stays on the mirror (drop is not replicated — retention is
     # the mirror's own policy) and fills NULL on newly-changed rows
@@ -128,7 +146,7 @@ def replicate(
                  and c["name"] not in ("_seq", "_deleted")]
 
     if full_resync:
-        fresh = src.read(snapshot_id=sid)
+        fresh = src.read_live(snapshot_id=sid)
         dead = dst.read().join(
             fresh.select(*s_snap.key_columns), s_snap.key_columns,
             "left_anti",
@@ -156,8 +174,16 @@ def replicate(
     # change-sized when the source captures a change feed (lake/cdf.py);
     # falls back to the bucket-pruned snapshot diff per feed-less run
     env = changes_between(src, cursor, sid, coalesce=True)
+    # tombstone sources deliver deletes as 'u' rows whose after-image has
+    # _deleted=true (the feed mirrors the physical row model — lake/cdf.py);
+    # the live-state mirror maps those to D like any other delete
+    is_delete = F.col("op") == "d"
+    if src_tombstones:
+        is_delete = is_delete | F.coalesce(
+            F.col("after._deleted"), F.lit(False)
+        )
     events = env.select(
-        F.when(F.col("op") == "d", "D").otherwise("U").alias("op"),
+        F.when(is_delete, "D").otherwise("U").alias("op"),
         F.lit(sid).alias("seq"),
         *s_snap.key_columns,
         *[

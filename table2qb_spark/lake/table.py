@@ -875,7 +875,15 @@ class LakeTable:
         chain: list[int] = []
         sid = self.branch_head(name)
         while sid is not None:
-            h = self._read_header(sid)
+            try:
+                h = self._read_header(sid)
+            except FileNotFoundError:
+                # an expired chain member (a DEAD branch — overtaken base —
+                # whose mid-chain headers aged out of keep_last while the
+                # ref pinned only its head): stop the walk instead of
+                # crashing list/ff; fast_forward on such a chain is then
+                # rejected by its base check as usual
+                break
             if h.get("branch") != name:
                 break
             chain.append(sid)

@@ -224,6 +224,7 @@ TASK_DESCRIPTIONS = {
     "cdc-rollback": ("Rolls the table back to an earlier snapshot (metadata-only; undone commits replay unless --keep-commit-markers)", "Usage: table2qb cdc-rollback --table DIR (--to-snapshot REF | --as-of TS) [--keep-commit-markers]"),
     "cdc-tag": ("Creates/deletes/lists named snapshot refs (tags pin snapshots against expiry and are accepted wherever a snapshot id is)", "Usage: table2qb cdc-tag --table DIR [--create NAME [--snapshot REF] [--force] | --delete NAME]"),
     "cdc-branch": ("Creates/deletes/lists writable branch refs and fast-forwards a branch's staged chain onto main (audit-branch WAP over chains)", "Usage: table2qb cdc-branch --table DIR [--create NAME [--snapshot REF] | --delete NAME | --ff NAME]"),
+    "cdc-dlq": ("Inspects the dead-letter queue (reason breakdown) or re-drives repairable rows back into the table exactly once", "Usage: table2qb cdc-dlq --table DIR --dlq DIR [--redrive]"),
     "cdc-verify": ("Prints a distributed content digest of the table", "Usage: table2qb cdc-verify --table DIR"),
     "cdc-export": ("Exports table state (current or a snapshot) to parquet/CSV/JSONL", "Usage: table2qb cdc-export --table DIR --out DIR [--snapshot REF] [--buckets 0,1] [--columns a,b] [--format parquet|csv|jsonl] [--shards N --shard-key COL]"),
     "datagen": ("Writes a deterministic synthetic change log", "Usage: table2qb datagen --out DIR --events-n N"),
@@ -677,6 +678,23 @@ def cmd_branch(args) -> int:
     except (ValueError, FileNotFoundError, ConcurrentCommitError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    return 0
+
+
+def cmd_dlq(args) -> int:
+    """Dead-letter-queue ops (cdc/dlq.py): report the reason breakdown of
+    pending quarantine dirs, or --redrive the repairable (null_seq) rows
+    back into the table with fresh sequence numbers, exactly once."""
+    from table2qb_spark.cdc.dlq import dlq_report, redrive
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-dlq")
+    if args.redrive:
+        out = redrive(spark, LakeTable(spark, args.table), args.dlq)
+    else:
+        out = dlq_report(spark, args.dlq)
+    print(json.dumps(out))
     return 0
 
 
@@ -1651,6 +1669,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--snapshot", default=None, metavar="REF",
                    help="snapshot to branch from (default: current)")
     c.set_defaults(fn=cmd_branch)
+
+    c = sub.add_parser("cdc-dlq")
+    c.add_argument("--table", required=True)
+    c.add_argument("--dlq", required=True)
+    c.add_argument("--redrive", action="store_true",
+                   help="re-apply repairable rows with fresh seqs")
+    c.set_defaults(fn=cmd_dlq)
 
     c = sub.add_parser("cdc-verify")
     c.add_argument("--table", required=True)

@@ -175,3 +175,35 @@ class TestBranchCLI:
         merge_upsert(t, batch_df(spark, B3), "b3")
         assert main(["cdc-branch", "--table", tdir, "--ff", "audit"]) == 1
         assert "re-branch" in capsys.readouterr().err
+
+
+class TestBranchMergeOnRead:
+    def test_mor_branch_commit_and_ff(self, spark, tmp_path):
+        from table2qb_spark.lake.mor import merge_mor
+        from tests.test_mor import B1 as M_B1
+        from tests.test_mor import B2 as M_B2
+        from tests.test_mor import batch as m_batch
+        from tests.test_mor import mk as m_mk
+
+        t = m_mk(spark, tmp_path, "mor")
+        merge_mor(t, m_batch(spark, M_B1), "m1")
+        cur = t.current_snapshot_id()
+        t.create_branch("audit")
+        merge_mor(t, m_batch(spark, M_B2), "m2", branch="audit")
+        assert t.current_snapshot_id() == cur  # invisible on main
+        # branch head carries the MOR result: a.py updated, b.py tombstoned
+        head = t.read_live(snapshot_id=t.branch_head("audit"))
+        got = {(r["repo"], r["path"]): r["content"] for r in head.collect()}
+        assert got[("r1", "a.py")] == "a2"
+        assert ("r1", "b.py") not in got
+        # idempotent on the branch
+        assert merge_mor(t, m_batch(spark, M_B2), "m2", branch="audit")[
+            "skipped"
+        ]
+        t.fast_forward("audit")
+        ctl = m_mk(spark, tmp_path, "ctl")
+        from table2qb_spark.cdc.verify import table_sha256
+
+        merge_mor(ctl, m_batch(spark, M_B1), "m1")
+        merge_mor(ctl, m_batch(spark, M_B2), "m2")
+        assert table_sha256(t.read_live()) == table_sha256(ctl.read_live())

@@ -890,3 +890,98 @@ class TestSnapshotAsOf:
         # before table creation -> loud error
         with pytest.raises(ValueError, match="no snapshot at or before"):
             t.snapshot_as_of(hist[0].timestamp_ms - 1)
+
+
+class TestDlqRedrive:
+    def _quarantined(self, spark, tmp_path):
+        t = make_table(spark, tmp_path)
+        events = batch_df(
+            spark,
+            [
+                (1, "I", "r1", "a.py", "c1", "py", "v1"),
+                (None, "I", "r1", "e.py", "c5", "py", "v1"),  # repairable
+                (None, "I", "r2", "f.py", "c6", "go", "v1"),  # repairable
+                (2, "X", "r1", "b.py", "c2", "py", "v1"),     # bad op: terminal
+                (3, "I", None, "c.py", "c3", "py", "v1"),     # null key: terminal
+            ],
+        )
+        dlq = str(tmp_path / "dlq")
+        ChangeLogReplayer(spark, t, events, batch_events=1000, dlq_dir=dlq).run()
+        return t, dlq
+
+    def test_report_then_redrive(self, spark, tmp_path):
+        from table2qb_spark.cdc.dlq import dlq_report, pending_dirs, redrive
+
+        t, dlq = self._quarantined(spark, tmp_path)
+        rep = dlq_report(spark, dlq)
+        assert rep["rows"] == 4 and rep["pending_dirs"] == 1
+        assert rep["by_reason"]["null_seq"] == 2
+
+        r = redrive(spark, t, dlq)
+        assert r["redriven"] == 2 and r["still_bad"] == 2
+        state = {(x["repo"], x["path"]) for x in t.read().collect()}
+        # the two null-seq inserts landed; the terminal rows did not
+        assert ("r1", "e.py") in state and ("r2", "f.py") in state
+        assert ("r1", "b.py") not in state and (None, "c.py") not in state
+        # consumed dirs archived; terminal rows in an unrepairable dir
+        assert pending_dirs(dlq) == []
+        assert dlq_report(spark, dlq)["pending_dirs"] == 0
+        unrep = [d for d in os.listdir(dlq) if d.startswith("unrepairable-")]
+        assert len(unrep) == 1
+        bad = spark.read.parquet(os.path.join(dlq, unrep[0]))
+        assert {row["dlq_reason"] for row in bad.collect()} == {
+            "bad_op", "null_key:repo"
+        }
+
+    def test_redrive_is_idempotent_and_exactly_once(self, spark, tmp_path):
+        from table2qb_spark.cdc.dlq import redrive
+
+        t, dlq = self._quarantined(spark, tmp_path)
+        r1 = redrive(spark, t, dlq)
+        assert not r1["skipped"] and r1["redriven"] == 2
+        rows_after = t.read().count()
+        # re-run on the drained queue: no-op
+        r2 = redrive(spark, t, dlq)
+        assert r2 == {"redriven": 0, "still_bad": 0, "pending_dirs": 0}
+        assert t.read().count() == rows_after
+        # crash simulation: un-archive the consumed dir (merge committed,
+        # archive "lost") — the re-run marker-skips the merge, no dup rows
+        for d in os.listdir(dlq):
+            if d.endswith(".redriven"):
+                os.rename(os.path.join(dlq, d),
+                          os.path.join(dlq, d[: -len(".redriven")]))
+        r3 = redrive(spark, t, dlq)
+        assert r3["skipped"] and r3["redriven"] == 2  # counted, not re-applied
+        assert t.read().count() == rows_after
+
+    def test_redrive_latest_wins_vs_existing_key(self, spark, tmp_path):
+        from table2qb_spark.cdc.dlq import redrive
+
+        t = make_table(spark, tmp_path)
+        events = batch_df(
+            spark,
+            [
+                (7, "I", "r1", "a.py", "c1", "py", "v-old"),
+                (None, "U", "r1", "a.py", "c2", "py", "v-dlq"),
+            ],
+        )
+        dlq = str(tmp_path / "dlq")
+        ChangeLogReplayer(spark, t, events, batch_events=1000, dlq_dir=dlq).run()
+        assert t.read().collect()[0]["content"] == "v-old"
+        redrive(spark, t, dlq)
+        # re-driven row got a seq ABOVE max_seq(7), so it wins the merge
+        assert t.read().collect()[0]["content"] == "v-dlq"
+
+    def test_cli(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from table2qb_spark.main import main
+
+        t, dlq = self._quarantined(spark, tmp_path)
+        assert main(["cdc-dlq", "--table", str(t.path), "--dlq", dlq]) == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows"] == 4
+        assert main(["cdc-dlq", "--table", str(t.path), "--dlq", dlq,
+                     "--redrive"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["redriven"] == 2 and out["still_bad"] == 2

@@ -123,3 +123,47 @@ class TestReplicate:
         assert main(["cdc-replicate", "--source", t.path,
                      "--target", mirror]) == 0
         assert json.loads(capsys.readouterr().out).get("up_to_date")
+
+
+class TestTombstoneSource:
+    def test_live_state_mirror_of_tombstone_source(self, spark, tmp_path):
+        # a streaming-shaped source (seq-guarded + tombstones) replicates as
+        # a LIVE-STATE mirror: bookkeeping columns stay home, tombstoned
+        # keys are absent, and a delete arriving AFTER bootstrap (which the
+        # source materializes as a _deleted=true row-image, not a 'd'
+        # envelope row) still removes the key from the mirror
+        from tests.test_rollback import BASE_SCHEMA, KEYS
+
+        t = LakeTable.create(
+            spark, str(tmp_path / "src"),
+            BASE_SCHEMA + [("_seq", "long"), ("_deleted", "boolean")],
+            KEYS, n_buckets=8,
+        )
+        merge_upsert(t, batch_df(spark, [
+            (10, "I", "r1", "a.py", "c1", "py", "v1"),
+            (11, "I", "r2", "b.py", "c1", "go", "v1"),
+            (12, "D", "r2", "b.py", None, None, None),  # tombstoned pre-boot
+        ]), "g1", batch_size_hint=3)
+
+        mirror = str(tmp_path / "mirror")
+        replicate(spark, t.path, mirror)
+        m = LakeTable(spark, mirror)
+        cols = {c["name"] for c in m.snapshot().current_schema()}
+        assert "_seq" not in cols and "_deleted" not in cols
+        assert {r["repo"] for r in m.read().collect()} == {"r1"}
+
+        # post-bootstrap delete + insert sync through the envelope path
+        merge_upsert(t, batch_df(spark, [
+            (13, "D", "r1", "a.py", None, None, None),
+            (14, "I", "r3", "c.py", "c2", "rs", "v1"),
+        ]), "g2", batch_size_hint=2)
+        replicate(spark, t.path, mirror)
+        assert {r["repo"] for r in m.read().collect()} == {"r3"}
+        # mirror live state == source live state, column-for-column
+        src_live = table_sha256(
+            t.read_live().select("repo", "path", "commit", "lang", "content")
+        )
+        dst_live = table_sha256(
+            m.read().select("repo", "path", "commit", "lang", "content")
+        )
+        assert src_live == dst_live
