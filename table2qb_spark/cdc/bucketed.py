@@ -236,12 +236,18 @@ class BucketedReplayer:
         # per-row invariant parity with ChangeLogReplayer (BASELINE
         # input_hint): tables carrying content_sha get it computed at ingest
         event_cols = {f.name for f in self._events_schema.fields}
+        # cast event columns to the DECLARED table types (same invariant as
+        # lake/merge.py batch_sel): unionByName below would otherwise coerce
+        # int-declared columns up to a bigint event's type and write parquet
+        # that contradicts the table schema — corrupting every later read
+        decl = {c["name"]: c["type"] for c in snap.current_schema()}
+        key_sel = [F.col(k).cast(decl[k]).alias(k) for k in keys]
         value_exprs = []
         for c in value_cols:
             if c == "content_sha" and c not in event_cols and "content" in event_cols:
                 value_exprs.append(F.sha2(F.col("content"), 256).alias("content_sha"))
             else:
-                value_exprs.append(F.col(c))
+                value_exprs.append(F.col(c).cast(decl[c]).alias(c))
 
         import uuid as _uuid
 
@@ -262,7 +268,7 @@ class BucketedReplayer:
         # was).
         seq_filter = (F.col(self.seq_col) >= lo) & (F.col(self.seq_col) <= hi)
         ev_select = [
-            *key_cols,
+            *key_sel,
             F.col(self.seq_col).cast("long").alias("__seq"),
             F.lit(1).alias("__pri"),  # seq tie: event beats stored row
             F.col(self.op_col).alias("__op"),

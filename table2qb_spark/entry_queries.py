@@ -2892,6 +2892,226 @@ ORACLES["prep_composite"] = f"""
     )
 """
 
+
+# ---------------------------------------------------------------------------
+# Data quality (lake/quality.py): column profiling + constraint checks
+# ---------------------------------------------------------------------------
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile (lake.quality.profile_columns) over
+    orders — exact distinct so the oracle can reproduce the counts
+    (production default is the HLL approx path, same single scan)."""
+    from table2qb_spark.lake.quality import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact_distinct=True,
+    )
+
+
+def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint checks (lake.quality.check_constraints) over
+    lineitem: all four rule kinds, including a deliberately failing range
+    check (max discount is 0.1) and a non-unique key tuple — both engines
+    must agree on the exact violation counts."""
+    from table2qb_spark.lake.quality import check_constraints
+
+    li = _t(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        [
+            "not_null:l_orderkey",
+            "accepted:l_returnflag:A|N|R",
+            "check:l_quantity >= 1 AND l_quantity <= 50",
+            "check:l_discount >= 0 AND l_discount <= 0.08",
+            "unique:l_orderkey,l_linenumber",
+        ],
+    )
+
+
+ORACLES["column_profile"] = """
+    SELECT 'o_orderkey' AS column_name, count(*)::BIGINT AS n_rows,
+           (count(*) - count(o_orderkey))::BIGINT AS n_null,
+           round((count(*) - count(o_orderkey))::DOUBLE / count(*), 4) AS null_frac,
+           count(distinct o_orderkey)::BIGINT AS n_distinct,
+           min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*)::BIGINT, (count(*) - count(o_custkey))::BIGINT,
+           round((count(*) - count(o_custkey))::DOUBLE / count(*), 4),
+           count(distinct o_custkey)::BIGINT,
+           min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*)::BIGINT, (count(*) - count(o_orderstatus))::BIGINT,
+           round((count(*) - count(o_orderstatus))::DOUBLE / count(*), 4),
+           count(distinct o_orderstatus)::BIGINT,
+           min(o_orderstatus)::VARCHAR, max(o_orderstatus)::VARCHAR
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*)::BIGINT, (count(*) - count(o_orderpriority))::BIGINT,
+           round((count(*) - count(o_orderpriority))::DOUBLE / count(*), 4),
+           count(distinct o_orderpriority)::BIGINT,
+           min(o_orderpriority)::VARCHAR, max(o_orderpriority)::VARCHAR
+    FROM orders
+"""
+
+ORACLES["constraint_checks"] = """
+    WITH r AS (
+      SELECT 'not_null:l_orderkey' AS rule,
+             sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'accepted:l_returnflag:A|N|R',
+             sum(CASE WHEN l_returnflag IS NOT NULL
+                       AND l_returnflag NOT IN ('A', 'N', 'R')
+                 THEN 1 ELSE 0 END)::BIGINT
+      FROM lineitem
+      UNION ALL
+      SELECT 'check:l_quantity >= 1 AND l_quantity <= 50',
+             sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)
+                 THEN 1 ELSE 0 END)::BIGINT
+      FROM lineitem
+      UNION ALL
+      SELECT 'check:l_discount >= 0 AND l_discount <= 0.08',
+             sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 0.08, FALSE)
+                 THEN 1 ELSE 0 END)::BIGINT
+      FROM lineitem
+      UNION ALL
+      SELECT 'unique:l_orderkey,l_linenumber', sum(c - 1)::BIGINT
+      FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    )
+    SELECT rule, coalesce(violations, 0)::BIGINT AS violations,
+           coalesce(violations, 0) = 0 AS passed
+    FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting / resampling (ops/importance.py)
+# ---------------------------------------------------------------------------
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weights (ops.importance.importance_weights):
+    target = the English slice, raw = the whole documents table, 256
+    hashed unigram+bigram buckets, add-1 smoothing. The oracle refits the
+    identical two bucket models in DuckDB."""
+    from table2qb_spark.ops import importance
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return importance.importance_weights(docs, target, n_buckets=256, alpha=1.0)
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k importance resampling (50 docs sampled without
+    replacement proportional to softmax of the DSIR weights) — the
+    deterministic per-doc Gumbel draw makes the selected SET identical
+    across engines."""
+    from table2qb_spark.ops import importance
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return importance.importance_resample(
+        docs, target, k=50, n_buckets=256, alpha=1.0, seed=42
+    )
+
+
+_SQL_DSIR_WEIGHTS = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {SQL_TOKENS.format(x='text')} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             unnest(toks[1:len(toks) - 1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM toks WHERE len(toks) >= 2
+    ), feats AS (
+      SELECT doc_id, lang, unnest(toks) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, lang, w1 || ' ' || w2 AS f FROM bg
+    ), fb AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS bucket
+      FROM feats
+    ), tc AS (
+      SELECT bucket, count(*) AS t FROM fb WHERE lang = 'en' GROUP BY bucket
+    ), rc AS (
+      SELECT bucket, count(*) AS r FROM fb GROUP BY bucket
+    ), tot AS (
+      SELECT (SELECT count(*) FROM fb WHERE lang = 'en') AS tt,
+             (SELECT count(*) FROM fb) AS rt
+    ), ratio AS (
+      SELECT rc.bucket,
+             ln((coalesce(tc.t, 0) + 1.0) / (tot.tt + 256.0))
+               - ln((rc.r + 1.0) / (tot.rt + 256.0)) AS log_ratio
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
+    ), w AS (
+      SELECT fb.doc_id, count(*)::INT AS n_feats,
+             round(sum(ratio.log_ratio), 4) AS log_weight
+      FROM fb JOIN ratio USING (bucket)
+      GROUP BY fb.doc_id
+    )
+"""
+
+ORACLES["importance_weights"] = _SQL_DSIR_WEIGHTS + """
+    SELECT doc_id, n_feats, log_weight FROM w
+"""
+
+ORACLES["importance_resample"] = _SQL_DSIR_WEIGHTS + """
+    , u AS (
+      SELECT doc_id, log_weight,
+             (('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 15))::BIGINT
+                % 1000000 + 0.5) / 1000000.0 AS u
+      FROM w
+    )
+    SELECT doc_id, log_weight,
+           round(log_weight + (-ln(-ln(u))), 4) AS gumbel_score
+    FROM u ORDER BY gumbel_score DESC, doc_id LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware exact dedup (ops/dedup.py::exact_dedup_keep_best)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping each group's highest-scoring copy (n_chars as the
+    sidecar quality signal; the 29-member fingerprint group in the fixture
+    has 25 distinct scores AND score ties, so both the argmax and the
+    min-id tie-break are exercised)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.fingerprint_expr(F.col("text")).alias("text"),
+        F.col("n_chars").alias("score"),
+    )
+    return dedup.exact_dedup_keep_best(
+        docs, score_col="score", text_col="text", id_col="doc_id"
+    )
+
+
+ORACLES["dedup_keep_best"] = f"""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_sort(list_distinct({SQL_TOKENS.format(x='text')})), ' ')) AS f
+      FROM documents
+    ), ranked AS (
+      SELECT md5(f) AS content_hash, doc_id,
+             round(n_chars::DOUBLE, 6) AS s,
+             row_number() OVER (
+               PARTITION BY f
+               ORDER BY round(n_chars::DOUBLE, 6) DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY f) AS n_copies
+      FROM fp
+    )
+    SELECT content_hash, doc_id AS keeper_id, s AS keeper_score, n_copies
+    FROM ranked WHERE rn = 1
+"""
+
 QUERIES = {
     "cube_observations": q_cube_observations,
     "uri_expand": q_uri_expand,
@@ -2969,4 +3189,9 @@ QUERIES = {
     "multimodal_av_headers": q_multimodal_av_headers,
     "multimodal_decode": q_multimodal_decode,
     "pricing_summary": q_pricing_summary,
+    "column_profile": q_column_profile,
+    "constraint_checks": q_constraint_checks,
+    "importance_weights": q_importance_weights,
+    "importance_resample": q_importance_resample,
+    "dedup_keep_best": q_dedup_keep_best,
 }

@@ -182,12 +182,20 @@ def merge_upsert(
     missing = [c for c in required if c not in batch_df.columns]
     if missing:
         raise ValueError(f"Batch is missing columns {missing}")
+    # Align batch columns to the table's DECLARED types at ingest (a batch
+    # built from inferred-schema sources arrives as e.g. bigint where the
+    # table declares int; writing it verbatim plants parquet files whose
+    # physical type contradicts the table schema — every later read fails
+    # with PARQUET_COLUMN_DATA_TYPE_MISMATCH). Cast is a no-op when types
+    # already match; under ANSI mode (Spark 4 default) a narrowing overflow
+    # fails THIS write loudly instead of corrupting the table.
+    decl = {c["name"]: c["type"] for c in snap.current_schema()}
     batch_sel = batch_df.select(
-        *keys,
+        *[F.col(k).cast(decl[k]).alias(k) for k in keys],
         F.col(seq_col).cast("long").alias("__seq"),
         F.lit(1).alias("__pri"),  # seq ties: batch beats stored (see below)
         F.col(op_col).alias("__op"),
-        *[F.col(c) for c in value_cols],
+        *[F.col(c).cast(decl[c]).alias(c) for c in value_cols],
     )
     if two_phase_dedup:
         # explicit salted pre-combine for single-key bursts, then the main agg

@@ -213,6 +213,8 @@ TASK_DESCRIPTIONS = {
     "cdc-update": ("Row-level UPDATE by predicate: copy-on-write bucket rewrite or merge-on-read (position-delete old copies + append rewritten rows); key columns immutable", "Usage: table2qb cdc-update --table DIR --where PRED --set col=EXPR [--set col=EXPR ...] [--strategy cow|mor] [--dry-run] [--commit-id ID]"),
     "cdc-merge-into": ("SQL MERGE: join a source on the key columns; WHEN MATCHED update/delete, WHEN NOT MATCHED insert (copy-on-write, touched buckets only)", "Usage: table2qb cdc-merge-into --table DIR --source PATH [--update col=EXPR ... | --update-all] [--delete-where PRED] [--no-insert] [--update-where PRED] [--insert-where PRED] [--commit-id ID]"),
     "cdc-fsck": ("Checks table integrity: manifests, file references, live-row arithmetic, markers, schema ids; --deep audits parquet footers distributed", "Usage: table2qb cdc-fsck --table DIR [--deep]"),
+    "cdc-profile": ("Profiles columns (nulls, distinct, min/max) in one scan; time-travelable", "Usage: table2qb cdc-profile --table DIR [--columns a,b] [--snapshot REF] [--exact]"),
+    "cdc-check": ("Evaluates declarative constraint rules; exit 0 iff all pass (WAP publish gate)", "Usage: table2qb cdc-check --table DIR --rule R [--rule R ...] [--snapshot REF]"),
     "cdc-compact": ("Compacts small files per bucket", "Usage: table2qb cdc-compact --table DIR [--sort-by COLS | --zorder COLS] [--max-records-per-file N] [--purge-below-seq N] [--min-delete-ratio R]"),
     "cdc-rebucket": ("Re-hashes the table into a new bucket count (bucket evolution; one distributed rewrite)", "Usage: table2qb cdc-rebucket --table DIR --buckets N [--sort-by COLS] [--max-records-per-file N]"),
     "cdc-expire": ("Expires old snapshots", "Usage: table2qb cdc-expire --table DIR --keep-last N"),
@@ -1172,6 +1174,51 @@ def cmd_cdc_fsck(args) -> int:
     return 0 if result["ok"] else 1
 
 
+def cmd_cdc_profile(args) -> int:
+    """Column profiling over the lake's masked, time-travelable read
+    (lake/quality.py): one scan, every column's null/distinct/min/max
+    together. Drift between snapshots = two profile calls."""
+    from table2qb_spark.lake.quality import profile_columns
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-profile")
+    t = LakeTable(spark, args.table)
+    sid = t.resolve_ref(args.snapshot) if args.snapshot else None
+    cols = [c.strip() for c in args.columns.split(",")] if args.columns else None
+    try:
+        rows = profile_columns(
+            t.read(snapshot_id=sid), cols, exact_distinct=args.exact
+        ).collect()
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps([r.asDict() for r in rows], indent=2, default=str))
+    return 0
+
+
+def cmd_cdc_check(args) -> int:
+    """Declarative constraint checks (lake/quality.py) as a publish gate:
+    exit 0 iff every rule passed — the WAP composition is
+    ``cdc-replay --stage`` -> ``cdc-check --snapshot <staged>`` ->
+    ``cdc-publish`` iff this returned 0."""
+    from table2qb_spark.lake.quality import check_constraints
+    from table2qb_spark.lake.table import LakeTable
+
+    _require_table(args.table)
+    spark = get_spark("cdc-check")
+    t = LakeTable(spark, args.table)
+    sid = t.resolve_ref(args.snapshot) if args.snapshot else None
+    try:
+        rows = check_constraints(t.read(snapshot_id=sid), args.rule).collect()
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    out = [r.asDict() for r in rows]
+    print(json.dumps(out, indent=2, default=str))
+    return 0 if all(r["passed"] for r in out) else 1
+
+
 def cmd_cdc_alter(args) -> int:
     """Explicit DDL on the lake table (payload-driven evolution handles the
     CDC stream's ADD/RENAME automatically; this is the operator surface for
@@ -1977,6 +2024,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="include every schema version and per-column-id "
                         "lineage (renames)")
     c.set_defaults(fn=cmd_cdc_schema)
+
+    c = sub.add_parser("cdc-profile")
+    c.add_argument("--table", required=True)
+    c.add_argument("--columns", help="comma-separated subset; default all columns")
+    c.add_argument("--snapshot", help="snapshot id or tag (time travel)")
+    c.add_argument("--exact", action="store_true",
+                   help="exact distinct counts (one extra shuffle per column) "
+                        "instead of the single-pass HLL approximation")
+    c.set_defaults(fn=cmd_cdc_profile)
+
+    c = sub.add_parser("cdc-check")
+    c.add_argument("--table", required=True)
+    c.add_argument("--rule", action="append", required=True,
+                   help="not_null:col | unique:c1,c2 | accepted:col:v1|v2 | "
+                        "check:<sql bool expr>; repeatable")
+    c.add_argument("--snapshot", help="snapshot id or tag (time travel)")
+    c.set_defaults(fn=cmd_cdc_check)
 
     c = sub.add_parser("cdc-fsck")
     c.add_argument("--table", required=True)

@@ -36,6 +36,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware exact dedup: the keeper of each duplicate group is its
+    HIGHEST-scoring member, not its min-id one — the production rule when
+    byte-identical crawls differ in sidecar quality signals (fetch date,
+    source trust, quality score): keep the best copy, drop the rest.
+
+    Output: ``content_hash, keeper_id, keeper_score, n_copies`` — one row
+    per distinct content. Keeper = argmax(round(score, 6)), min id on ties
+    (rounding first, so cross-engine float noise can never flip a keeper:
+    the tfidf_keywords tie-determinism rule).
+
+    Scale shape: identical to ``exact_dedup`` — ONE map-side-combined hash
+    aggregate; the argmax rides as a ``max_by`` over a (score, -id) struct
+    in the same pass (no window, no second shuffle)."""
+    rounded = F.round(F.col(score_col).cast("double"), 6)
+    # struct ordering = (score asc, negated id asc) -> max picks the
+    # highest score and, within it, the SMALLEST id
+    best = F.max_by(
+        F.struct(F.col(id_col).alias("i"), rounded.alias("s")),
+        F.struct(rounded.alias("s"), (-F.col(id_col)).alias("ni")),
+    )
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("content_hash"),
+            F.col(id_col),
+            F.col(score_col),
+        )
+        .groupBy("content_hash")
+        .agg(best.alias("__b"), F.count("*").alias("n_copies"))
+        .select(
+            "content_hash",
+            F.col("__b.i").alias("keeper_id"),
+            F.col("__b.s").alias("keeper_score"),
+            "n_copies",
+        )
+    )
+
+
 def shingles_expr(c: Column, n: int = 3) -> Column:
     """Word n-gram shingles (distinct) of lowercased text."""
     toks = tokens_expr(c)

@@ -87,6 +87,29 @@ class TestLakeTable:
         assert rows[0]["content"] == "new"
         assert stats["deletes"] == 1
 
+    def test_batch_types_cast_to_declared_schema(self, spark, tmp_path):
+        # A batch built from an inferred-schema source arrives as bigint
+        # where the table declares int; the merge must align to the DECLARED
+        # type at ingest — writing it verbatim would plant INT64 parquet in
+        # an int table and break every later read (KD001). Both the empty-
+        # table backfill fast path and the incremental path are exercised.
+        t = LakeTable.create(
+            spark, str(tmp_path / "t"),
+            [("repo", "string"), ("path", "string"), ("n", "int")],
+            KEYS, n_buckets=2,
+        )
+        mk = lambda rows: spark.createDataFrame(
+            rows, "seq bigint, op string, repo string, path string, n bigint"
+        )
+        merge_upsert(t, mk([(1, "I", "r1", "a.py", 10)]), "b1")   # backfill
+        merge_upsert(t, mk([(2, "U", "r1", "a.py", 20),
+                            (3, "I", "r1", "b.py", 30)]), "b2")   # incremental
+        out = t.read()
+        assert dict(out.dtypes)["n"] == "int"
+        assert {(r["path"], r["n"]) for r in out.collect()} == {
+            ("a.py", 20), ("b.py", 30)
+        }
+
     def test_commit_idempotency(self, spark, tmp_path):
         t = make_table(spark, tmp_path)
         b = batch_df(spark, [(1, "I", "r1", "a.py", "c1", "python", "v1")])
