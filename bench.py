@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "used_codes",
     "cdc_latest_state",
     "cdc_merge_upsert",
+    "cdc_patch_state",
     "cdc_sessionize",
     "text_analysis",
     "dedup_exact",

@@ -367,6 +367,50 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.where(F.col("op") != "D").select("user_id", "seq", "op", "value")
 
 
+def _patch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partial-payload change stream derived from ``events``:
+    signup=I, error=D, rest=U keyed by user_id; ``value`` is nulled on every
+    3rd event and ``ts_ms`` on every 5th, so patch semantics (null = leave
+    untouched on U, null = real null on I) are genuinely exercised on both
+    engines."""
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round("value", 4))
+        .alias("value"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.unix_millis(F.col("ts").cast("timestamp")))
+        .alias("ts_ms"),
+    )
+
+
+def q_cdc_patch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update merge engine (cdc/patch.py): per-column
+    last-non-null-wins over a patch-payload stream, keys whose final event
+    is a delete dropped, delete-then-patch revival onto an empty row."""
+    from table2qb_spark.cdc.patch import patch_state
+
+    return patch_state(_patch_events(spark, sf_dir), ["user_id"])
+
+
+def q_cdc_patch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume/compose property of the patch engine: fold the first half of
+    the stream to base state, then patch_merge the second half onto it —
+    must equal the one-shot fold (the oracle IS cdc_patch_state's SQL)."""
+    from table2qb_spark.cdc.patch import patch_merge, patch_state
+
+    ev = _patch_events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("seq"), F.max("seq")).first()
+    thr = (lo + hi) // 2  # one tiny scalar agg on the driver, like seq_bounds
+    base = patch_state(ev.where(F.col("seq") <= thr), ["user_id"])
+    return patch_merge(base, ev.where(F.col("seq") > thr), ["user_id"])
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (ops/scrub.py) over documents with deterministic
     planted PII (the synthetic corpus has none): every 10th doc gains an
@@ -1727,6 +1771,35 @@ ORACLES: dict[str, str] = {
           FROM events
         ) WHERE rn = 1 AND op <> 'D'
     """,
+    # Patch (partial-update) merge engine: DuckDB replica of the same
+    # one-aggregate algebra — per column, winner = max-seq authoritative
+    # setter, voided if it precedes the last row-image boundary (s_star);
+    # key dead iff the final event is a delete. cdc_patch_merge (fold half,
+    # patch_merge the rest) must converge to the identical state, so it
+    # shares this SQL verbatim.
+    "cdc_patch_state": """
+        WITH ev AS (
+          SELECT user_id, event_id AS seq,
+                 CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+                 CASE WHEN event_id % 3 = 0 THEN NULL ELSE round(value, 4) END AS value,
+                 CASE WHEN event_id % 5 = 0 THEN NULL ELSE epoch_ms(ts) END AS ts_ms
+          FROM events
+        ), agg AS (
+          SELECT user_id,
+                 max(seq) AS seq,
+                 arg_max(op, seq) AS last_op,
+                 max(seq) FILTER (WHERE op <> 'U') AS s_star,
+                 max(CASE WHEN op = 'I' OR (op = 'U' AND value IS NOT NULL)
+                          THEN {'s': seq, 'v': value} END) AS w_value,
+                 max(CASE WHEN op = 'I' OR (op = 'U' AND ts_ms IS NOT NULL)
+                          THEN {'s': seq, 'v': ts_ms} END) AS w_ts_ms
+          FROM ev GROUP BY user_id
+        )
+        SELECT user_id, seq,
+               CASE WHEN s_star IS NULL OR w_value.s >= s_star THEN w_value.v END AS value,
+               CASE WHEN s_star IS NULL OR w_ts_ms.s >= s_star THEN w_ts_ms.v END AS ts_ms
+        FROM agg WHERE last_op <> 'D'
+    """,
     "cdc_delete_where": """
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE NOT COALESCE(lang = 'en' AND n_chars < 200, FALSE)
@@ -2818,6 +2891,9 @@ ORACLES["quality_classifier"] = """
     FROM documents
 """
 
+# Half-fold + patch_merge must converge to the one-shot fold's exact state.
+ORACLES["cdc_patch_merge"] = ORACLES["cdc_patch_state"]
+
 ORACLES["url_dedup"] = f"""
     WITH canon AS ({ORACLES["url_canonical"]})
     SELECT url_norm, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
@@ -3128,6 +3204,8 @@ QUERIES = {
     "cdc_latest_state": q_cdc_latest_state,
     "cdc_latest_state_salted": q_cdc_latest_state_salted,
     "cdc_merge_upsert": q_cdc_merge_upsert,
+    "cdc_patch_state": q_cdc_patch_state,
+    "cdc_patch_merge": q_cdc_patch_merge,
     "cdc_mor_state": q_cdc_mor_state,
     "cdc_delete_where": q_cdc_delete_where,
     "cdc_update_where": q_cdc_update_where,
