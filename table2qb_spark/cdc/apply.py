@@ -90,7 +90,22 @@ class ChangeLogReplayer:
         valid_ops: tuple[str, ...] = ("I", "U", "D"),
         merge_on_read: bool = False,
         stage: bool = False,
+        merge_engine: str = "upsert",
     ):
+        # merge engine: "upsert" = full-row-image last-writer-wins;
+        # "patch" = partial-update per-column last-non-null-wins
+        # (cdc/patch.py / lake.merge.merge_patch) for MINIMAL-row-image /
+        # $set-shaped logs. Patch applies per-bucket COW rewrites, so it
+        # composes with staging but not with merge-on-read (equality
+        # deletes mask whole superseded ROWS — a partial payload has no
+        # full row to append). Validated before any I/O so a bad combo
+        # fails fast.
+        if merge_engine not in ("upsert", "patch"):
+            raise ValueError(f"Unknown merge_engine {merge_engine!r}")
+        if merge_engine == "patch" and merge_on_read:
+            raise ValueError("merge_engine='patch' requires copy-on-write "
+                             "(merge-on-read appends full row images)")
+        self.merge_engine = merge_engine
         self.spark = spark
         self.table = table
         self._events_path = events if isinstance(events, str) else None
@@ -242,6 +257,18 @@ class ChangeLogReplayer:
             from table2qb_spark.lake.mor import merge_mor
 
             stats = merge_mor(
+                self.table,
+                batch,
+                commit_id,
+                op_col=self.op_col,
+                seq_col=self.seq_col,
+                summary_update={"last_batch": batch_index, "range_end": end},
+                publish=not self.stage,
+            )
+        elif self.merge_engine == "patch":
+            from table2qb_spark.lake.merge import merge_patch
+
+            stats = merge_patch(
                 self.table,
                 batch,
                 commit_id,

@@ -80,6 +80,32 @@ def patch_state(
         value_cols = [
             c for c in df.columns if c not in (*key_cols, seq_col, op_col)
         ]
+    folded = patch_fold(
+        df, key_cols, seq_col, op_col, value_cols,
+        two_phase=two_phase, n_salt=n_salt,
+    )
+    return folded.where(F.col("__last.o") != "D").select(
+        *key_cols,
+        F.col("__last.s").alias(seq_col),
+        *[resolve_patch_col(c) for c in value_cols],
+    )
+
+
+def patch_fold(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    value_cols: list[str],
+    two_phase: bool = False,
+    n_salt: int = 16,
+) -> DataFrame:
+    """The engine's single aggregate, unresolved: per key, ``__last`` =
+    struct(s, o) of the final event, ``__s_star`` = last row-image boundary
+    seq, ``__w_<c>`` = struct(s, v) of each column's max-seq authoritative
+    setter. :func:`patch_state` resolves it for operator callers; the lake
+    merge (``lake/merge.py::merge_patch``) resolves it itself so tombstone
+    tables can KEEP dead keys as physical rows."""
     seq = F.col(seq_col)
     op = F.col(op_col)
 
@@ -107,21 +133,18 @@ def patch_state(
             F.max("__s_star").alias("__s_star"),
             *[F.max(f"__w_{c}").alias(f"__w_{c}") for c in value_cols],
         ]
-        folded = stage1.groupBy(*key_cols).agg(*remerge)
-    else:
-        folded = df.groupBy(*key_cols).agg(*aggs)
+        return stage1.groupBy(*key_cols).agg(*remerge)
+    return df.groupBy(*key_cols).agg(*aggs)
 
-    unshadowed = [
-        F.when(
-            F.col("__s_star").isNull()
-            | (F.col(f"__w_{c}.s") >= F.col("__s_star")),
-            F.col(f"__w_{c}.v"),
-        ).alias(c)
-        for c in value_cols
-    ]
-    return folded.where(F.col("__last.o") != "D").select(
-        *key_cols, F.col("__last.s").alias(seq_col), *unshadowed
-    )
+
+def resolve_patch_col(c: str) -> Column:
+    """Final value of column ``c`` from a :func:`patch_fold` row: the
+    winner's value unless a later row-image boundary shadows it."""
+    return F.when(
+        F.col("__s_star").isNull()
+        | (F.col(f"__w_{c}.s") >= F.col("__s_star")),
+        F.col(f"__w_{c}.v"),
+    ).alias(c)
 
 
 def patch_merge(

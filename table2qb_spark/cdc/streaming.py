@@ -150,8 +150,21 @@ def start_stream(
     watermark_prefilter: bool = False,
     dlq_dir: str | None = None,
     merge_on_read: bool = False,
+    merge_engine: str = "upsert",
 ):
     """Start the streaming ingest. Returns the StreamingQuery.
+
+    ``merge_engine="patch"``: partial-update per-column semantics
+    (lake.merge.merge_patch) instead of full-row-image last-writer-wins.
+    foreachBatch-safe (explicit stats aggregate, no Observation), and
+    out-of-order safe ON SEQ-GUARDED tables without the watermark
+    prefilter: a late event re-delivered in a later micro-batch enters the
+    fold BELOW the stored row image's ``_seq``, so the patch algebra's
+    boundary shadowing supersedes it wholesale — the seq-guard
+    authoritative-state-wins contract (a late ``I`` does not back-fill
+    never-patched columns; see ``merge_patch``'s docstring). Incompatible
+    with merge_on_read (partial payloads have no full row image to append
+    as MOR winners).
 
     ``merge_on_read``: apply micro-batches via lake/mor.py (append winners +
     equality-delete files) instead of the COW merge — the right mode for
@@ -181,6 +194,11 @@ def start_stream(
     ``max_files_per_trigger``: an int, or ``"auto"`` to size triggers to
     ~4M events (env SPARK_GRAFT_STREAM_TRIGGER_EVENTS) from the backlog's
     parquet footers (see auto_max_files_per_trigger)."""
+    if merge_engine not in ("upsert", "patch"):
+        raise ValueError(f"Unknown merge_engine {merge_engine!r}")
+    if merge_engine == "patch" and merge_on_read:
+        raise ValueError("merge_engine='patch' requires copy-on-write "
+                         "(merge-on-read appends full row images)")
     if max_files_per_trigger == "auto":
         max_files_per_trigger = auto_max_files_per_trigger(spark, events_dir)
     reader = spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -250,6 +268,18 @@ def start_stream(
             # MOR never uses Observation (its stats come from explicit
             # aggregates), so it is foreachBatch-safe as-is
             stats = merge_mor(
+                table,
+                flat,
+                commit_id,
+                op_col=op_col,
+                seq_col=seq_col,
+                summary_update={"stream_batch": batch_id},
+            )
+        elif merge_engine == "patch":
+            from table2qb_spark.lake.merge import merge_patch
+
+            # patch runs its own explicit stats pre-pass — foreachBatch-safe
+            stats = merge_patch(
                 table,
                 flat,
                 commit_id,

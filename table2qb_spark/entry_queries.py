@@ -411,6 +411,36 @@ def q_cdc_patch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patch_merge(base, ev.where(F.col("seq") > thr), ["user_id"])
 
 
+def q_cdc_patch_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch engine through the LAKE (lake/merge.py::merge_patch): replay
+    the partial-payload stream in two bucket-pruned COW batches into a
+    temp lake table and read the final state — must equal the one-shot
+    operator fold (shares cdc_patch_state's oracle SQL)."""
+    import tempfile
+
+    from table2qb_spark.lake.merge import merge_patch
+    from table2qb_spark.lake.table import LakeTable
+
+    ev = _patch_events(spark, sf_dir)
+    b = ev.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()[0]
+    mid = (int(b["lo"]) + int(b["hi"])) // 2
+    t = LakeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="q_patch_"),
+        [
+            ("user_id", "long"),
+            ("seq", "long"),
+            ("value", "double"),
+            ("ts_ms", "long"),
+        ],
+        ["user_id"],
+        n_buckets=8,
+    )
+    merge_patch(t, ev.where(F.col("seq") <= mid), "p1")
+    merge_patch(t, ev.where(F.col("seq") > mid), "p2")
+    return t.read().select("user_id", "seq", "value", "ts_ms")
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (ops/scrub.py) over documents with deterministic
     planted PII (the synthetic corpus has none): every 10th doc gains an
@@ -2891,8 +2921,10 @@ ORACLES["quality_classifier"] = """
     FROM documents
 """
 
-# Half-fold + patch_merge must converge to the one-shot fold's exact state.
+# Half-fold + patch_merge must converge to the one-shot fold's exact state,
+# and so must the two-batch lake replay through merge_patch.
 ORACLES["cdc_patch_merge"] = ORACLES["cdc_patch_state"]
+ORACLES["cdc_patch_lake"] = ORACLES["cdc_patch_state"]
 
 ORACLES["url_dedup"] = f"""
     WITH canon AS ({ORACLES["url_canonical"]})
@@ -3206,6 +3238,7 @@ QUERIES = {
     "cdc_merge_upsert": q_cdc_merge_upsert,
     "cdc_patch_state": q_cdc_patch_state,
     "cdc_patch_merge": q_cdc_patch_merge,
+    "cdc_patch_lake": q_cdc_patch_lake,
     "cdc_mor_state": q_cdc_mor_state,
     "cdc_delete_where": q_cdc_delete_where,
     "cdc_update_where": q_cdc_update_where,

@@ -112,6 +112,186 @@ def _cdf_changes(
     )
 
 
+def merge_patch(
+    table: LakeTable,
+    batch_df: DataFrame,
+    commit_id: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    summary_update: dict | None = None,
+    publish: bool = True,
+) -> dict:
+    """Apply one change batch under PARTIAL-UPDATE semantics (the
+    ``cdc/patch.py`` merge engine, wired to the lake): a ``U`` payload's
+    null column means "leave the stored value", an ``I`` replaces the whole
+    row (its nulls are real), a final ``D`` removes the key, and a
+    post-delete ``U`` revives onto an empty row. For full-row-image streams
+    use :func:`merge_upsert` — this engine exists for MySQL
+    ``binlog_row_image=MINIMAL`` / Mongo ``$set``-shaped logs where
+    last-row-wins would null every untouched column. Ops are the engine
+    vocabulary I/U/D (the patch algebra's boundary logic is defined on it).
+
+    Physical shape mirrors the upsert merge's union-aggregate design:
+    current rows union UNDER the batch as row images — live rows as ``I``,
+    tombstones as ``D``, at seq ``-1`` (their stored ``_seq`` on
+    seq-guarded tables) — then ONE map-side-combined ``groupBy(key)``
+    (``cdc.patch.patch_fold``) folds merge + in-batch patch resolution,
+    then the bucket repartition for the write — scan, one key shuffle, one
+    bucket shuffle. Steady-state batches prune to touched buckets exactly
+    like ``merge_upsert`` (same narrow stats pre-pass, same
+    ``PRUNE_THRESHOLD``). Idempotent via commit manifests; exactly-once
+    replay composes because ``patch_merge``'s base-as-insert algebra IS
+    this union (tests prove resume == one-shot).
+
+    Seq-guard/tombstone semantics come FREE from the algebra: a tombstone
+    re-enters as a ``D`` row image at its stored ``_seq``, so it shadows
+    every older (late/redelivered) event and stays a physical ``_deleted``
+    row unless a NEWER event revives the key — on tombstone tables dead
+    keys are kept as null-payload tombstone rows (what the seq-guarded
+    ``read_live`` contract expects) instead of dropped.
+
+    Late-event contract (authoritative-state-wins, the same as the
+    seq-guarded upsert merge): an event below the stored row image's seq is
+    superseded WHOLESALE — in particular a late ``I`` does NOT back-fill
+    columns the folded state never set (the fold cannot distinguish
+    "never patched" from "explicitly null"). Total-order patch semantics
+    require in-order delivery across batches, which the batch replayer's
+    disjoint ascending seq ranges guarantee; within a batch any order is
+    fine (the fold is order-free).
+    """
+    if table.has_commit(commit_id):
+        return {"skipped": True, "commit_id": commit_id}
+
+    t0 = time.time()
+    snap = table.snapshot()
+    keys = snap.key_columns
+    data_cols = [c["name"] for c in snap.current_schema()]
+    seq_guard = "_seq" in data_cols
+    tombstones = "_deleted" in data_cols
+    value_cols = [
+        c for c in data_cols if c not in keys and c not in ("_seq", "_deleted")
+    ]
+    delete_op = "D"
+
+    decl = {c["name"]: c["type"] for c in snap.current_schema()}
+    batch_sel = batch_df.select(
+        *[F.col(k).cast(decl[k]).alias(k) for k in keys],
+        F.col(seq_col).cast("long").alias("__seq"),
+        F.col(op_col).alias("__op"),
+        *[F.col(c).cast(decl[c]).alias(c) for c in value_cols],
+    )
+
+    table_rows = int(snap.summary.get("row_count", 0) or 0)
+
+    # Narrow stats pre-pass (keys/op/seq only — Catalyst prunes the scan):
+    # touched buckets + event counts in one tiny aggregate, same shape the
+    # upsert merge uses for its pruned strategy.
+    bucket_stats = (
+        batch_sel.groupBy(
+            key_bucket_expr(keys, snap.n_buckets).alias("__bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("__op") == delete_op, 1).otherwise(0)
+            ).alias("dels"),
+            F.max("__seq").alias("max_seq"),
+        )
+        .collect()
+    )
+    n_total = sum(int(r["n"]) for r in bucket_stats)
+    n_dels = sum(int(r["dels"] or 0) for r in bucket_stats)
+    max_seq = max(
+        (s for s in (r["max_seq"] for r in bucket_stats) if s is not None),
+        default=None,
+    )
+    touched = sorted(r["__bucket"] for r in bucket_stats)
+    use_pruning = table_rows > 0 and n_total < PRUNE_THRESHOLD * table_rows
+
+    if not touched:
+        table.commit_files(
+            commit_id, [], {}, dict(summary_update or {}),
+            base_snapshot_id=snap.snapshot_id, publish=publish,
+        )
+        return {
+            "skipped": False, "commit_id": commit_id, "affected_buckets": 0,
+            "upserts": 0, "deletes": 0, "strategy": "patch-pruned",
+            "seconds": time.time() - t0,
+        }
+
+    current = table.read(buckets=touched if use_pruning else None)
+    cur_seq = F.col("_seq") if seq_guard else F.lit(-1).cast("long")
+    # stored state re-enters as its own row image: live rows are
+    # authoritative inserts, tombstones are deletes at their guard seq
+    cur_op = (
+        F.when(
+            F.coalesce(F.col("_deleted"), F.lit(False)), F.lit(delete_op)
+        ).otherwise(F.lit("I"))
+        if tombstones
+        else F.lit("I")
+    )
+    current_sel = current.select(
+        *keys,
+        cur_seq.alias("__seq"),
+        cur_op.alias("__op"),
+        *[F.col(c) for c in value_cols],
+    )
+
+    from table2qb_spark.cdc.patch import patch_fold, resolve_patch_col
+
+    folded = patch_fold(
+        current_sel.unionByName(batch_sel),
+        keys,
+        seq_col="__seq",
+        op_col="__op",
+        value_cols=value_cols,
+    )
+    winners = folded.select(
+        *keys,
+        F.col("__last.s").alias("__seq"),
+        (F.col("__last.o") == delete_op).alias("__dead"),
+        *[resolve_patch_col(c) for c in value_cols],
+    )
+    out_cols = list(keys) + value_cols
+    if seq_guard:
+        winners = winners.withColumn("_seq", F.col("__seq"))
+        out_cols.append("_seq")
+    if tombstones:
+        # dead keys stay as physical tombstone rows (null payload — no
+        # candidate survives the final D boundary by construction)
+        winners = winners.withColumn("_deleted", F.col("__dead"))
+        out_cols.append("_deleted")
+    else:
+        winners = winners.where(~F.col("__dead"))
+    merged = winners.select(*out_cols).withColumn(
+        "__bucket", key_bucket_expr(keys, snap.n_buckets)
+    )
+    new_files = table.write_data_files(
+        merged, snapshot_hint=f"{snap.snapshot_id + 1:08d}", repartition=True
+    )
+    affected = (
+        touched if use_pruning
+        else sorted(set(new_files) | {int(b) for b in snap.files})
+    )
+    for b in affected:
+        new_files.setdefault(b, [])
+    su = dict(summary_update or {})
+    su.setdefault("max_seq", max_seq)
+    table.commit_files(
+        commit_id, affected, new_files, su,
+        base_snapshot_id=snap.snapshot_id, publish=publish,
+    )
+    return {
+        "skipped": False,
+        "commit_id": commit_id,
+        "affected_buckets": len(affected),
+        "upserts": n_total - n_dels,
+        "deletes": n_dels,
+        "strategy": "patch-pruned" if use_pruning else "patch",
+        "seconds": time.time() - t0,
+    }
+
+
 def merge_upsert(
     table: LakeTable,
     batch_df: DataFrame,

@@ -201,10 +201,10 @@ TASK_DESCRIPTIONS = {
     "cdc-lookup": ("Point-reads one primary key (bucket + stats/bloom pruned)", "Usage: table2qb cdc-lookup --table DIR --key repo=R,path=P [--snapshot REF]"),
     "cdc-inspect": ("Prints a metadata table: snapshots, files, refs or properties", "Usage: table2qb cdc-inspect --table DIR --what snapshots|files|refs|properties [--snapshot REF] [--limit N]"),
     "cdc-sql": ("Runs ad-hoc Spark SQL over lake tables registered as time-travelable views (plus _files/_snapshots/_refs/_properties metadata views)", "Usage: table2qb cdc-sql --table name=DIR[@REF] [--table ...] --query SQL [--where name=PRED] [--limit N] [--output PATH [--output-format parquet|csv|jsonl]] [--explain]"),
-    "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR [--dlq DIR] [--merge-on-read] [--stage]"),
+    "cdc-replay": ("Replays a change log into the lake (resumable)", "Usage: table2qb cdc-replay --table DIR --events DIR [--dlq DIR] [--merge-on-read] [--stage] [--merge-engine upsert|patch]"),
     "cdc-publish": ("Publishes a staged snapshot (write-audit-publish)", "Usage: table2qb cdc-publish --table DIR [--snapshot N]"),
     "cdc-discard": ("Discards a staged snapshot without publishing", "Usage: table2qb cdc-discard --table DIR --snapshot N"),
-    "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR [--dlq DIR] [--merge-on-read] [--max-files-per-trigger N|auto]"),
+    "cdc-stream": ("Replays a change log via Structured Streaming", "Usage: table2qb cdc-stream --table DIR --events DIR --checkpoint DIR [--dlq DIR] [--merge-on-read] [--max-files-per-trigger N|auto] [--merge-engine upsert|patch]"),
     "cdc-status": ("Prints checkpoint/lineage/metrics summary", "Usage: table2qb cdc-status --table DIR [--metrics]"),
     "cdc-hotkeys": ("Reports the hottest merge keys in a change-event source (skew diagnostic)", "Usage: table2qb cdc-hotkeys --events PATH --keys repo,path [--top 20] [--events-format parquet|json|csv]"),
     "cdc-schema": ("Prints the table schema; --history adds version-by-version column lineage", "Usage: table2qb cdc-schema --table DIR [--history]"),
@@ -1025,6 +1025,7 @@ def cmd_cdc_replay(args) -> int:
         spark, table, args.events, batch_events=args.batch_events,
         two_phase_dedup=args.salted_dedup, events_format=args.events_format,
         dlq_dir=args.dlq, merge_on_read=args.merge_on_read, stage=args.stage,
+        merge_engine=args.merge_engine,
     )
     results = replayer.run(max_batches=args.max_batches)
     applied = [r for r in results if not r.skipped]
@@ -1083,6 +1084,7 @@ def cmd_cdc_stream(args) -> int:
     run_stream_to_completion(
         spark, table, args.events, args.checkpoint, dlq_dir=args.dlq,
         merge_on_read=args.merge_on_read,
+        merge_engine=args.merge_engine,
         max_files_per_trigger=mft if mft == "auto" else int(mft),
     )
     print(json.dumps({"rows": table.row_count(), "snapshot": table.current_snapshot_id()}))
@@ -1977,6 +1979,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "snapshot (invisible to readers, no commit marker); "
                         "audit it with cdc-verify/cdc-export --snapshot N, "
                         "then cdc-publish or cdc-discard")
+    c.add_argument("--merge-engine", default="upsert",
+                   choices=["upsert", "patch"],
+                   help="upsert = full-row-image last-writer-wins (default); "
+                        "patch = partial-update per-column last-non-null-"
+                        "wins for MINIMAL-row-image / $set-shaped logs "
+                        "(an update's null column means 'unchanged'; "
+                        "copy-on-write only)")
     c.set_defaults(fn=cmd_cdc_replay)
 
     c = sub.add_parser("cdc-publish")
@@ -2008,6 +2017,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="micro-batch size in backlog files; 'auto' sizes "
                         "triggers to ~4M events from the parquet footers "
                         "(env SPARK_GRAFT_STREAM_TRIGGER_EVENTS)")
+    c.add_argument("--merge-engine", default="upsert",
+                   choices=["upsert", "patch"],
+                   help="upsert = full-row-image last-writer-wins (default); "
+                        "patch = partial-update per-column last-non-null-"
+                        "wins (see cdc-replay --merge-engine; out-of-order "
+                        "safe on seq-guarded stream tables)")
     c.set_defaults(fn=cmd_cdc_stream)
 
     c = sub.add_parser("cdc-status")
