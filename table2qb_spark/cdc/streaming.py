@@ -156,12 +156,14 @@ def start_stream(
 
     ``merge_engine="patch"``: partial-update per-column semantics
     (lake.merge.merge_patch) instead of full-row-image last-writer-wins.
-    foreachBatch-safe (explicit stats aggregate, no Observation), and
-    out-of-order safe ON SEQ-GUARDED tables without the watermark
-    prefilter: a late event re-delivered in a later micro-batch enters the
-    fold BELOW the stored row image's ``_seq``, so the patch algebra's
-    boundary shadowing supersedes it wholesale — the seq-guard
-    authoritative-state-wins contract (a late ``I`` does not back-fill
+    foreachBatch-safe (explicit stats aggregate, no Observation). On
+    SEQ-GUARDED tables, late/redelivered events are superseded WHOLESALE
+    (no corruption): an event re-delivered in a later micro-batch enters
+    the fold BELOW the stored row image's ``_seq`` and is shadowed by the
+    patch algebra's boundary logic — but a genuinely late FIRST delivery
+    is discarded the same way, so final state depends on trigger/file
+    boundaries; total-order patch semantics still require in-order
+    delivery across triggers (a late ``I`` does not back-fill
     never-patched columns; see ``merge_patch``'s docstring). Incompatible
     with merge_on_read (partial payloads have no full row image to append
     as MOR winners).

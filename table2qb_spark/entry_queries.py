@@ -37,20 +37,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     one core at sf1.0, ~0.5 s repartitioned). The gate is scale-adaptive:
     it fires only when the planned scan has fewer splits than the default
     parallelism, so a production table with thousands of row groups is
-    untouched and nothing heavy is ever shuffled: the repartition fires
-    only for tables under 64 MB on disk (the shuffle then costs a fraction
-    of a second; a bigger under-split table would pay a full-table shuffle
-    that can exceed the parallelism win). Round-robin repartition is
-    row-preserving — every declared query's result is a row-set,
-    unchanged."""
+    untouched and nothing heavy is ever shuffled. Two more gates keep the
+    exchange from costing more than it buys (A/B-measured at sf1.0):
+
+    - file size < 64 MB: past that, the full-table shuffle itself becomes
+      the cost the parallelism win has to beat;
+    - compressed bytes/row >= 64 (footer-only metadata, no scan): fat rows
+      are documents/embeddings — few rows, heavy per-row compute (regex
+      metrics, 60-bit votes, cosine folds), where the repartition is worth
+      3-30x (ann_cosine_topk 2.0 s -> 0.7 s). Thin rows are relational
+      fact tables (events 16 B/row, lineitem 22 B/row) whose map-side-
+      combined aggregations are as cheap as the shuffle they'd pay:
+      repartitioning DOUBLED cdc_latest_state/cdc_sessionize, so they
+      keep their scan-fused single pass.
+
+    Round-robin repartition is row-preserving — every declared query's
+    result is a row-set, unchanged."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     par = spark.sparkContext.defaultParallelism
     try:
-        small = os.path.getsize(path) < 64 * 1024 * 1024
+        size = os.path.getsize(path)
+        import pyarrow.parquet as pq
+
+        n_rows = pq.read_metadata(path).num_rows
+        fat_small = size < 64 * 1024 * 1024 and size >= 64 * max(n_rows, 1)
     except OSError:
-        small = False
-    if small and df.rdd.getNumPartitions() < par:
+        fat_small = False
+    if fat_small and df.rdd.getNumPartitions() < par:
         df = df.repartition(par * 2)
     return df
 
@@ -3249,6 +3263,28 @@ ORACLES["dedup_keep_best"] = f"""
 """
 
 QUERIES = {
+    # The 18 round-5 additions lead: the driver samples ~50 of the 84
+    # oracle entries per round in dict order, and these have never had
+    # a driver-emitted CORRECTNESS row (round-5 verdict next-round #2).
+    "prep_composite": q_prep_composite,
+    "cdc_scd2": q_cdc_scd2,
+    "cdc_row_lineage": q_cdc_row_lineage,
+    "time_rollup": q_time_rollup,
+    "importance_weights": q_importance_weights,
+    "importance_resample": q_importance_resample,
+    "dedup_keep_best": q_dedup_keep_best,
+    "column_profile": q_column_profile,
+    "constraint_checks": q_constraint_checks,
+    "multimodal_av_headers": q_multimodal_av_headers,
+    "semantic_dedup": q_semantic_dedup,
+    "dedup_span_metrics": q_dedup_span_metrics,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "dedup_cross": q_dedup_cross,
+    "dedup_groups_star": q_dedup_groups_star,
+    "vocab_topk": q_vocab_topk,
+    "shard_assignment": q_shard_assignment,
+    "embedding_decontam": q_embedding_decontam,
+    # long-green veterans
     "cube_observations": q_cube_observations,
     "uri_expand": q_uri_expand,
     "typed_observations": q_typed_observations,
@@ -3299,38 +3335,20 @@ QUERIES = {
     "lake_bloom_lookup": q_lake_bloom_lookup,
     "cdc_sessionize": q_cdc_sessionize,
     "cdc_asof_join": q_cdc_asof_join,
-    "cdc_scd2": q_cdc_scd2,
-    "cdc_row_lineage": q_cdc_row_lineage,
-    "time_rollup": q_time_rollup,
     "cdc_metrics": q_cdc_metrics,
     "text_analysis": q_text_analysis,
-    "prep_composite": q_prep_composite,
     "dedup_exact": q_dedup_exact,
-    "dedup_cross": q_dedup_cross,
-    "dedup_paragraphs": q_dedup_paragraphs,
-    "vocab_topk": q_vocab_topk,
-    "shard_assignment": q_shard_assignment,
-    "embedding_decontam": q_embedding_decontam,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_span_metrics": q_dedup_span_metrics,
     "dedup_mapping": q_dedup_mapping,
     "dedup_groups": q_dedup_groups,
-    "dedup_groups_star": q_dedup_groups_star,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
-    "semantic_dedup": q_semantic_dedup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_headers": q_multimodal_headers,
-    "multimodal_av_headers": q_multimodal_av_headers,
     "multimodal_decode": q_multimodal_decode,
     "pricing_summary": q_pricing_summary,
-    "column_profile": q_column_profile,
-    "constraint_checks": q_constraint_checks,
-    "importance_weights": q_importance_weights,
-    "importance_resample": q_importance_resample,
-    "dedup_keep_best": q_dedup_keep_best,
 }

@@ -55,7 +55,9 @@ Semantics captured (parity with the diff over ``table.read()``):
 Not captured (reader falls back to the per-run diff, documented):
 late-materialization backfills into EMPTY tables (capture would force a
 second pass over the whole batch; the fallback diff of an empty ``from``
-side is just a scan of the new snapshot), merge-on-read appends,
+side is just a scan of the new snapshot), the partial-update patch engine
+(``lake.merge.merge_patch`` — COW rewrites, so the fallback diff is
+exact), merge-on-read appends,
 row-level DML, MERGE INTO, compaction/rebucket/z-order (logical no-ops —
 their diff is empty), and rollback (whose fallback diff correctly emits
 the INVERSE changes).

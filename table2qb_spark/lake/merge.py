@@ -158,6 +158,11 @@ def merge_patch(
     require in-order delivery across batches, which the batch replayer's
     disjoint ascending seq ranges guarantee; within a batch any order is
     fine (the fold is order-free).
+
+    Change-data-feed note: the patch engine does NOT capture a CDF feed on
+    ``cdf.enabled`` tables (no ``cdf_sid`` marker is set) — readers fall
+    back to the snapshot diff, which is correct for these COW rewrites
+    (see ``lake/cdf.py``'s not-captured list).
     """
     if table.has_commit(commit_id):
         return {"skipped": True, "commit_id": commit_id}
@@ -174,6 +179,10 @@ def merge_patch(
     delete_op = "D"
 
     decl = {c["name"]: c["type"] for c in snap.current_schema()}
+    required = list(dict.fromkeys(keys + value_cols + [op_col, seq_col]))
+    missing = [c for c in required if c not in batch_df.columns]
+    if missing:
+        raise ValueError(f"Batch is missing columns {missing}")
     batch_sel = batch_df.select(
         *[F.col(k).cast(decl[k]).alias(k) for k in keys],
         F.col(seq_col).cast("long").alias("__seq"),

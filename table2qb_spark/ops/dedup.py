@@ -596,7 +596,10 @@ def simhash_candidate_pairs(
     there. The candidate join is a band-bucket equi-join — same corpus-scale
     shape as ``lsh_candidate_pairs`` — replacing the single fixed top-byte
     bucket (which was ~N²/256 per bucket AND missed near-dups differing in
-    the top byte). Returns distinct (id_a, id_b) with id_a < id_b."""
+    the top byte). Returns distinct (id_a, id_b) with id_a < id_b — each
+    qualifying pair exactly once via min-shared-band emission (assumes
+    unique doc ids, the standard corpus contract; duplicate id rows would
+    emit duplicate pairs where an explicit distinct would collapse them)."""
     if bands < 1 or bands > bits:
         raise ValueError("bands must be in [1, bits]")
     w = bits // bands
@@ -605,17 +608,31 @@ def simhash_candidate_pairs(
     # id+hash proxy table of guide §8 — never the text) instead of running
     # the scan + explode + vote aggregate twice.
     base = _simhash_base(df, text_col, id_col, bits).localCheckpoint(eager=True)
-    band_structs = []
-    for j in range(bands):
-        val = F.shiftright(F.col("simhash"), j * w)
+    # The checkpoint inherits the vote-aggregate's AQE-coalesced partition
+    # count — a handful of partitions for a few MB of zstd'd longs — and
+    # under a broadcast pair join the PROBE side's partitioning is the
+    # stage's parallelism (A/B: 10.5 s vs 51.5 s at sf1.0 purely on this).
+    # Pin it to the core count when undersized; at corpus scale the
+    # signature table already has plenty of partitions and this is a no-op
+    # (the SMJ both sides shuffle by join key anyway).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par * 2)
+    def band_val(col: Column, j: int) -> Column:
+        val = F.shiftright(col, j * w)
         if j < bands - 1:  # top band keeps the remainder bits
             val = val.bitwiseAND(F.lit(2**w - 1))
-        band_structs.append(
-            F.struct(F.lit(j).alias("band"), val.cast("long").alias("bv"))
-        )
+        return val.cast("long")
+
+    band_structs = [
+        F.struct(F.lit(j).alias("band"), band_val(F.col("simhash"), j).alias("bv"))
+        for j in range(bands)
+    ]
     banded = base.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("x")
-    ).select(id_col, F.col("x.band").alias("band"), F.col("x.bv").alias("bv"))
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("x")
+    ).select(
+        id_col, "simhash", F.col("x.band").alias("band"), F.col("x.bv").alias("bv")
+    )
     # Salted pair generation. A template-heavy corpus puts thousands of
     # near-identical docs into ONE (band, bv) bucket, whose pair OUTPUT is
     # quadratic — at sf1.0 the hottest bucket held 15,678 docs = 123M of
@@ -633,13 +650,28 @@ def simhash_candidate_pairs(
     a = banded.withColumn("__ca", sub).withColumn("__cb", others)
     b = banded.withColumn("__cb", sub).withColumn("__ca", others)
     a, b = a.alias("a"), b.alias("b")
-    return (
-        a.join(b, on=["band", "bv", "__ca", "__cb"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    # Min-shared-band emission replaces the r5 ``.distinct()``: a pair that
+    # collides in several bands is emitted ONLY from the smallest one (both
+    # signatures ride along, so "no earlier band also matches" is a cheap
+    # codegen predicate evaluated inside the join stage). Every qualifying
+    # pair appears exactly once — the same set the distinct produced — but
+    # the ~2x-duplicated pair stream never hits a second full shuffle + a
+    # giant hash aggregate (at sf1.0: 294M join rows funneled into a
+    # 4-task AQE-coalesced distinct; byte-sized coalescing wildly
+    # underestimates the CPU of hash-deduping narrow rows).
+    joined = a.join(b, on=["band", "bv", "__ca", "__cb"]).where(
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for k in range(bands - 1):
+        joined = joined.where(
+            (F.col("band") <= k)
+            | (
+                band_val(F.col("a.simhash"), k)
+                != band_val(F.col("b.simhash"), k)
+            )
         )
-        .distinct()
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
 
 

@@ -196,8 +196,25 @@ def codelist_pipeline(
     metadata_file = os.path.join(output_directory, "metadata.json")
 
     df = code_records_df(spark, codelist_csv)
-    rows = [r.asDict() for r in df.collect()]
-    _write_csv_local(output_csv, OUTPUT_COLUMNS, rows)
+    # Size-gated sink (same contract as cube.py's observations sink):
+    # codelists are config-sized by the reference's contract, so the golden
+    # path stays ONE driver-written file — but past the threshold the rows
+    # never touch the driver; executors write header-ed part files that any
+    # CSVW consumer (and spark.read.csv) reads as a unit.
+    from table2qb_spark.pipelines.cube import CSV_DRIVER_SINK_MAX_BYTES
+
+    if os.path.getsize(codelist_csv) > CSV_DRIVER_SINK_MAX_BYTES:
+        out_dir = output_csv + ".d"
+        (
+            df.select(*OUTPUT_COLUMNS)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(out_dir)
+        )
+        output_csv = out_dir
+    else:
+        rows = [r.asDict() for r in df.collect()]
+        _write_csv_local(output_csv, OUTPUT_COLUMNS, rows)
 
     metadata = codelist_schema(output_csv, codelist_name, uris)
     with open(metadata_file, "w", encoding="utf-8") as f:

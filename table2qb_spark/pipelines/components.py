@@ -192,12 +192,31 @@ def components_pipeline(
     metadata_file = os.path.join(output_directory, "metadata.json")
 
     df = component_records_df(spark, input_csv)
-    rows = [r.asDict() for r in df.collect()]
-    with open(components_csv, "w", encoding="utf-8", newline="") as f:
-        w = _csv.writer(f)
-        w.writerow(OUTPUT_COLUMNS)
-        for r in rows:
-            w.writerow([r.get(c) if r.get(c) is not None else "" for c in OUTPUT_COLUMNS])
+    # Size-gated sink (same contract as cube.py's observations sink):
+    # component tables are config-sized by the reference's contract, so the
+    # golden path stays ONE driver-written file — but past the threshold
+    # the rows never touch the driver; executors write header-ed part files
+    # that any CSVW consumer (and spark.read.csv) reads as a unit.
+    from table2qb_spark.pipelines.cube import CSV_DRIVER_SINK_MAX_BYTES
+
+    if os.path.getsize(input_csv) > CSV_DRIVER_SINK_MAX_BYTES:
+        out_dir = components_csv + ".d"
+        (
+            df.select(*OUTPUT_COLUMNS)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(out_dir)
+        )
+        components_csv = out_dir
+    else:
+        rows = [r.asDict() for r in df.collect()]
+        with open(components_csv, "w", encoding="utf-8", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(OUTPUT_COLUMNS)
+            for r in rows:
+                w.writerow(
+                    [r.get(c) if r.get(c) is not None else "" for c in OUTPUT_COLUMNS]
+                )
 
     metadata = components_schema(components_csv, uris)
     with open(metadata_file, "w", encoding="utf-8") as f:

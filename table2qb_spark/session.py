@@ -44,6 +44,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing floors partitions at minPartitionSize of COMPRESSED
+        # shuffle bytes (default 1 MB). zstd compresses narrow/repetitive
+        # columns ~10-30x, so a CPU-heavy stage fed by a few MB of
+        # compressed data (e.g. quadratic pair generation from band-bucket
+        # keys) coalesces to a handful of tasks and strands the other
+        # cores (measured: the simhash band join ran 4 tasks x 55 s at
+        # sf1.0; 32 tasks after this change). With parallelismFirst (the
+        # default) the target is max(totalBytes/parallelism,
+        # minPartitionSize), so lowering the floor only lets parallelism
+        # win for small-compressed shuffles — production-sized shuffles
+        # still coalesce by bytes exactly as before.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
