@@ -79,6 +79,9 @@ def cosine_topk(
     )
 
 
+_IVF_FOLD_MAX_CENTROIDS = 1024  # literal-array plan stays well under 1 MB
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -86,11 +89,74 @@ def ivf_assign(
     vec_col: str = "embedding",
     nprobe: int = 1,
 ) -> DataFrame:
-    """Assign every vector to its ``nprobe`` nearest centroids (broadcast
-    join + per-vector top-n — one scan). Corpus vectors use nprobe=1 (each
-    lives in ONE cell); queries probe several cells to recover near-boundary
-    neighbors (the standard IVF recall knob). centroids: (centroid_id, cv)."""
+    """Assign every vector to its ``nprobe`` nearest centroids. Corpus
+    vectors use nprobe=1 (each lives in ONE cell); queries probe several
+    cells to recover near-boundary neighbors (the standard IVF recall
+    knob). centroids: (centroid_id, cv).
+
+    nprobe=1 with a small centroid set (the corpus-assignment case — every
+    neardup/semantic/decontam path, and each k-means iteration) runs as a
+    ZERO-SHUFFLE projection: the centroids are collected (tiny by the
+    ``n_centroids_for`` contract) and embedded as a literal array, and the
+    argmax folds over it per row. The r5 shape — broadcast join to
+    corpus x C rows, then a row_number window partitioned by vec id —
+    shuffled the corpus (vectors included, C-fold) purely to rank C rows
+    that were already co-located. The fold replicates the window's
+    ordering exactly: same per-pair ``cosine_expr`` doubles, ties to the
+    smallest centroid_id, NaN sims ranked above all (Spark comparisons are
+    total-order), NULL sims ranked last, all-NULL rows falling to the
+    lowest-id centroid. nprobe>1 or a large centroid set (where a literal
+    array would bloat the plan) keeps the join+window path."""
     from pyspark.sql.window import Window
+
+    crows = None
+    if nprobe == 1:
+        crows = centroids.select("centroid_id", "cv").collect()
+        if len(crows) > _IVF_FOLD_MAX_CENTROIDS:
+            crows = None
+    if crows is not None:
+        if not crows:
+            # legacy join-path behavior: empty centroids -> empty output
+            return corpus.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.lit(None)
+                .cast(centroids.schema["centroid_id"].dataType)
+                .alias("centroid_id"),
+            ).where(F.lit(False))
+        # array ordered by centroid_id ascending: the fold's ELSE-keep
+        # branch then resolves all-NULL-sim rows to the smallest id, like
+        # the window's (sim DESC NULLS LAST, centroid_id ASC) ordering
+        cid_type = centroids.schema["centroid_id"].dataType
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(r["centroid_id"]).cast(cid_type).alias("cid"),
+                    cosine_expr(
+                        F.col(vec_col), F.lit(list(r["cv"]))
+                    ).alias("sim"),
+                )
+                for r in sorted(crows, key=lambda r: r["centroid_id"])
+            ]
+        )
+
+        def pick(acc: Column, x: Column) -> Column:
+            better = (
+                (acc["sim"].isNull() & x["sim"].isNotNull())
+                | (x["sim"] > acc["sim"])
+                | ((x["sim"] == acc["sim"]) & (x["cid"] < acc["cid"]))
+            )
+            return F.when(better, x).otherwise(acc)
+
+        if len(crows) == 1:
+            best = F.element_at(arr, 1)
+        else:
+            best = F.aggregate(
+                F.slice(arr, 2, len(crows) - 1), F.element_at(arr, 1), pick
+            )
+        return corpus.select(
+            F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id")
+        )
 
     scored = corpus.join(F.broadcast(centroids)).select(
         F.col(id_col),

@@ -500,6 +500,51 @@ class TestSimhashBanding:
         )
 
 
+class TestIvfAssignFold:
+    def test_fold_matches_window_path(self, spark, emb, monkeypatch):
+        """The zero-shuffle literal-array fold (nprobe=1, small C) must
+        assign every vector to the SAME centroid as the join+window path —
+        including NaN sims (total-order: ranked above all), NULL-vector
+        rows (all sims NULL -> lowest centroid id), and ragged vectors."""
+        extra = spark.createDataFrame(
+            [
+                (901, None),
+                (902, [float("nan")] * 64),
+                (903, [1.0, 2.0]),
+            ],
+            "vec_id bigint, embedding array<float>",
+        )
+        df = emb.select("vec_id", "embedding").unionByName(extra)
+        cents = ann.seed_centroids(df, 6)
+
+        fold = {
+            r["vec_id"]: r["centroid_id"]
+            for r in ann.ivf_assign(df, cents).collect()
+        }
+        monkeypatch.setattr(ann, "_IVF_FOLD_MAX_CENTROIDS", 0)
+        window = {
+            r["vec_id"]: r["centroid_id"]
+            for r in ann.ivf_assign(df, cents).collect()
+        }
+        assert fold == window
+        assert len(fold) == df.count()
+
+    def test_fold_path_has_no_shuffle(self, spark, emb):
+        """The assignment must be a pure projection: no Exchange, no Window,
+        no join in the plan (the r5 shape shuffled corpus x C rows through
+        a row_number window keyed on vec id)."""
+        cents = ann.seed_centroids(emb, 6)
+        plan = (
+            ann.ivf_assign(emb, cents)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "Join" not in plan, plan
+
+
 class TestKmeansCentroids:
     """Data-aware IVF centroids: on a clustered corpus whose lowest ids all
     sit in ONE cluster, seed_centroids collapses into that region and splits

@@ -52,7 +52,34 @@ def main():
 
     qs = queries()
     oracles = oracle_sql()
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    if args and args[0] == "--all-missing":
+        # Run exactly the queries() entries WITHOUT a green row in the
+        # latest CORRECTNESS_r*.json — the round-N gate gap in one command
+        # (round-5 verdict #9). Usage: python tools/check_correctness.py
+        # --all-missing [path/to/CORRECTNESS_rNN.json]
+        import glob
+        import json as _json
+
+        if len(args) > 1:
+            corr_path = args[1]
+        else:
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            candidates = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+            if not candidates:
+                print("no CORRECTNESS_r*.json found")
+                sys.exit(2)
+            corr_path = candidates[-1]
+        with open(corr_path) as f:
+            seen = set(_json.load(f))
+        only = {n for n in qs if n not in seen}
+        print(f"# {len(only)} queries missing from {os.path.basename(corr_path)}: "
+              f"{sorted(only)}")
+        if not only:
+            print("all queries match")
+            return
+    else:
+        only = set(args)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
