@@ -643,12 +643,19 @@ def simhash_candidate_pairs(
     # pair matches exactly one (ca, cb) cell — identical output multiset —
     # while the hot bucket's work spreads over S² independent keys. Input
     # replication is S x the narrow signature rows, nothing text-sized.
+    # Asymmetric salt: the a-side carries ONLY its own sub-chunk id while
+    # the b-side replicates over all S values, so an ordered pair (x, y)
+    # meets exactly once, at __ca = sub(x). A hot bucket's quadratic output
+    # still spreads S ways by sub(x), but only ONE side pays the S-fold
+    # replication — which is also what keeps the broadcast build relation
+    # (the planner builds the smaller, UNREPLICATED side) the size of the
+    # plain banded table.
     par = df.sparkSession.sparkContext.defaultParallelism
     salt = max(1, min(16, int(round((2 * par) ** 0.5))))
     sub = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int")
     others = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    a = banded.withColumn("__ca", sub).withColumn("__cb", others)
-    b = banded.withColumn("__cb", sub).withColumn("__ca", others)
+    a = banded.withColumn("__ca", sub)
+    b = banded.withColumn("__ca", others)
     a, b = a.alias("a"), b.alias("b")
     # Min-shared-band emission replaces the r5 ``.distinct()``: a pair that
     # collides in several bands is emitted ONLY from the smallest one (both
@@ -659,7 +666,7 @@ def simhash_candidate_pairs(
     # giant hash aggregate (at sf1.0: 294M join rows funneled into a
     # 4-task AQE-coalesced distinct; byte-sized coalescing wildly
     # underestimates the CPU of hash-deduping narrow rows).
-    joined = a.join(b, on=["band", "bv", "__ca", "__cb"]).where(
+    joined = a.join(b, on=["band", "bv", "__ca"]).where(
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
     for k in range(bands - 1):
